@@ -1,38 +1,369 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-k over an index built from
+sf0.001 documents. ``queries()`` — one entry per implemented operator
+(SURVEY.md §2 + training-pipeline rubric); each runs the Spark engine
+at (spark, sf_dir). ``oracle_sql()`` — DuckDB ANSI-SQL twins over the
+same parquet views, column names/types aligned for the driver's
+order-insensitive value-hash compare. Non-SQL-expressible ops
+(minhash/simhash/WAND/transcripts) ship without oracles → rows-only.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inverted_index_spark.operators import bm25 as _bm25
+from inverted_index_spark.operators import dedup as _dedup
+from inverted_index_spark.operators import query as _query
+from inverted_index_spark.operators import similarity as _sim
+from inverted_index_spark.operators.build import build_index
+from inverted_index_spark.operators.wand import bm25_topk_wand
+from inverted_index_spark.functions import textstats as _ts
+from inverted_index_spark.sources.store import SegmentStore
+from inverted_index_spark.sources.transcripts import generate_transcripts
+
+# fixed demo query (terms present in the documents vocabulary)
+Q_TERMS = ["spark", "merge", "window"]
+OR_TERMS = ["spark", "merge"]
+RANGE = (100, 400)
+
+_STORES: dict[str, SegmentStore] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _store_for(spark: SparkSession, sf_dir: str) -> SegmentStore:
+    """Build the inverted index over documents once per (process, sf_dir)."""
+    if sf_dir not in _STORES:
+        store = SegmentStore(tempfile.mkdtemp(prefix="ii_entry_") + "/idx")
+        build_index(spark, _docs(spark, sf_dir), store, bucket_size=1 << 14)
+        _STORES[sf_dir] = store
+    return _STORES[sf_dir]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build index over sf0.001 documents, BM25 top-10 via
+    block-max WAND."""
+    store = _store_for(spark, "/root/testdata/sf0.001")
+    return bm25_topk_wand(spark, store, Q_TERMS, k=10)
+
+
+# --------------------------------------------------------------- queries ---
+
+
+def _q_read_terms(spark, sf):
+    return _query.read_terms(spark, _store_for(spark, sf))
+
+
+def _q_read_values_or(spark, sf):
+    return _query.read_values(spark, _store_for(spark, sf), OR_TERMS, *RANGE)
+
+
+def _q_read_values_all(spark, sf):
+    return _query.read_all_values(spark, _store_for(spark, sf), OR_TERMS)
+
+
+def _q_and_values(spark, sf):
+    return _query.and_values(spark, _store_for(spark, sf), OR_TERMS)
+
+
+def _q_term_df(spark, sf):
+    seg = _store_for(spark, sf).read_postings(spark)
+    return seg.groupBy("term").agg(F.sum("df").alias("df")).orderBy("term")
+
+
+def _q_doc_lengths(spark, sf):
+    return _store_for(spark, sf).read_docstats(spark).orderBy("doc_id")
+
+
+def _q_corpus_stats(spark, sf):
+    n, avgdl = _bm25.corpus_stats(spark, _store_for(spark, sf))
+    return spark.createDataFrame([(n, round(avgdl, 6))], "n_docs long, avgdl double")
+
+
+def _q_bm25_scores(spark, sf):
+    s = _bm25.bm25_scores(spark, _store_for(spark, sf), Q_TERMS)
+    return s.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_bm25_topk(spark, sf):
+    t = _bm25.bm25_topk(spark, _store_for(spark, sf), Q_TERMS, k=10)
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_bm25_topk_wand(spark, sf):
+    t = bm25_topk_wand(spark, _store_for(spark, sf), Q_TERMS, k=10)
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_dedup_fingerprints(spark, sf):
+    fp = _ts.fingerprints(_docs(spark, sf))
+    return (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .orderBy("fp")
+    )
+
+
+def _q_token_counts(spark, sf):
+    t = _ts.token_counts(_docs(spark, sf))
+    return t.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        "n_chars",
+    )
+
+
+def _q_quality(spark, sf):
+    q = _ts.quality_scores(_docs(spark, sf))
+    return q.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+    )
+
+
+def _q_lang_id(spark, sf):
+    return _ts.lang_id(_docs(spark, sf)).orderBy("doc_id")
+
+
+def _q_embed_cosine(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    s = _sim.cosine_scores(emb, [float(x) for x in qv])
+    return s.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_embed_knn(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    t = _sim.cosine_topk(emb, [float(x) for x in qv], k=20)
+    return t.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _q_ngram_jaccard(spark, sf):
+    docs = _docs(spark, sf).where(F.col("doc_id") < 60)
+    ids = docs.select(F.col("doc_id").alias("a"))
+    pairs = ids.crossJoin(docs.select(F.col("doc_id").alias("b"))).where(
+        F.col("a") < F.col("b")
+    )
+    j = _dedup.ngram_jaccard_pairs(docs, pairs)
+    return j.where(F.col("jaccard") > 0).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# rows-only entries (no SQL oracle — non-SQL-expressible semantics)
+
+
+def _q_minhash_pairs(spark, sf):
+    return _dedup.minhash_lsh_pairs(_docs(spark, sf), threshold=0.3)
+
+
+def _q_simhash_pairs(spark, sf):
+    return _dedup.simhash_near_pairs(_docs(spark, sf), max_hamming=16)
+
+
+def _q_ann_lsh(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return _sim.ann_lsh_topk(emb, [float(x) for x in qv], k=10)
+
+
+def _q_transcripts_bm25(spark, sf):
+    """North-rule corpus path: synthetic transcripts → index → WAND."""
+    with tempfile.TemporaryDirectory(prefix="ii_tx_") as d:
+        store = SegmentStore(d + "/idx")
+        docs = generate_transcripts(spark, 2000, include_doc_id=True)
+        build_index(spark, docs, store, bucket_size=512)
+        out = bm25_topk_wand(spark, store, ["w00000", "w00010"], k=10)
+        out = spark.createDataFrame(out.collect(), out.schema)  # materialize pre-cleanup
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "ii_read_terms": _q_read_terms,
+        "ii_read_values_or": _q_read_values_or,
+        "ii_read_values_all": _q_read_values_all,
+        "ii_and_values": _q_and_values,
+        "ii_term_df": _q_term_df,
+        "ii_doc_lengths": _q_doc_lengths,
+        "ii_corpus_stats": _q_corpus_stats,
+        "bm25_scores": _q_bm25_scores,
+        "bm25_topk": _q_bm25_topk,
+        "bm25_topk_wand": _q_bm25_topk_wand,
+        "dedup_fingerprints": _q_dedup_fingerprints,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "embed_cosine": _q_embed_cosine,
+        "embed_knn": _q_embed_knn,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_lsh_topk": _q_ann_lsh,
+        "transcripts_bm25": _q_transcripts_bm25,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles ---
+
+_TOK = (
+    "SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term "
+    "FROM documents"
+)
+_TF = f"SELECT doc_id, term, count(*) AS tf FROM ({_TOK}) GROUP BY doc_id, term"
+_DL = f"SELECT doc_id, count(*) AS dl FROM ({_TOK}) GROUP BY doc_id"
+_QTERMS = "('" + "','".join(Q_TERMS) + "')"
+_ORTERMS = "('" + "','".join(OR_TERMS) + "')"
+
+_BM25_CONTRIB = f"""
+WITH tf AS ({_TF}),
+     dl AS ({_DL}),
+     stats AS (
+       SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(regexp_extract_all(lower(text), '\\w+'))) FROM documents)::DOUBLE
+              / (SELECT count(*) FROM documents) AS avgdl),
+     dfq AS (
+       SELECT term, count(*) AS df FROM tf WHERE term IN {_QTERMS} GROUP BY term),
+     contrib AS (
+       SELECT tf.doc_id,
+              ln((s.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+       FROM tf
+       JOIN dfq USING (term)
+       JOIN dl USING (doc_id)
+       CROSS JOIN stats s
+       WHERE tf.term IN {_QTERMS})
+SELECT doc_id, sum(c) AS raw_score FROM contrib GROUP BY doc_id
+"""
+
+_SHINGLES = """
+SELECT doc_id,
+       list_distinct(
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+         END) AS sh
+FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+      FROM documents WHERE doc_id < 60)
+"""
+
+_COS = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+     qn AS (SELECT sqrt(sum(x * x)) AS n
+            FROM (SELECT unnest(qe)::DOUBLE AS x FROM q)),
+     z AS (SELECT vec_id, unnest(embedding)::DOUBLE AS a,
+                  unnest((SELECT qe FROM q))::DOUBLE AS b
+           FROM embeddings)
+SELECT vec_id,
+       sum(a * b) / (sqrt(sum(a * a)) * (SELECT n FROM qn)) AS raw_cos
+FROM z GROUP BY vec_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ii_read_terms": (
+            f"SELECT DISTINCT term FROM ({_TOK}) ORDER BY term"
+        ),
+        "ii_read_values_or": (
+            f"SELECT DISTINCT doc_id FROM ({_TOK}) "
+            f"WHERE term IN {_ORTERMS} AND doc_id BETWEEN {RANGE[0]} AND {RANGE[1]} "
+            "ORDER BY doc_id"
+        ),
+        "ii_read_values_all": (
+            f"SELECT DISTINCT doc_id FROM ({_TOK}) "
+            f"WHERE term IN {_ORTERMS} ORDER BY doc_id"
+        ),
+        "ii_and_values": (
+            f"SELECT doc_id FROM ({_TF}) WHERE term IN {_ORTERMS} "
+            f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(OR_TERMS))} "
+            "ORDER BY doc_id"
+        ),
+        "ii_term_df": (
+            f"SELECT term, count(*) AS df FROM ({_TF}) GROUP BY term ORDER BY term"
+        ),
+        "ii_doc_lengths": (
+            "SELECT doc_id, len(regexp_extract_all(lower(text), '\\w+'))::BIGINT AS dl "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "ii_corpus_stats": (
+            "SELECT count(*)::BIGINT AS n_docs, "
+            "round(sum(len(regexp_extract_all(lower(text), '\\w+')))::DOUBLE "
+            "/ count(*), 6) AS avgdl FROM documents"
+        ),
+        "bm25_scores": (
+            f"SELECT doc_id, round(raw_score, 6) AS score FROM ({_BM25_CONTRIB}) "
+            "ORDER BY doc_id"
+        ),
+        "bm25_topk": (
+            f"SELECT doc_id, round(raw_score, 4) AS score FROM ({_BM25_CONTRIB}) "
+            "ORDER BY raw_score DESC, doc_id ASC LIMIT 10"
+        ),
+        "bm25_topk_wand": (
+            f"SELECT doc_id, round(raw_score, 4) AS score FROM ({_BM25_CONTRIB}) "
+            "ORDER BY raw_score DESC, doc_id ASC LIMIT 10"
+        ),
+        "dedup_fingerprints": (
+            "SELECT md5(array_to_string(regexp_extract_all(lower(text), '\\w+'), ' ')) AS fp, "
+            "count(*) AS n_dups, min(doc_id) AS keep_id "
+            "FROM documents GROUP BY fp ORDER BY fp"
+        ),
+        "token_counts": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(lower(text), '\\w+'))::BIGINT AS n_tokens, "
+            "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))::BIGINT AS n_bpe_tokens, "
+            "length(text)::BIGINT AS n_chars FROM documents ORDER BY doc_id"
+        ),
+        "quality_scores": (
+            "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks "
+            "FROM documents) "
+            "SELECT doc_id, len(toks)::BIGINT AS n_tokens, "
+            "round(CASE WHEN len(toks) > 0 THEN list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE / len(toks) ELSE 0 END, 6) AS avg_token_len, "
+            "round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN "
+            "('the','a','an','and','of','to','in','is','it','for')))::DOUBLE / len(toks) ELSE 0 END, 6) AS stopword_ratio, "
+            "round(CASE WHEN len(toks) > 0 THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0 END, 6) AS distinct_ratio "
+            "FROM t ORDER BY doc_id"
+        ),
+        "lang_id": (
+            "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks FROM documents), "
+            "s AS (SELECT doc_id, "
+            "len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de, "
+            "len(list_filter(toks, x -> x IN ('the','a','and','of','is','to'))) AS s_en, "
+            "len(list_filter(toks, x -> x IN ('el','la','los','las','es','y'))) AS s_es, "
+            "len(list_filter(toks, x -> x IN ('le','la','les','est','et','une'))) AS s_fr "
+            "FROM t) "
+            "SELECT doc_id, CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' "
+            "WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
+            "WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
+            "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
+            "ELSE 'fr' END AS pred_lang FROM s ORDER BY doc_id"
+        ),
+        "embed_cosine": (
+            f"SELECT vec_id, round(raw_cos, 6) AS cosine FROM ({_COS}) ORDER BY vec_id"
+        ),
+        "embed_knn": (
+            f"SELECT vec_id, round(raw_cos, 4) AS cosine FROM ({_COS}) "
+            "ORDER BY raw_cos DESC, vec_id ASC LIMIT 20"
+        ),
+        "ngram_jaccard": (
+            f"WITH sh AS ({_SHINGLES}) "
+            "SELECT a.doc_id AS a, b.doc_id AS b, "
+            "round(len(list_intersect(a.sh, b.sh))::DOUBLE "
+            "/ len(list_distinct(a.sh || b.sh)), 6) AS jaccard "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.sh, b.sh)) > 0"
+        ),
+    }

@@ -164,7 +164,7 @@ def decode_postings(
     blocks may be dicts or pyspark Rows with BLOCK_FIELDS. Returns
     (doc_ids, tfs, dls) as uint64 arrays, already range-filtered.
     """
-    if not blocks:
+    if blocks is None or len(blocks) == 0:
         z = np.zeros(0, dtype=np.uint64)
         return z, z, z
     lo = -1 if min_doc is None else min_doc

@@ -1,0 +1,127 @@
+"""BM25 ranked retrieval (north-rule extension; the Go reference
+stores postings but cannot score — SURVEY.md exec summary).
+
+Pinned contract (must match inverted_index_spark.oracle exactly):
+    k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1)
+    score(d,q) = Σ_t idf(t) · tf/(tf + k1·(1-b+b·dl/avgdl))
+    ties: (score DESC, doc_id ASC)
+
+Naive exhaustive path (this module): decode matching postings →
+per-posting contribution (idf broadcast as a literal map, dl carried
+inside the posting stream so NO join against a doc store) →
+groupBy(doc_id).sum → orderBy.limit(k) (Spark TakeOrdered — no global
+sort materialization). The WAND-pruned path lives in operators.wand
+and must return identical results (property-tested).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inverted_index_spark.operators.query import matching_rows, postings_df
+from inverted_index_spark.sources.store import SegmentStore
+
+K1 = 1.2
+B = 0.75
+
+
+def corpus_stats(spark: SparkSession, store: SegmentStore) -> tuple[int, float]:
+    """(N, avgdl) across live segments — exact, via the deduped doc
+    stats union (manifest sums would overcount pre-compaction overlap)."""
+    row = (
+        store.read_docstats(spark)
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    return int(row["n"] or 0), float(row["avgdl"] or 0.0)
+
+
+def term_dfs(
+    spark: SparkSession, store: SegmentStore, terms: list[str]
+) -> dict[str, int]:
+    """Global doc-frequency per query term. Segment rows carry df per
+    (segment, bucket, term); buckets are disjoint, but distinct
+    segments may overlap pre-compaction → count decoded distinct docs
+    only when >1 live segment, else sum the metadata (cheap path)."""
+    live = store.live_segments()
+    if len(live) <= 1:
+        rows = (
+            matching_rows(spark, store, terms)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+    rows = (
+        postings_df(spark, store, terms, with_tf=False)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    )
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def bm25_scores(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """(doc_id, score) for every matching doc (exhaustive scorer)."""
+    uniq = sorted(set(terms))
+    n_docs, avgdl = corpus_stats(spark, store)
+    dfs = term_dfs(spark, store, uniq)
+    idf_map = {t: idf(n_docs, dfs.get(t, 0)) for t in uniq if t in dfs}
+    if not idf_map or n_docs == 0:
+        return spark.range(0).select(
+            F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+        )
+    posts = postings_df(spark, store, list(idf_map), min_doc, max_doc, with_tf=True)
+    # pre-compaction overlap: the same (term, doc) may arrive from two
+    # segments — keep one copy (text equality guarantees identical tf/dl)
+    posts = posts.dropDuplicates(["term", "doc_id"])
+    idf_expr = F.create_map(
+        *[x for t, w in idf_map.items() for x in (F.lit(t), F.lit(float(w)))]
+    )
+    contrib = posts.withColumn(
+        "contrib",
+        idf_expr[F.col("term")]
+        * F.col("tf")
+        / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(float(avgdl)))),
+    )
+    return contrib.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+
+
+def bm25_topk(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    k: int = 10,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """Top-k (doc_id, score), ties (score DESC, doc_id ASC).
+
+    orderBy().limit(k) compiles to TakeOrderedAndProject — per-partition
+    heaps + a k-row driver merge, not a global sort."""
+    return (
+        bm25_scores(spark, store, terms, min_doc, max_doc)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_topk_pandas(scores: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Driver-side helper used by bench/oracle comparisons."""
+    s = scores.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+    return s.head(k).reset_index(drop=True)

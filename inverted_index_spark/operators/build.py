@@ -1,0 +1,325 @@
+"""Index build — the reference's write path (W1..W12, SURVEY.md §2.1)
+re-expressed as one declarative Spark job:
+
+    tokenize (mapInPandas, Arrow)                        [host-side of W2]
+    → bucket = doc_id // bucket_size                     [doc-range sharding]
+    → groupBy(bucket).applyInPandas(encode_bucket)       [W2..W8 fused]
+    → write parquet partitioned by bucket + docstats     [W9..W12]
+    → manifest commit with lineage + metrics             [W10, north rule]
+
+Why doc-range buckets: (a) a head Zipf term's postings split across
+buckets, so no single ``(term)`` group — the bucket IS the
+deterministic salt the north rule's skew language asks for; (b) one
+row per (bucket, term) stays bounded (≤ bucket_size postings) no
+matter how big the corpus — at 10^12 turns a global per-term row would
+not fit anywhere; (c) query-side WAND parallelizes per bucket with a
+cheap global top-k merge, because BM25 scores are bucket-independent.
+
+The reference buffers Put() pairs in RAM and writes at Close
+(single/single.go:139-153, 417-455); groupBy does the same dedup/sort
+work shuffle-side with map-side partial aggregation for free.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inverted_index_spark.functions.codec import DEFAULT_BLOCK, encode_postings
+from inverted_index_spark.functions.tokenizer import tokenize, tokenize_text
+from inverted_index_spark.sources.store import (
+    POSTINGS_SCHEMA,
+    SegmentStore,
+    dir_bytes,
+    fingerprint_input,
+    new_segment_id,
+)
+
+DEFAULT_BUCKET_SIZE = 1 << 16
+
+
+class ErrDuplicateTerm(ValueError):
+    """Reference parity: Put() of an already-present term
+    (single/single.go:139-153)."""
+
+
+class ErrEmptyIndex(ValueError):
+    """Reference parity: Close() with no terms (single/single.go:119-123)."""
+
+
+# ----------------------------------------------------------- encode stage ---
+
+
+def _encode_bucket_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """One doc-bucket's (doc_id, term, tf, dl) rows → one row per term.
+
+    Vectorized: one stable sort + per-term numpy slices; dedup of
+    repeated (term, doc) pairs keeps the first tf (the reference
+    sort-dedups values at close, single/single.go:230-256).
+    """
+    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+    terms = pdf["term"].to_numpy()
+    docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    bucket = int(pdf["bucket"].iloc[0])
+    # first-occurrence mask over (term, doc)
+    keep = np.ones(len(pdf), dtype=bool)
+    if len(pdf) > 1:
+        keep[1:] = ~((terms[1:] == terms[:-1]) & (docs[1:] == docs[:-1]))
+    terms, docs, tfs, dls = terms[keep], docs[keep], tfs[keep], dls[keep]
+    # term boundaries
+    starts = np.concatenate(([0], np.flatnonzero(terms[1:] != terms[:-1]) + 1))
+    ends = np.concatenate((starts[1:], [len(terms)]))
+    out = {k: [] for k in POSTINGS_SCHEMA.fieldNames()}
+    for s, e in zip(starts, ends):
+        d, t, l = docs[s:e], tfs[s:e], dls[s:e]
+        p_buf, t_buf, l_buf, blocks = encode_postings(d, t, l, block_size=block_size)
+        out["bucket"].append(bucket)
+        out["term"].append(terms[s])
+        out["df"].append(int(e - s))
+        out["postings"].append(p_buf)
+        out["tfs"].append(t_buf)
+        out["dls"].append(l_buf)
+        out["blocks"].append(blocks)
+        out["min_doc"].append(int(d[0]))
+        out["max_doc"].append(int(d[-1]))
+    return pd.DataFrame(out)
+
+
+def encode_segment(
+    tokens: DataFrame,
+    bucket_size: int = DEFAULT_BUCKET_SIZE,
+    block_size: int = DEFAULT_BLOCK,
+) -> DataFrame:
+    """tokens(doc_id, term, tf, dl) → postings rows (POSTINGS_SCHEMA)."""
+    bucketed = tokens.withColumn(
+        "bucket", (F.col("doc_id") / F.lit(bucket_size)).cast("int")
+    )
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _encode_bucket_pdf(pdf, block_size)
+
+    return bucketed.groupBy("bucket").applyInPandas(enc, schema=POSTINGS_SCHEMA)
+
+
+# ------------------------------------------------------------- doc lengths ---
+
+
+def doc_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, dl) for every doc — including token-less ones, which
+    still count toward N/avgdl (the oracle counts them too)."""
+    narrow = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                    "dl": np.asarray(
+                        [len(tokenize_text(t)) for t in pdf["text"].to_numpy()],
+                        dtype=np.int64,
+                    ),
+                }
+            )
+
+    return narrow.mapInPandas(run, schema="doc_id long, dl long")
+
+
+# ------------------------------------------------------------------ build ---
+
+
+def build_index_from_tokens(
+    spark: SparkSession,
+    tokens: DataFrame,
+    docstats: DataFrame,
+    store: SegmentStore,
+    *,
+    bucket_size: int = DEFAULT_BUCKET_SIZE,
+    block_size: int = DEFAULT_BLOCK,
+    build_id: str = "",
+    chunk: int = -1,
+    input_fingerprint: str = "",
+    replaces: list[str] | None = None,
+) -> str:
+    """Encode + write + commit one immutable segment. Returns segment_id.
+
+    Raises ErrEmptyIndex on an empty token stream (reference W12).
+    """
+    t0 = time.time()
+    segment_id = new_segment_id()
+    seg_dir = store.seg_dir(segment_id)
+    encoded = encode_segment(tokens, bucket_size, block_size)
+    # plain parquet clustered by bucket and sorted by term: row-group
+    # min/max stats on (bucket, term) do the pruning (the reference's
+    # FST/segment-index role); partitionBy dirs would break multi-
+    # segment single-scan reads (conflicting partition roots)
+    (
+        encoded.repartition("bucket")
+        .sortWithinPartitions("bucket", "term")
+        .write.mode("overwrite")
+        .parquet(f"{seg_dir}/postings")
+    )
+    docstats.select("doc_id", "dl").write.mode("overwrite").parquet(f"{seg_dir}/docstats")
+
+    # segment stats from the written data (one small scan each)
+    seg = spark.read.parquet(f"{seg_dir}/postings")
+    agg = seg.agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.sum("df").alias("n_postings"),
+        F.min("min_doc").alias("min_doc"),
+        F.max("max_doc").alias("max_doc"),
+    ).collect()[0]
+    if not agg["n_terms"]:
+        raise ErrEmptyIndex("refusing to commit an empty segment")
+    term_df = seg.groupBy("term").agg(F.sum("df").alias("tdf"))
+    skew = term_df.agg((F.max("tdf") / F.avg("tdf")).alias("s")).collect()[0]["s"]
+    dstats = (
+        spark.read.parquet(f"{seg_dir}/docstats")
+        .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+        .collect()[0]
+    )
+    elapsed = max(time.time() - t0, 1e-9)
+    store.commit_segment(
+        segment_id,
+        {
+            "n_terms": int(agg["n_terms"]),
+            "n_postings": int(agg["n_postings"]),
+            "n_docs": int(dstats["n_docs"]),
+            "sum_dl": int(dstats["sum_dl"] or 0),
+            "bytes": dir_bytes(seg_dir),
+            "min_doc": int(agg["min_doc"]),
+            "max_doc": int(agg["max_doc"]),
+            "build_id": build_id or segment_id,
+            "chunk": chunk,
+            "input_fingerprint": input_fingerprint,
+            "terms_per_sec": float(agg["n_terms"]) / elapsed,
+            "skew_ratio": float(skew or 1.0),
+        },
+        replaces=replaces,
+    )
+    return segment_id
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    store: SegmentStore,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = DEFAULT_BUCKET_SIZE,
+    block_size: int = DEFAULT_BLOCK,
+    build_id: str = "",
+    chunk: int = -1,
+    input_fingerprint: str = "",
+) -> str:
+    """docs(doc_id, text) → one committed segment (entry point A,
+    SURVEY.md §3.1)."""
+    tokens = tokenize(docs, id_col=id_col, text_col=text_col)
+    dstats = doc_lengths(docs, id_col=id_col, text_col=text_col)
+    return build_index_from_tokens(
+        spark, tokens, dstats, store,
+        bucket_size=bucket_size, block_size=block_size,
+        build_id=build_id, chunk=chunk, input_fingerprint=input_fingerprint,
+    )
+
+
+class SegmentWriter:
+    """Reference-API compat shim (NewInvertedIndexUnit/Put/Close,
+    single/single.go:790-818,139-153,115-135) for direct posting
+    injection — FIXTURES.md §A micro cases bypass the tokenizer.
+
+    Values need not be pre-sorted or unique: the close-time pipeline
+    sort-dedups exactly like sliceSortUnique (single/single.go:230-256).
+    """
+
+    def __init__(self, spark: SparkSession, store: SegmentStore, **build_kw):
+        self.spark = spark
+        self.store = store
+        self.build_kw = build_kw
+        self._terms: dict[str, list[int]] = {}
+
+    def put(self, term: str, values: list[int]) -> None:
+        if term in self._terms:
+            raise ErrDuplicateTerm(term)
+        self._terms[term] = list(values)
+
+    def close(self) -> str:
+        if not self._terms:
+            raise ErrEmptyIndex("no terms written")
+        rows = [
+            (term, int(v), 1, 1)
+            for term, vals in self._terms.items()
+            for v in vals
+        ]
+        if not rows:
+            # only empty posting lists (reference case single_test.go:74-84):
+            # nothing to index; reads over the store stay empty
+            return ""
+        tokens = self.spark.createDataFrame(rows, "term string, doc_id long, tf int, dl int")
+        all_docs = sorted({d for vals in self._terms.values() for d in vals})
+        if not all_docs:
+            raise ErrEmptyIndex("terms exist but no postings")
+        dstats = self.spark.createDataFrame(
+            [(d, 1) for d in all_docs], "doc_id long, dl long"
+        )
+        return build_index_from_tokens(
+            self.spark, tokens, dstats, self.store, **self.build_kw
+        )
+
+
+def build_index_resumable(
+    spark: SparkSession,
+    docs: DataFrame,
+    store: SegmentStore,
+    *,
+    n_chunks: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = DEFAULT_BUCKET_SIZE,
+    block_size: int = DEFAULT_BLOCK,
+    build_id: str | None = None,
+) -> list[str]:
+    """Checkpointed build: the corpus is split into n_chunks disjoint
+    doc-bucket classes (bucket % n_chunks); each chunk commits its own
+    segment + manifest row idempotently, so a restarted build skips
+    chunks whose rows already exist (north-rule resumability).
+
+    Returns the segment ids covering the corpus (pre-existing + new).
+    """
+    build_id = build_id or f"build-{uuid.uuid4().hex[:8]}"
+    seg_ids: list[str] = []
+    for chunk in range(n_chunks):
+        m = store.read_manifest()
+        if len(m):
+            hit = m[(m["build_id"] == build_id) & (m["chunk"] == chunk)]
+            if len(hit):
+                seg_ids.append(hit["segment_id"].iloc[0])
+                continue
+        part = docs.where(
+            (F.col(id_col).cast("long") / F.lit(bucket_size)).cast("long")
+            % F.lit(n_chunks)
+            == F.lit(chunk)
+        )
+        fp = fingerprint_input({"build_id": build_id, "chunk": chunk})
+        try:
+            seg_ids.append(
+                build_index(
+                    spark, part, store,
+                    id_col=id_col, text_col=text_col,
+                    bucket_size=bucket_size, block_size=block_size,
+                    build_id=build_id, chunk=chunk, input_fingerprint=fp,
+                )
+            )
+        except ErrEmptyIndex:
+            continue  # a chunk with no docs is legal
+    return seg_ids

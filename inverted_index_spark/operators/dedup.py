@@ -1,0 +1,320 @@
+"""Deduplication operators for training-data pipelines (task rubric).
+
+Five tiers, cheapest to most semantic — each is the idiomatic Spark
+shape for 100 TB:
+
+  exact_duplicates     hash-groupBy on a normalized fingerprint
+                       (one shuffle on a short key)
+  minhash_lsh_pairs    shingle → minhash signature → band buckets →
+                       self-join within buckets (candidate generation
+                       never compares all pairs)
+  simhash_buckets      64-bit simhash; Hamming-near dups collide on
+                       rotated prefix bands
+  ngram_jaccard        exact Jaccard on token n-gram sets for
+                       candidate pairs (verification stage after LSH)
+  embedding_near_dups  cosine ≥ τ pairs via LSH-bucketed join
+                       (see operators.similarity)
+
+Hash functions are md5-derived so the DuckDB oracle can reproduce
+them bit-for-bit (md5 exists on both engines); numpy work happens
+only in Arrow-batched UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inverted_index_spark.functions.textstats import fingerprints, tokens_col
+
+MERSENNE_P = (1 << 61) - 1
+
+
+# ------------------------------------------------------------------ exact ---
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fp, n_dups, keep_id) per duplicate group (n_dups ≥ 2): the
+    classic hash-groupBy exact dedup; keep_id = min doc_id survives."""
+    fp = fingerprints(docs, id_col, text_col)
+    return (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_dups") >= 2)
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The corpus with exact duplicates removed (keep min doc_id).
+    Window-free: groupBy(fp).min + semi-join back, both shuffles on fp."""
+    fp = fingerprints(docs, id_col, text_col)
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(
+        keep.select("doc_id"), on=F.col(id_col).cast("long") == F.col("doc_id"), how="leftsemi"
+    )
+
+
+# ---------------------------------------------------------------- minhash ---
+
+
+def _token_hash64(tokens: pd.Series) -> list[np.ndarray]:
+    """md5-low-64-bits per shingle string (vectorized per batch)."""
+    import hashlib
+
+    out = []
+    for toks in tokens:
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                for t in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        out.append(hs)
+    return out
+
+
+def _shingles(toks: list, n: int) -> list[str]:
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig array<long>) — minhash over token n-gram shingles.
+
+    h_i(x) = (a_i·x + b_i) mod p  over md5-derived 64-bit shingle
+    hashes; (a_i, b_i) drawn from a seeded rng so signatures are
+    deterministic across runs/partitionings.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE_P, size=num_hashes, dtype=np.uint64)
+
+    narrow = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            sh = pdf["toks"].map(lambda t: _shingles(list(t), shingle_n))
+            for doc_id, hs in zip(pdf["doc_id"], _token_hash64(sh)):
+                if len(hs) == 0:
+                    continue
+                # (num_hashes, n_shingles) in O(num_hashes) vector ops
+                vals = (
+                    a[:, None] * (hs[None, :] % MERSENNE_P) + b[:, None]
+                ) % MERSENNE_P
+                sigs.append(vals.min(axis=1).astype(np.int64))
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return narrow.mapInPandas(run, schema="doc_id long, sig array<long>")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """(a, b, est_jaccard) near-duplicate candidate pairs.
+
+    Banding: rows r = num_hashes/bands; two docs collide if any band's
+    rows agree — the standard S-curve. The self-join runs within band
+    buckets only (shuffle key = (band, band_hash)); est_jaccard = mean
+    signature agreement; pairs below threshold are dropped.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, seed)
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(F.slice("sig", i * rows + 1, rows)),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cand.withColumn("est_jaccard", agree.cast("double") / F.lit(num_hashes))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("a", "b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash ---
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash) — 64-bit simhash over token md5 hashes with tf
+    weights, computed in one Arrow pass (bit-matrix accumulate)."""
+    narrow = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, out = [], []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+                toks = list(toks)
+                if not toks:
+                    continue
+                uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+                hs = np.fromiter(
+                    (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in uniq),
+                    dtype=np.uint64,
+                    count=len(uniq),
+                )
+                bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+                votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+                sh = np.uint64(0)
+                for j in np.flatnonzero(votes > 0):
+                    sh |= np.uint64(1) << np.uint64(j)
+                ids.append(doc_id)
+                out.append(np.int64(sh.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": ids, "simhash": out})
+
+    return narrow.mapInPandas(run, schema="doc_id long, simhash long")
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into `bands` chunks; any pair
+    within max_hamming < bands must agree on ≥1 chunk → equi-join per
+    chunk, verify exact Hamming with bit_count (JVM-side)."""
+    sh = simhash(docs, id_col, text_col)
+    width = 64 // bands
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.shiftrightunsigned("simhash", i * width)
+                % F.lit(2**width),
+            )
+        ).alias("band", "chunk"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.simhash").alias("ha"),
+            F.col("r.simhash").alias("hb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ----------------------------------------------------------- ngram jaccard ---
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact verification stage: for candidate (a, b) pairs, true
+    Jaccard over token n-gram shingle sets. Joins shingle sets in,
+    computes |∩|/|∪| with array ops — broadcast-friendly when the
+    candidate list is small."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    n = shingle_n
+    sh = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.when(
+                F.size("toks") < n, F.array(F.concat_ws(" ", "toks"))
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("toks", i + 1, n)
+                    ),
+                )
+            )
+        ).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "a", "b",
+        (inter.cast("double") / union).alias("jaccard"),
+    )

@@ -1,0 +1,142 @@
+"""Read path — the reference's three query entry points (SURVEY.md §2.2)
+over any set of live segments, with cross-segment dedup (M3/M4):
+
+    read_terms          R5  sorted term enumeration
+    read_values         R10 OR-union of terms + [min,max] range → sorted unique
+    read_all_values     R11 same without range
+    and_values          posting-list intersection (north-rule AND extension)
+
+Plan shape (what .explain should show): one multi-segment parquet
+scan with ``term IN (...)`` pushed to the scan (term-partitioned
+row-group pruning), block-pruned decode inside an Arrow batch UDF,
+then distinct/sort — no driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inverted_index_spark.functions.codec import decode_postings
+from inverted_index_spark.sources.store import SegmentStore
+
+
+def _decode_rows(
+    batches: Iterator[pd.DataFrame],
+    min_doc: int | None,
+    max_doc: int | None,
+    with_tf: bool,
+) -> Iterator[pd.DataFrame]:
+    """Segment rows → exploded (term, doc_id[, tf, dl]) with block pruning."""
+    for pdf in batches:
+        outs = []
+        for term, p, t, l, blocks in zip(
+            pdf["term"], pdf["postings"], pdf["tfs"], pdf["dls"], pdf["blocks"]
+        ):
+            d, tf, dl = decode_postings(p, t, l, blocks, min_doc, max_doc)
+            if not len(d):
+                continue
+            cols = {"term": np.repeat(term, len(d)), "doc_id": d.astype(np.int64)}
+            if with_tf:
+                cols["tf"] = tf.astype(np.int64)
+                cols["dl"] = dl.astype(np.int64)
+            outs.append(pd.DataFrame(cols))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+
+def matching_rows(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """Pruned segment rows for a term set: predicate pushdown on term
+    (sorted/partitioned layout → file + row-group skipping) plus
+    row-level [min_doc, max_doc] envelope pruning — the reference's
+    readTermsBitmaps + preselectSegments (single/single.go:548-657)."""
+    seg = store.read_postings(spark)
+    out = seg.where(F.col("term").isin(list(terms)))
+    if min_doc is not None:
+        out = out.where(F.col("max_doc") >= F.lit(int(min_doc)))
+    if max_doc is not None:
+        out = out.where(F.col("min_doc") <= F.lit(int(max_doc)))
+    return out
+
+
+def postings_df(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    with_tf: bool = True,
+) -> DataFrame:
+    """Decoded (term, doc_id, tf, dl) rows for a term set (range-pruned)."""
+    rows = matching_rows(spark, store, terms, min_doc, max_doc)
+    schema = "term string, doc_id long" + (", tf long, dl long" if with_tf else "")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _decode_rows(batches, min_doc, max_doc, with_tf)
+
+    return rows.mapInPandas(run, schema=schema)
+
+
+def read_terms(spark: SparkSession, store: SegmentStore) -> DataFrame:
+    """R5 + M3: sorted unique terms across all live segments."""
+    return store.read_postings(spark).select("term").distinct().orderBy("term")
+
+
+def read_values(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """R10 + M4: OR-union over terms, range-scoped, sorted unique doc ids.
+
+    Empty term list → empty result (reference contract,
+    single/single.go:157-159). Missing terms are silently skipped
+    (single/single.go:563-568)."""
+    if not terms:
+        return spark.range(0).select(F.col("id").alias("doc_id"))
+    return (
+        postings_df(spark, store, terms, min_doc, max_doc, with_tf=False)
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+def read_all_values(spark: SparkSession, store: SegmentStore, terms: list[str]) -> DataFrame:
+    """R11: ReadValues with the global range (no constraint)."""
+    return read_values(spark, store, terms)
+
+
+def and_values(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """North-rule extension: docs containing ALL terms. Expressed as
+    groupBy(doc_id) HAVING count(distinct term) == |terms| — shuffles
+    once on doc_id, no join chain (SURVEY.md §2.5 joins note)."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        return spark.range(0).select(F.col("id").alias("doc_id"))
+    return (
+        postings_df(spark, store, uniq, min_doc, max_doc, with_tf=False)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("_nt"))
+        .where(F.col("_nt") == len(uniq))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

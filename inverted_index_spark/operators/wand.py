@@ -1,0 +1,201 @@
+"""Block-max WAND top-k (north-star optimization, SURVEY.md §4 item 2).
+
+Per doc-bucket, a *span-based* block-max scorer: doc space is cut at
+the union of all query terms' block boundaries; spans are processed in
+ascending-doc order, so every doc's score is complete once its span
+closes — which lets the top-k threshold θ tighten monotonically and
+later spans whose summed block upper bounds fall below θ are skipped
+without decoding. Upper bounds come from per-block (max_tf, min_dl):
+ub = idf · max_tf/(max_tf + k1·(1-b+b·min_dl/avgdl)) is valid for ANY
+avgdl/idf chosen at query time (tf/(tf+c) monotone in tf and dl), so
+merges that shift corpus stats can never break pruning correctness.
+
+Distribution shape: buckets are disjoint doc ranges and BM25 scores
+are bucket-independent → per-bucket local top-k via applyInPandas,
+then a global orderBy().limit(k) (TakeOrdered) merge. The loop below
+is per-SPAN Python (≤ #blocks iterations) with vectorized numpy
+scoring inside — never per-row or per-doc Python.
+
+This is a flag: results must equal operators.bm25.bm25_topk exactly
+(equality-tested in tests/test_wand.py); correctness never depends on
+pruning.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inverted_index_spark.functions.codec import decode_postings, decode_varint
+from inverted_index_spark.operators.bm25 import B, K1, corpus_stats, idf, term_dfs
+from inverted_index_spark.operators.query import matching_rows
+from inverted_index_spark.sources.store import SegmentStore
+
+
+def _tf_norm(tf, dl, avgdl):
+    return tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+class _BlockHandle:
+    """Lazy posting block: bounds + WAND stats now, decode on demand."""
+
+    __slots__ = ("first_doc", "last_doc", "max_tf", "min_dl", "_src", "_cache")
+
+    def __init__(self, first_doc, last_doc, max_tf, min_dl, src):
+        self.first_doc = first_doc
+        self.last_doc = last_doc
+        self.max_tf = max_tf
+        self.min_dl = min_dl
+        self._src = src  # (postings, tfs, dls, blocks, bi) | (docs, tfs, dls)
+        self._cache = None
+
+    def decode(self):
+        if self._cache is None:
+            if len(self._src) == 3:  # pre-materialized (overlap-merged)
+                self._cache = self._src
+            else:
+                p, t, l, blocks, bi = self._src
+                b = blocks[bi]
+                nxt = blocks[bi + 1] if bi + 1 < len(blocks) else None
+                n = b["n"]
+                pb = np.frombuffer(p, np.uint8)
+                tb = np.frombuffer(t, np.uint8)
+                lb = np.frombuffer(l, np.uint8)
+                deltas = decode_varint(pb[b["p_off"]: nxt["p_off"] if nxt else len(pb)])[:n]
+                docs = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
+                tfs = decode_varint(tb[b["t_off"]: nxt["t_off"] if nxt else len(tb)])[:n].astype(np.int64)
+                dls = decode_varint(lb[b["d_off"]: nxt["d_off"] if nxt else len(lb)])[:n].astype(np.int64)
+                self._cache = (docs, tfs, dls)
+        return self._cache
+
+
+def _term_handles(grp: pd.DataFrame) -> list[_BlockHandle]:
+    """One term's rows (usually 1; >1 pre-compaction overlap) → ordered
+    block handles. Overlap is rare and transient: decode-merge it into
+    materialized chunks so no (term, doc) pair ever double-counts."""
+    if len(grp) == 1:
+        r = grp.iloc[0]
+        blocks = list(r["blocks"])
+        return [
+            _BlockHandle(
+                b["first_doc"], b["last_doc"], b["max_tf"], b["min_dl"],
+                (r["postings"], r["tfs"], r["dls"], blocks, bi),
+            )
+            for bi, b in enumerate(blocks)
+        ]
+    parts = [
+        decode_postings(r["postings"], r["tfs"], r["dls"], list(r["blocks"]))
+        for _, r in grp.iterrows()
+    ]
+    d = np.concatenate([p[0] for p in parts]).astype(np.int64)
+    tf = np.concatenate([p[1] for p in parts]).astype(np.int64)
+    dl = np.concatenate([p[2] for p in parts]).astype(np.int64)
+    order = np.argsort(d, kind="mergesort")
+    d, tf, dl = d[order], tf[order], dl[order]
+    keep = np.ones(len(d), dtype=bool)
+    keep[1:] = d[1:] != d[:-1]
+    d, tf, dl = d[keep], tf[keep], dl[keep]
+    out = []
+    for s in range(0, len(d), 128):
+        e = min(s + 128, len(d))
+        out.append(
+            _BlockHandle(
+                int(d[s]), int(d[e - 1]), int(tf[s:e].max()), int(dl[s:e].min()),
+                (d[s:e], tf[s:e], dl[s:e]),
+            )
+        )
+    return out
+
+
+def _wand_bucket(pdf: pd.DataFrame, idf_map: dict, avgdl: float, k: int) -> pd.DataFrame:
+    terms: dict[str, list[_BlockHandle]] = {
+        t: _term_handles(grp) for t, grp in pdf.groupby("term", sort=True)
+    }
+    # span boundaries: union of all block edges → half-open doc spans
+    edges = sorted(
+        {h.first_doc for hs in terms.values() for h in hs}
+        | {h.last_doc + 1 for hs in terms.values() for h in hs}
+    )
+    topk: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+    ptr = {t: 0 for t in terms}
+
+    def theta() -> float:
+        return topk[0][0] if len(topk) >= k else -np.inf
+
+    for si in range(len(edges) - 1):
+        lo, hi = edges[si], edges[si + 1] - 1
+        # candidate block per term + summed upper bound for this span
+        ub = 0.0
+        active: list[tuple[str, _BlockHandle]] = []
+        for t, hs in terms.items():
+            i = ptr[t]
+            while i < len(hs) and hs[i].last_doc < lo:
+                i += 1
+            ptr[t] = i
+            if i < len(hs) and hs[i].first_doc <= hi:
+                h = hs[i]
+                ub += idf_map[t] * _tf_norm(h.max_tf, h.min_dl, avgdl)
+                active.append((t, h))
+        if not active or (ub < theta()):
+            continue  # skip span without decoding
+        # vectorized span scoring, terms ascending (pinned float order)
+        doc_parts, contrib_parts = [], []
+        for t, h in active:
+            docs, tfs, dls = h.decode()
+            m = (docs >= lo) & (docs <= hi)
+            if not m.any():
+                continue
+            c = idf_map[t] * _tf_norm(tfs[m].astype(np.float64), dls[m].astype(np.float64), avgdl)
+            doc_parts.append(docs[m])
+            contrib_parts.append(c)
+        if not doc_parts:
+            continue
+        d = np.concatenate(doc_parts)
+        c = np.concatenate(contrib_parts)
+        uniq, inv = np.unique(d, return_inverse=True)
+        # ascending-term concat order + stable bincount keeps the pinned sum order
+        scores = np.zeros(len(uniq))
+        np.add.at(scores, inv, c)
+        # docs in this span are COMPLETE → fold into top-k, tighten θ
+        for doc, s in zip(uniq.tolist(), scores.tolist()):
+            item = (s, -doc)
+            if len(topk) < k:
+                heapq.heappush(topk, item)
+            elif item > topk[0]:
+                heapq.heapreplace(topk, item)
+    if not topk:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
+    items = sorted(topk, key=lambda x: (-x[0], -x[1]))
+    return pd.DataFrame(
+        {"doc_id": [-nd for _, nd in items], "score": [s for s, _ in items]}
+    )
+
+
+def bm25_topk_wand(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """WAND-pruned top-k; results identical to bm25.bm25_topk."""
+    uniq = sorted(set(terms))
+    n_docs, avgdl = corpus_stats(spark, store)
+    dfs = term_dfs(spark, store, uniq)
+    idf_map = {t: idf(n_docs, dfs[t]) for t in uniq if t in dfs}
+    if not idf_map or n_docs == 0:
+        return spark.range(0).select(
+            F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+        )
+    rows = matching_rows(spark, store, list(idf_map))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _wand_bucket(pdf, idf_map, avgdl, k)
+
+    local = rows.groupBy("bucket").applyInPandas(run, schema="doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,263 @@
+"""SegmentStore — the reference's IndexDirectory re-expressed for Spark.
+
+The reference manages a directory of immutable index files with an
+in-memory size-sorted file list, per-file reader locks, and
+smallest-first compaction (/root/reference/multiple/multiple_index.go).
+Here a *segment* is an immutable parquet dataset plus a row in a
+generation-numbered manifest:
+
+    root/
+      segments/<segment_id>/postings/   (parquet, partitioned by bucket)
+      segments/<segment_id>/docstats/   (parquet: doc_id, dl)
+      manifest/gen-<n>.parquet          (full manifest snapshot)
+      manifest/CURRENT                  (atomic pointer, os.replace)
+
+Commit = write gen-(n+1) then atomically swap CURRENT — the
+parquet-only stand-in for an Iceberg snapshot commit (no Iceberg jars
+in this sandbox; the interface is the thing). Readers resolve CURRENT
+once per query → snapshot isolation replaces the reference's
+RWMutex/TryLock dance (multiple/files_list.go:9-16).
+
+Manifest columns carry the north rule's lineage + metrics:
+(build_id, chunk, input_fingerprint, terms_per_sec, skew_ratio, ...).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BLOCK_STRUCT = T.StructType(
+    [
+        T.StructField("first_doc", T.LongType()),
+        T.StructField("last_doc", T.LongType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("max_tf", T.IntegerType()),
+        T.StructField("min_dl", T.IntegerType()),
+        T.StructField("p_off", T.IntegerType()),
+        T.StructField("t_off", T.IntegerType()),
+        T.StructField("d_off", T.IntegerType()),
+    ]
+)
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("postings", T.BinaryType()),
+        T.StructField("tfs", T.BinaryType()),
+        T.StructField("dls", T.BinaryType()),
+        T.StructField("blocks", T.ArrayType(BLOCK_STRUCT)),
+        T.StructField("min_doc", T.LongType()),
+        T.StructField("max_doc", T.LongType()),
+    ]
+)
+
+MANIFEST_COLS = [
+    "segment_id", "path", "generation_added", "status",
+    "n_terms", "n_postings", "n_docs", "sum_dl", "bytes",
+    "min_doc", "max_doc",
+    "build_id", "chunk", "input_fingerprint",
+    "terms_per_sec", "skew_ratio", "created_ts",
+]
+
+LIVE, MERGED = "live", "merged"
+
+
+@dataclass
+class SegmentStore:
+    root: str
+
+    # ------------------------------------------------------------ layout
+    def seg_dir(self, segment_id: str) -> str:
+        return os.path.join(self.root, "segments", segment_id)
+
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "manifest")
+
+    def _current_path(self) -> str:
+        return os.path.join(self._manifest_dir(), "CURRENT")
+
+    # ---------------------------------------------------------- manifest
+    def current_generation(self) -> int:
+        try:
+            with open(self._current_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def read_manifest(self) -> pd.DataFrame:
+        gen = self.current_generation()
+        if gen == 0:
+            return pd.DataFrame(columns=MANIFEST_COLS)
+        return pd.read_parquet(
+            os.path.join(self._manifest_dir(), f"gen-{gen}.parquet")
+        )
+
+    def _commit_manifest(self, manifest: pd.DataFrame) -> int:
+        """Write gen-(n+1) snapshot, atomically swap CURRENT."""
+        os.makedirs(self._manifest_dir(), exist_ok=True)
+        gen = self.current_generation() + 1
+        manifest = manifest[MANIFEST_COLS]
+        manifest.to_parquet(
+            os.path.join(self._manifest_dir(), f"gen-{gen}.parquet"), index=False
+        )
+        tmp = self._current_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(gen))
+        os.replace(tmp, self._current_path())  # atomic pointer swap
+        return gen
+
+    def live_segments(self) -> pd.DataFrame:
+        m = self.read_manifest()
+        return m[m["status"] == LIVE] if len(m) else m
+
+    def has_chunk(self, build_id: str, chunk: int) -> bool:
+        """Resumability probe: was this (build_id, chunk) committed?"""
+        m = self.read_manifest()
+        if not len(m):
+            return False
+        hit = m[(m["build_id"] == build_id) & (m["chunk"] == chunk)]
+        return len(hit) > 0
+
+    # ------------------------------------------------------------ commit
+    def commit_segment(
+        self,
+        segment_id: str,
+        stats: dict,
+        replaces: list[str] | None = None,
+    ) -> int:
+        """Append a live manifest row (optionally tombstoning inputs) —
+        the analog of filesList add + merged-list move
+        (multiple/multiple_index.go:70-81)."""
+        m = self.read_manifest()
+        if replaces:
+            m = m.copy()
+            m.loc[m["segment_id"].isin(replaces), "status"] = MERGED
+        row = {
+            "segment_id": segment_id,
+            "path": self.seg_dir(segment_id),
+            "generation_added": self.current_generation() + 1,
+            "status": LIVE,
+            "created_ts": time.time(),
+            "build_id": stats.get("build_id", ""),
+            "chunk": stats.get("chunk", -1),
+            "input_fingerprint": stats.get("input_fingerprint", ""),
+            "terms_per_sec": stats.get("terms_per_sec", 0.0),
+            "skew_ratio": stats.get("skew_ratio", 0.0),
+            **{
+                k: stats.get(k, 0)
+                for k in (
+                    "n_terms", "n_postings", "n_docs", "sum_dl", "bytes",
+                    "min_doc", "max_doc",
+                )
+            },
+        }
+        m = pd.concat([m, pd.DataFrame([row])], ignore_index=True)
+        return self._commit_manifest(m)
+
+    def cleanup(self) -> list[str]:
+        """Delete merged segments' data (reference Cleanup,
+        multiple/multiple_index.go:218-252; snapshot isolation makes
+        the lock probe unnecessary). Returns deleted segment ids."""
+        m = self.read_manifest()
+        if not len(m):
+            return []
+        dead = m[m["status"] == MERGED]
+        deleted = []
+        for seg_id in dead["segment_id"]:
+            d = self.seg_dir(seg_id)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+            deleted.append(seg_id)
+        if deleted:
+            self._commit_manifest(m[m["status"] != MERGED].reset_index(drop=True))
+        return deleted
+
+    # ------------------------------------------------------------- reads
+    def read_postings(
+        self, spark: SparkSession, segment_ids: list[str] | None = None
+    ) -> DataFrame:
+        """Union of live segments' postings with a segment_id column.
+
+        Catalyst sees one multi-path parquet scan → pushdown + file
+        pruning apply across all segments at once.
+        """
+        live = self.live_segments()
+        ids = list(segment_ids or live["segment_id"])
+        if not ids:
+            empty_schema = T.StructType(
+                list(POSTINGS_SCHEMA.fields)
+                + [T.StructField("segment_id", T.StringType())]
+            )
+            return spark.createDataFrame([], empty_schema)
+        paths = [os.path.join(self.seg_dir(s), "postings") for s in ids]
+        df = spark.read.parquet(*paths)
+        # recover segment_id from the file path (one scan, no per-segment union)
+        seg_root = os.path.join(self.root, "segments")
+        df = df.withColumn(
+            "segment_id",
+            F.regexp_extract(F.input_file_name(), re_escape(seg_root) + "/([^/]+)/", 1),
+        )
+        return df
+
+    def read_docstats(
+        self, spark: SparkSession, segment_ids: list[str] | None = None
+    ) -> DataFrame:
+        live = self.live_segments()
+        ids = list(segment_ids or live["segment_id"])
+        if not ids:
+            return spark.createDataFrame(
+                [], T.StructType([T.StructField("doc_id", T.LongType()),
+                                  T.StructField("dl", T.LongType())])
+            )
+        paths = [os.path.join(self.seg_dir(s), "docstats") for s in ids]
+        # same doc may appear in several segments pre-compaction → dedup
+        return spark.read.parquet(*paths).dropDuplicates(["doc_id"])
+
+    # ------------------------------------------------------------ merger
+    def pick_merge_candidates(self, min_files: int = 2, max_files: int = 8) -> list[str]:
+        """Size-tiered policy: up to max smallest live segments, or []
+        if fewer than min exist (checkMerge,
+        multiple/multiple_index.go:94-129)."""
+        live = self.live_segments()
+        if len(live) < min_files:
+            return []
+        return list(live.sort_values("bytes")["segment_id"].head(max_files))
+
+    def summary(self) -> pd.DataFrame:
+        """U1 PrintSummary analog (single/summary.go:9-54)."""
+        return self.read_manifest()
+
+
+def re_escape(s: str) -> str:
+    import re
+
+    return re.escape(s)
+
+
+def new_segment_id() -> str:
+    """unixMicro_rand naming, like multiple/multiple_index.go:280-287."""
+    return f"{int(time.time() * 1e6)}_{uuid.uuid4().hex[:8]}"
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _, files in os.walk(path):
+        for fn in files:
+            total += os.path.getsize(os.path.join(dirpath, fn))
+    return total
+
+
+def fingerprint_input(desc: dict) -> str:
+    return json.dumps(desc, sort_keys=True)

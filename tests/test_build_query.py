@@ -1,0 +1,149 @@
+"""Port of the reference's table-driven API tests
+(/root/reference/single/single_test.go:18-322 and
+/root/reference/multiple/multiple_index_test.go:21-149) against the
+Spark engine — FIXTURES.md §A."""
+
+from __future__ import annotations
+
+import pytest
+
+from inverted_index_spark.operators.build import (
+    ErrDuplicateTerm,
+    ErrEmptyIndex,
+    SegmentWriter,
+)
+from inverted_index_spark.operators.query import (
+    and_values,
+    read_all_values,
+    read_terms,
+    read_values,
+)
+from inverted_index_spark.sources.store import SegmentStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return SegmentStore(str(tmp_path / "idx"))
+
+
+def _write(spark, store, rows, **kw):
+    w = SegmentWriter(spark, store, **kw)
+    for term, vals in rows:
+        w.put(term, vals)
+    return w.close()
+
+
+def _vals(df):
+    return [r["doc_id"] for r in df.collect()]
+
+
+def _terms(df):
+    return [r["term"] for r in df.collect()]
+
+
+def test_duplicate_term(spark, store):
+    w = SegmentWriter(spark, store)
+    w.put("term", [1])
+    with pytest.raises(ErrDuplicateTerm):
+        w.put("term", [2])
+
+
+def test_empty_index_error(spark, store):
+    with pytest.raises(ErrEmptyIndex):
+        SegmentWriter(spark, store).close()
+
+
+def test_empty_postings(spark, store):
+    _write(spark, store, [("term", [])])
+    assert _vals(read_all_values(spark, store, ["term"])) == []
+
+
+def test_read_terms_sorted_idempotent(spark, store):
+    _write(spark, store, [("b", [2]), ("a", [1]), ("c", [3])])
+    q = read_terms(spark, store)
+    assert _terms(q) == ["a", "b", "c"]
+    assert _terms(q) == ["a", "b", "c"]  # re-callable (single_test.go:37-57)
+
+
+def test_missing_term(spark, store):
+    _write(spark, store, [("term", [1])])
+    assert _vals(read_all_values(spark, store, ["UNKNOWN"])) == []
+
+
+def test_partially_missing_terms(spark, store):
+    _write(spark, store, [("term", [1])])
+    assert _vals(read_all_values(spark, store, ["term", "UNKNOWN"])) == [1]
+
+
+def test_empty_query_terms(spark, store):
+    _write(spark, store, [("term", [1])])
+    assert _vals(read_all_values(spark, store, [])) == []
+
+
+def test_union_two_terms(spark, store):
+    # single_test.go:149-160
+    _write(spark, store, [("term1", [10, 20]), ("term2", [1, 20, 30])])
+    assert _vals(read_all_values(spark, store, ["term1", "term2"])) == [1, 10, 20, 30]
+
+
+def test_multi_block(spark, store):
+    # single_test.go:162-173 (segmentSize=2 → block_size=2)
+    _write(
+        spark, store,
+        [("term1", [1, 2, 3, 4]), ("term2", [1, 3, 5, 7, 9])],
+        block_size=2,
+    )
+    assert _vals(read_all_values(spark, store, ["term1", "term2"])) == [1, 2, 3, 4, 5, 7, 9]
+
+
+@pytest.mark.parametrize(
+    "rows,terms,lo,hi,expect",
+    [
+        ([("term1", [1, 2, 3, 4])], ["term1"], 2, 3, [2, 3]),          # :175-185
+        ([("term1", [1, 5, 10, 20])], ["term1"], 9, 999, [10, 20]),    # :187-197
+        ([("term1", [1, 5, 10, 20])], ["term1"], 0, 7, [1, 5]),        # :199-209
+        (
+            [("term", [1, 3, 7]), ("term2", [4, 6, 8, 10])],
+            ["term", "term2"], 7, 999, [7, 8, 10],
+        ),                                                              # :211-222
+    ],
+)
+def test_range_scoping(spark, store, rows, terms, lo, hi, expect):
+    _write(spark, store, rows, block_size=2)
+    assert _vals(read_values(spark, store, terms, lo, hi)) == expect
+
+
+def test_unicode_terms(spark, store):
+    # single_test.go:238-252
+    rows = [(t, [1]) for t in ["التقديم", "חתונה", "бесплатно", "zx9uyv"]]
+    _write(spark, store, rows)
+    assert _vals(read_all_values(spark, store, ["бесплатно"])) == [1]
+
+
+def test_values_dedup_within_put(spark, store):
+    # writer sort-dedups values (sliceSortUnique, single/single.go:230-256)
+    _write(spark, store, [("t", [5, 1, 5, 3, 1])])
+    assert _vals(read_all_values(spark, store, ["t"])) == [1, 3, 5]
+
+
+def test_multi_file_dedup(spark, store):
+    # multiple_index_test.go:93-135: many files with overlapping data
+    for _ in range(5):
+        _write(spark, store, [("term1", [1, 2]), ("term2", [2, 3])])
+    assert _terms(read_terms(spark, store)) == ["term1", "term2"]
+    assert _vals(read_all_values(spark, store, ["term1", "term2"])) == [1, 2, 3]
+
+
+def test_and_values(spark, store):
+    _write(spark, store, [("a", [1, 2, 5]), ("b", [2, 3, 5]), ("c", [5, 9])])
+    assert _vals(and_values(spark, store, ["a", "b"])) == [2, 5]
+    assert _vals(and_values(spark, store, ["a", "b", "c"])) == [5]
+    assert _vals(and_values(spark, store, ["a", "zz"])) == []
+
+
+def test_bucket_spanning_postings(spark, store):
+    # postings crossing doc-bucket boundaries reassemble correctly
+    vals = [1, 2, 70000, 70001, 200000]
+    _write(spark, store, [("t", vals)], bucket_size=1 << 16)
+    assert _vals(read_all_values(spark, store, ["t"])) == vals
+    assert _vals(read_values(spark, store, ["t"], 3, 70000)) == [70000]
