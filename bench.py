@@ -1,0 +1,130 @@
+"""Per-round bench harness (driver contract).
+
+Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries":
+{name: sec}, "sf"}.
+
+Workloads:
+  build_documents     index build over the sf documents table
+  build_transcripts   index build over a synthetic transcript corpus
+                      ($SPARK_GRAFT_TURNS turns, default 120k) →
+                      turns/sec is value/turns
+  bm25_naive_batch    20 BM25 top-10 queries, exhaustive scorer (warm
+                      Searcher) → QPS = 20/sec
+  bm25_wand_batch     same 20 queries through block-max WAND
+  read_values_batch   20 OR+range reads (reference R10 semantics)
+  minhash_dedup       MinHash-LSH near-dup pairs over documents
+  embed_knn           exact cosine top-20 over embeddings
+
+Scaling evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py → BENCH/BASELINE.md, not here (one bench run
+must stay single-session for the driver's time budget).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_TURNS = int(os.environ.get("SPARK_GRAFT_TURNS", "120000"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark import get_spark
+    from inverted_index_spark.operators.build import build_index
+    from inverted_index_spark.operators.dedup import minhash_lsh_pairs
+    from inverted_index_spark.operators.search import Searcher
+    from inverted_index_spark.operators.similarity import cosine_topk
+    from inverted_index_spark.sources.store import SegmentStore
+    from inverted_index_spark.sources.transcripts import generate_transcripts
+
+    spark = get_spark("ii-bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="ii_bench_")
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    doc_store = SegmentStore(f"{tmp}/docs_idx")
+    with timed("build_documents"):
+        build_index(spark, docs, doc_store, bucket_size=1 << 14)
+
+    tx_store = SegmentStore(f"{tmp}/tx_idx")
+    tx = generate_transcripts(spark, N_TURNS, include_doc_id=True)
+    with timed("build_transcripts"):
+        build_index(spark, tx, tx_store, bucket_size=1 << 15)
+
+    searcher = Searcher(spark, tx_store).open()
+    queries = [
+        ["w00000"], ["w00001", "w00002"], ["w00010", "w00500", "w05000"],
+        ["w00042", "w00007", "w00123", "w00999", "w05000"], ["бесплатно"],
+        ["w00003"], ["w00004", "w19999"], ["w00020", "w00021"],
+        ["w01000", "w02000", "w03000"], ["w00005", "w00006", "w00007"],
+    ] * 2
+
+    with timed("bm25_naive_batch"):
+        for q in queries:
+            searcher.topk(q, 10, use_wand=False).collect()
+    with timed("bm25_wand_batch"):
+        for q in queries:
+            searcher.topk(q, 10, use_wand=True).collect()
+    with timed("read_values_batch"):
+        for i, q in enumerate(queries):
+            searcher.read_values(q, 1000 * i, 1000 * i + 50000).collect()
+
+    with timed("minhash_dedup"):
+        minhash_lsh_pairs(docs, threshold=0.5).count()
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    with timed("embed_knn"):
+        cosine_topk(emb, qv, k=20).collect()
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    derived = {
+        "build_turns_per_sec": round(N_TURNS / timings["build_transcripts"], 1),
+        "bm25_naive_qps": round(len(queries) / timings["bm25_naive_batch"], 2),
+        "bm25_wand_qps": round(len(queries) / timings["bm25_wand_batch"], 2),
+        "n_turns": N_TURNS,
+        "cpus": CPUS,
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "ii_spark_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "derived": derived,
+            }
+        )
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -163,7 +163,8 @@ class SegmentStore:
                 )
             },
         }
-        m = pd.concat([m, pd.DataFrame([row])], ignore_index=True)
+        row_df = pd.DataFrame([row])
+        m = row_df if not len(m) else pd.concat([m, row_df], ignore_index=True)
         return self._commit_manifest(m)
 
     def cleanup(self) -> list[str]:

@@ -1,0 +1,181 @@
+"""Training-data pipeline operators: dedup tiers, similarity search,
+text stats, multimodal plumbing, doc-id minting, streaming ingest."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from inverted_index_spark.functions.textstats import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+from inverted_index_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from inverted_index_spark.operators.docids import mint_doc_ids
+from inverted_index_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    synth_media,
+)
+from inverted_index_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "The quick brown fox jumps over the lazy dog!"),  # case/punct dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (3, "completely different content about spark engines"),
+        (4, "der hund und die katze sind nicht da"),
+        (5, "el perro y la casa es grande los ninos"),
+        (6, ""),
+        (7, "the quick brown fox jumps over the lazy dog"),    # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 3 and groups[0]["keep_id"] == 0
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
+    assert kept == [0, 2, 3, 4, 5, 6]
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # identical token streams
+    assert (0, 7) in pairs
+    assert (0, 2) in pairs  # one-token change → high jaccard
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert pairs.get((0, 1)) == 0 and pairs.get((0, 7)) == 0
+    assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    ids = docs.select(F.col("doc_id").alias("a"))
+    pairs = ids.crossJoin(docs.select(F.col("doc_id").alias("b"))).where("a < b")
+    j = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, pairs).collect()}
+    assert j[(0, 1)] == 1.0 and j[(0, 7)] == 1.0
+    assert 0.5 < j[(0, 2)] < 1.0
+    assert j.get((0, 3), 0.0) == 0.0
+
+
+def test_token_and_quality_stats(spark, docs):
+    tc = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert tc[0]["n_tokens"] == 9
+    assert tc[6]["n_tokens"] == 0
+    q = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert q[0]["stopword_ratio"] == pytest.approx(2 / 9)
+    assert q[6]["n_tokens"] == 0 and q[6]["avg_token_len"] == 0.0
+    assert q[0]["distinct_ratio"] == pytest.approx(8 / 9)
+
+
+def test_lang_id(spark, docs):
+    langs = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert langs[0] == "en"
+    assert langs[4] == "de"
+    assert langs[5] == "es"
+    assert langs[6] == "und"
+
+
+def test_fingerprint_normalizes(spark, docs):
+    fp = {r["doc_id"]: r["fp"] for r in fingerprints(docs).collect()}
+    assert fp[0] == fp[1] == fp[7]
+    assert fp[0] != fp[2]
+
+
+# ------------------------------------------------------------- similarity ---
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    base[1] = base[0] + 0.01 * rng.standard_normal(16)  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), base
+
+
+def test_cosine_topk_exact(spark, vectors):
+    df, base = vectors
+    q = [float(x) for x in base[0]]
+    got = [r["vec_id"] for r in cosine_topk(df, q, k=5).collect()]
+    sims = (base @ base[0]) / (np.linalg.norm(base, axis=1) * np.linalg.norm(base[0]))
+    expect = list(np.lexsort((np.arange(40), -sims))[:5])
+    assert got == expect
+    assert got[0] == 0 and got[1] == 1
+
+
+def test_ann_lsh_recall(spark, vectors):
+    df, base = vectors
+    q = [float(x) for x in base[0]]
+    exact = {r["vec_id"] for r in cosine_topk(df, q, k=5).collect()}
+    approx = {r["vec_id"] for r in ann_lsh_topk(df, q, k=5, n_bits=6, tables=12).collect()}
+    assert len(exact & approx) >= 3  # recall floor, seeded → deterministic
+
+
+def test_embedding_near_dups(spark, vectors):
+    df, _ = vectors
+    pairs = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    assert (0, 1) in pairs
+
+
+# -------------------------------------------------------------- multimodal ---
+
+
+def test_multimodal_features(spark):
+    media = synth_media(spark, 12)
+    feats = extract_features(media, out_dim=8).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # deterministic: same payload → same feature
+    again = extract_features(media, out_dim=8).collect()
+    assert [r["feature"] for r in feats] == [r["feature"] for r in again]
+
+
+def test_frame_sample(spark):
+    media = synth_media(spark, 12)
+    frames = frame_sample(media, every_ms=1000).collect()
+    vids = [r for r in frames if r["frame_ts_ms"] >= 0]
+    assert len(vids) > 0
+    assert all(r["frame_ts_ms"] == r["frame_idx"] * 1000 for r in frames)
+
+
+def test_real_decode_is_stubbed(spark):
+    media = synth_media(spark, 3)
+    with pytest.raises(NotImplementedError):
+        extract_features(media, real_decode=True)
+
+
+# ------------------------------------------------------------------ docids ---
+
+
+def test_mint_doc_ids(spark):
+    rows = [(f"c{9 - i:02d}", j) for i in range(10) for j in range(3)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    out = mint_doc_ids(df, ["conv_id", "turn_idx"], num_partitions=4).collect()
+    got = sorted((r["conv_id"], r["turn_idx"], r["doc_id"]) for r in out)
+    expect_ids = list(range(30))
+    assert [g[2] for g in got] == expect_ids  # dense rank in (conv, turn) order
