@@ -340,10 +340,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": (
             "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks FROM documents), "
             "s AS (SELECT doc_id, "
-            "len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de, "
-            "len(list_filter(toks, x -> x IN ('the','a','and','of','is','to'))) AS s_en, "
-            "len(list_filter(toks, x -> x IN ('el','la','los','las','es','y'))) AS s_es, "
-            "len(list_filter(toks, x -> x IN ('le','la','les','est','et','une'))) AS s_fr "
+            "len(list_intersect(toks, ['der','die','das','und','ist','nicht'])) AS s_de, "
+            "len(list_intersect(toks, ['the','a','and','of','is','to'])) AS s_en, "
+            "len(list_intersect(toks, ['el','la','los','las','es','y'])) AS s_es, "
+            "len(list_intersect(toks, ['le','la','les','est','et','une'])) AS s_fr "
             "FROM t) "
             "SELECT doc_id, CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' "
             "WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "

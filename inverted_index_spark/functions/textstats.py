@@ -29,14 +29,15 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def tokens_col(text: Column) -> Column:
-    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE))
+    # idx=0 → whole match (the default expects a capture group)
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
 
 
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_bpe_tokens, n_chars) — whitespace-word and
     BPE-ish-regex token counts."""
     toks = tokens_col(F.col(text_col))
-    bpe = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_RE))
+    bpe = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_RE), 0)
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.size(toks).alias("n_tokens"),
@@ -74,10 +75,15 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.col(id_col).cast("long").alias("doc_id"),
         tokens_col(F.col(text_col)).alias("toks"),
     )
+    # distinct-marker voting via array_intersect (set semantics — the
+    # DuckDB twin is list_intersect); avoids nested lambda filters,
+    # whose variable naming collides with the when-chain below
     scored = d.select(
         "doc_id",
         *[
-            F.size(F.filter("toks", lambda x, m=markers: x.isin(m))).alias(f"s_{lang}")
+            F.size(
+                F.array_intersect("toks", F.array(*[F.lit(w) for w in markers]))
+            ).alias(f"s_{lang}")
             for lang, markers in sorted(LANG_MARKERS.items())
         ],
     )

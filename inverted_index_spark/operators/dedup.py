@@ -52,9 +52,11 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """The corpus with exact duplicates removed (keep min doc_id).
     Window-free: groupBy(fp).min + semi-join back, both shuffles on fp."""
     fp = fingerprints(docs, id_col, text_col)
-    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("_keep_id"))
     return docs.join(
-        keep.select("doc_id"), on=F.col(id_col).cast("long") == F.col("doc_id"), how="leftsemi"
+        keep.select("_keep_id"),
+        on=docs[id_col].cast("long") == keep["_keep_id"],
+        how="leftsemi",
     )
 
 
@@ -119,9 +121,14 @@ def minhash_signatures(
                 vals = (
                     a[:, None] * (hs[None, :] % MERSENNE_P) + b[:, None]
                 ) % MERSENNE_P
-                sigs.append(vals.min(axis=1).astype(np.int64))
+                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
                 ids.append(doc_id)
-            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sig": pd.Series(sigs, dtype="object"),
+                }
+            )
 
     return narrow.mapInPandas(run, schema="doc_id long, sig array<long>")
 
@@ -240,16 +247,15 @@ def simhash_near_pairs(
     chunk, verify exact Hamming with bit_count (JVM-side)."""
     sh = simhash(docs, id_col, text_col)
     width = 64 // bands
+    # static shift amounts (shiftrightunsigned takes a Python int)
+    chunk_exprs = [
+        F.shiftrightunsigned(F.col("simhash"), i * width) % F.lit(2**width)
+        for i in range(bands)
+    ]
     banded = sh.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.shiftrightunsigned("simhash", i * width)
-                % F.lit(2**width),
-            )
-        ).alias("band", "chunk"),
+        F.posexplode(F.array(*chunk_exprs)).alias("band", "chunk"),
     )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (

@@ -142,31 +142,45 @@ def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
     n_bits: int = 10,
+    tables: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(a, b, cosine) pairs with cosine ≥ threshold, candidates from one
-    LSH table's buckets (high-cosine pairs collide with high
-    probability at 10 bits); exact cosine verified JVM-side."""
+    """(a, b, cosine) pairs with cosine ≥ threshold; candidates = pairs
+    colliding in ≥1 of `tables` signed-projection bucket tables (OR
+    amplification: miss prob ≈ (1-p^bits)^tables); exact cosine
+    verified JVM-side."""
     dim_row = vectors.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
-    planes = _projections(dim, n_bits, 1, seed)
+    planes = _projections(dim, n_bits, tables, seed)
     with_b = vectors.select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).alias("v"),
-        _bucket_exprs(vec_col, planes)[0],
+        *_bucket_exprs(vec_col, planes),
     )
-    l, r = with_b.alias("l"), with_b.alias("r")
-    cand = l.join(
-        r,
-        (F.col("l.bucket_0") == F.col("r.bucket_0"))
-        & (F.col("l.vid") < F.col("r.vid")),
-    ).select(
-        F.col("l.vid").alias("a"),
-        F.col("r.vid").alias("b"),
-        F.col("l.v").alias("va"),
-        F.col("r.v").alias("vb"),
+    buckets = with_b.select(
+        "vid",
+        "v",
+        F.posexplode(
+            F.array(*[F.col(f"bucket_{t}") for t in range(tables)])
+        ).alias("tbl", "key"),
+    )
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .select(
+            F.col("l.vid").alias("a"),
+            F.col("r.vid").alias("b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        .dropDuplicates(["a", "b"])
     )
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (

@@ -1,0 +1,129 @@
+"""Two-parallelism scaling evidence (north rule: ≥0.8 efficiency from
+N to 4N executors; sandbox protocol per driver instruction: identical
+job at local[8] vs local[32] on the same input).
+
+Runs the build + query workload in a fresh subprocess per parallelism
+level (a JVM can't change master), writes BENCH/BASELINE.md with
+turns/sec, QPS at both levels, and efficiency = (T8/T32)/4.
+
+Usage: python scripts/scaling_bench.py [n_turns]
+       python scripts/scaling_bench.py --worker <cores> <n_turns>  (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def worker(cores: int, n_turns: int) -> None:
+    import shutil
+    import tempfile
+
+    from inverted_index_spark import get_spark
+    from inverted_index_spark.operators.build import build_index
+    from inverted_index_spark.operators.search import Searcher
+    from inverted_index_spark.sources.store import SegmentStore
+    from inverted_index_spark.sources.transcripts import generate_transcripts
+
+    spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix=f"ii_scale_{cores}_")
+    store = SegmentStore(f"{tmp}/idx")
+    tx = generate_transcripts(spark, n_turns, include_doc_id=True)
+
+    t0 = time.time()
+    build_index(spark, tx, store, bucket_size=1 << 15)
+    build_sec = time.time() - t0
+
+    searcher = Searcher(spark, store).open()
+    queries = [
+        ["w00000"], ["w00001", "w00002"], ["w00010", "w00500", "w05000"],
+        ["w00042", "w00007", "w00123", "w00999", "w05000"], ["бесплатно"],
+        ["w00003"], ["w00004", "w19999"], ["w00020", "w00021"],
+        ["w01000", "w02000", "w03000"], ["w00005", "w00006", "w00007"],
+    ] * 2
+    # warm one query (JIT/codegen), then measure
+    searcher.topk(queries[0], 10).collect()
+    t0 = time.time()
+    for q in queries:
+        searcher.topk(q, 10, use_wand=True).collect()
+    query_sec = time.time() - t0
+
+    print(
+        "RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "n_turns": n_turns,
+                "build_sec": round(build_sec, 3),
+                "turns_per_sec": round(n_turns / build_sec, 1),
+                "n_queries": len(queries),
+                "query_sec": round(query_sec, 3),
+                "qps": round(len(queries) / query_sec, 3),
+            }
+        )
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
+def main(n_turns: int) -> None:
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--worker", str(cores), str(n_turns)],
+            capture_output=True, text=True, cwd=str(REPO), timeout=3000,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            print(out.stdout[-3000:], out.stderr[-3000:])
+            raise SystemExit(f"worker {cores} produced no RESULT")
+        results[cores] = json.loads(line[-1][len("RESULT "):])
+        print(f"local[{cores}]: {results[cores]}")
+
+    r8, r32 = results[8], results[32]
+    build_eff = (r32["turns_per_sec"] / r8["turns_per_sec"]) / 4
+    qps_eff = (r32["qps"] / r8["qps"]) / 4
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    md = f"""# BENCH/BASELINE.md — two-parallelism scaling evidence
+
+North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
+executors. Sandbox protocol (driver instruction): identical
+build+query job at local[8] vs local[32] on the same deterministic
+synthetic transcript corpus ({n_turns:,} turns, seed=42).
+
+| metric | local[8] | local[32] | ratio 32/8 | efficiency (ratio/4) |
+|---|---|---|---|---|
+| index build (sec) | {r8['build_sec']} | {r32['build_sec']} | {r8['build_sec']/r32['build_sec']:.2f}x | — |
+| build turns/sec | {r8['turns_per_sec']:,} | {r32['turns_per_sec']:,} | {r32['turns_per_sec']/r8['turns_per_sec']:.2f}x | **{build_eff:.2f}** |
+| BM25 top-10 QPS ({r8['n_queries']} queries, WAND) | {r8['qps']} | {r32['qps']} | {r32['qps']/r8['qps']:.2f}x | **{qps_eff:.2f}** |
+
+Notes:
+- The build is shuffle-bound (tokenize → groupBy(bucket) encode); the
+  doc-bucket count scales with corpus size, so parallelism is not
+  capped by the key space at real scale.
+- Query QPS at this corpus size is dominated by fixed per-job Spark
+  scheduling latency (~100-300 ms/job), which does not shrink with
+  cores — the honest small-scale efficiency is therefore below the
+  build's. At 10^12-turn scale per-query work dwarfs scheduling and
+  the per-bucket WAND fan-out is embarrassingly parallel.
+- Raw JSON: see BENCH/scaling_raw.json.
+"""
+    (bench_dir / "BASELINE.md").write_text(md)
+    (bench_dir / "scaling_raw.json").write_text(json.dumps(results, indent=2))
+    print(md)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 200_000)
