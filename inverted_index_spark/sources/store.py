@@ -187,29 +187,39 @@ class SegmentStore:
 
     # ------------------------------------------------------------- reads
     def read_postings(
-        self, spark: SparkSession, segment_ids: list[str] | None = None
+        self,
+        spark: SparkSession,
+        segment_ids: list[str] | None = None,
+        with_segment_id: bool = False,
     ) -> DataFrame:
-        """Union of live segments' postings with a segment_id column.
+        """Union of live segments' postings as ONE multi-path parquet
+        scan → predicate pushdown + file pruning apply across all
+        segments at once.
 
-        Catalyst sees one multi-path parquet scan → pushdown + file
-        pruning apply across all segments at once.
+        segment_id (recovered from the file path) is opt-in: the
+        input_file_name() projection is non-deterministic to Catalyst
+        and would block filter pushdown into the scan.
         """
         live = self.live_segments()
         ids = list(segment_ids or live["segment_id"])
         if not ids:
-            empty_schema = T.StructType(
-                list(POSTINGS_SCHEMA.fields)
-                + [T.StructField("segment_id", T.StringType())]
-            )
-            return spark.createDataFrame([], empty_schema)
+            schema = POSTINGS_SCHEMA
+            if with_segment_id:
+                schema = T.StructType(
+                    list(POSTINGS_SCHEMA.fields)
+                    + [T.StructField("segment_id", T.StringType())]
+                )
+            return spark.createDataFrame([], schema)
         paths = [os.path.join(self.seg_dir(s), "postings") for s in ids]
         df = spark.read.parquet(*paths)
-        # recover segment_id from the file path (one scan, no per-segment union)
-        seg_root = os.path.join(self.root, "segments")
-        df = df.withColumn(
-            "segment_id",
-            F.regexp_extract(F.input_file_name(), re_escape(seg_root) + "/([^/]+)/", 1),
-        )
+        if with_segment_id:
+            seg_root = os.path.join(self.root, "segments")
+            df = df.withColumn(
+                "segment_id",
+                F.regexp_extract(
+                    F.input_file_name(), re_escape(seg_root) + "/([^/]+)/", 1
+                ),
+            )
         return df
 
     def read_docstats(
