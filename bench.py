@@ -65,15 +65,17 @@ def main() -> None:
 
         return _T()
 
+    # bucket sizes sized for ≥2 groups per core at these corpus sizes
+    # (real deployments: bucket_size ~= corpus/n_partitions_target)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     doc_store = SegmentStore(f"{tmp}/docs_idx")
     with timed("build_documents"):
-        build_index(spark, docs, doc_store, bucket_size=1 << 14)
+        build_index(spark, docs, doc_store, bucket_size=128)
 
     tx_store = SegmentStore(f"{tmp}/tx_idx")
     tx = generate_transcripts(spark, N_TURNS, include_doc_id=True)
     with timed("build_transcripts"):
-        build_index(spark, tx, tx_store, bucket_size=1 << 15)
+        build_index(spark, tx, tx_store, bucket_size=max(N_TURNS // (CPUS * 2), 512))
 
     searcher = Searcher(spark, tx_store).open()
     queries = [

@@ -41,37 +41,35 @@ def tokenize_text(text: str) -> list[str]:
 def tokenize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """Vectorized kernel: (doc_id, text) batch → (doc_id, term, tf, dl).
 
+    One flat (doc, token) frame per Arrow batch, aggregated with a
+    single C-path pandas groupby — no per-document Python aggregation.
     dl (document length, total token count incl. duplicates) is
     replicated on every row so posting encode never needs a join back
     to the doc store — BM25's tf-normalization reads it in place.
     """
-    doc_ids: list[np.ndarray] = []
-    terms: list[np.ndarray] = []
-    tfs: list[np.ndarray] = []
-    dls: list[np.ndarray] = []
-    for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"].to_numpy()):
-        toks = tokenize_text(text)
-        if not toks:
-            continue
-        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        k = len(uniq)
-        doc_ids.append(np.full(k, doc_id, dtype=np.int64))
-        terms.append(uniq)
-        tfs.append(counts.astype(np.int32))
-        dls.append(np.full(k, len(toks), dtype=np.int32))
-    if not doc_ids:
+    texts = pdf["text"].to_numpy()
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tok_lists = [tokenize_text(t) for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    if lens.sum() == 0:
         return pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"), "term": pd.Series(dtype="object"),
              "tf": pd.Series(dtype="int32"), "dl": pd.Series(dtype="int32")}
         )
-    return pd.DataFrame(
+    flat = pd.DataFrame(
         {
-            "doc_id": np.concatenate(doc_ids),
-            "term": np.concatenate(terms),
-            "tf": np.concatenate(tfs),
-            "dl": np.concatenate(dls),
+            "doc_id": np.repeat(ids, lens),
+            "term": np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t]),
+            "dl": np.repeat(lens, lens).astype(np.int32),
         }
     )
+    out = (
+        flat.groupby(["doc_id", "term"], sort=False)
+        .agg(tf=("term", "size"), dl=("dl", "first"))
+        .reset_index()
+    )
+    out["tf"] = out["tf"].astype(np.int32)
+    return out[["doc_id", "term", "tf", "dl"]]
 
 
 def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

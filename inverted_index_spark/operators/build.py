@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from inverted_index_spark.functions.codec import DEFAULT_BLOCK, encode_postings
+from inverted_index_spark.functions.codec import DEFAULT_BLOCK, encode_varint
 from inverted_index_spark.functions.tokenizer import tokenize, tokenize_text
 from inverted_index_spark.sources.store import (
     POSTINGS_SCHEMA,
@@ -56,12 +56,90 @@ class ErrEmptyIndex(ValueError):
 # ----------------------------------------------------------- encode stage ---
 
 
+def encode_bucket_arrays(
+    terms: np.ndarray,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    bucket: int,
+    block_size: int,
+) -> pd.DataFrame:
+    """Sorted (term, doc) arrays → one POSTINGS_SCHEMA row per term.
+
+    Fully vectorized encode: ONE varint pass over the whole bucket for
+    each of the three streams (docs-as-deltas with restarts at term
+    and block starts, tfs, dls); the only Python loops build the
+    per-term byte slices and per-block metadata dicts — O(terms) and
+    O(blocks), not O(postings)."""
+    n = len(terms)
+    # term boundaries
+    t_starts = np.concatenate(([0], np.flatnonzero(terms[1:] != terms[:-1]) + 1))
+    t_ends = np.concatenate((t_starts[1:], [n]))
+    t_lens = t_ends - t_starts
+    # position of each row within its term → block restarts
+    within = np.arange(n, dtype=np.int64) - np.repeat(t_starts, t_lens)
+    restart = within % block_size == 0
+    deltas = np.empty(n, dtype=np.uint64)
+    du = docs.astype(np.uint64)
+    deltas[0] = du[0]
+    deltas[1:] = du[1:] - du[:-1]
+    deltas[restart] = du[restart]
+    p_buf, p_len = encode_varint(deltas)
+    t_buf, t_len = encode_varint(tfs.astype(np.uint64))
+    l_buf, l_len = encode_varint(dls.astype(np.uint64))
+    p_csum = np.concatenate(([0], np.cumsum(p_len)))
+    t_csum = np.concatenate(([0], np.cumsum(t_len)))
+    l_csum = np.concatenate(([0], np.cumsum(l_len)))
+    # global per-block stats via reduceat at restart positions
+    b_starts = np.flatnonzero(restart)
+    b_term = np.searchsorted(t_starts, b_starts, side="right") - 1
+    b_ends = np.concatenate((b_starts[1:], [n]))
+    # a block never crosses a term: clamp end to its term end
+    b_ends = np.minimum(b_ends, t_ends[b_term])
+    b_maxtf = np.maximum.reduceat(tfs, b_starts)
+    b_mindl = np.minimum.reduceat(dls, b_starts)
+    pm = memoryview(p_buf)
+    tm = memoryview(t_buf)
+    lm = memoryview(l_buf)
+    out = {k: [] for k in POSTINGS_SCHEMA.fieldNames()}
+    bi = 0
+    n_blocks = len(b_starts)
+    for ti in range(len(t_starts)):
+        s, e = t_starts[ti], t_ends[ti]
+        blocks = []
+        while bi < n_blocks and b_starts[bi] < e:
+            bs, be = b_starts[bi], b_ends[bi]
+            blocks.append(
+                {
+                    "first_doc": int(docs[bs]),
+                    "last_doc": int(docs[be - 1]),
+                    "n": int(be - bs),
+                    "max_tf": int(b_maxtf[bi]),
+                    "min_dl": int(b_mindl[bi]),
+                    "p_off": int(p_csum[bs] - p_csum[s]),
+                    "t_off": int(t_csum[bs] - t_csum[s]),
+                    "d_off": int(l_csum[bs] - l_csum[s]),
+                }
+            )
+            bi += 1
+        out["bucket"].append(bucket)
+        out["term"].append(terms[s])
+        out["df"].append(int(e - s))
+        out["postings"].append(bytes(pm[p_csum[s] : p_csum[e]]))
+        out["tfs"].append(bytes(tm[t_csum[s] : t_csum[e]]))
+        out["dls"].append(bytes(lm[l_csum[s] : l_csum[e]]))
+        out["blocks"].append(blocks)
+        out["min_doc"].append(int(docs[s]))
+        out["max_doc"].append(int(docs[e - 1]))
+    return pd.DataFrame(out)
+
+
 def _encode_bucket_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     """One doc-bucket's (doc_id, term, tf, dl) rows → one row per term.
 
-    Vectorized: one stable sort + per-term numpy slices; dedup of
-    repeated (term, doc) pairs keeps the first tf (the reference
-    sort-dedups values at close, single/single.go:230-256).
+    One stable sort + dedup of repeated (term, doc) pairs keeping the
+    first tf (the reference sort-dedups values at close,
+    single/single.go:230-256), then the vectorized bucket encoder.
     """
     pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
     terms = pdf["term"].to_numpy()
@@ -69,28 +147,11 @@ def _encode_bucket_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["dl"].to_numpy(dtype=np.int64)
     bucket = int(pdf["bucket"].iloc[0])
-    # first-occurrence mask over (term, doc)
     keep = np.ones(len(pdf), dtype=bool)
     if len(pdf) > 1:
         keep[1:] = ~((terms[1:] == terms[:-1]) & (docs[1:] == docs[:-1]))
     terms, docs, tfs, dls = terms[keep], docs[keep], tfs[keep], dls[keep]
-    # term boundaries
-    starts = np.concatenate(([0], np.flatnonzero(terms[1:] != terms[:-1]) + 1))
-    ends = np.concatenate((starts[1:], [len(terms)]))
-    out = {k: [] for k in POSTINGS_SCHEMA.fieldNames()}
-    for s, e in zip(starts, ends):
-        d, t, l = docs[s:e], tfs[s:e], dls[s:e]
-        p_buf, t_buf, l_buf, blocks = encode_postings(d, t, l, block_size=block_size)
-        out["bucket"].append(bucket)
-        out["term"].append(terms[s])
-        out["df"].append(int(e - s))
-        out["postings"].append(p_buf)
-        out["tfs"].append(t_buf)
-        out["dls"].append(l_buf)
-        out["blocks"].append(blocks)
-        out["min_doc"].append(int(d[0]))
-        out["max_doc"].append(int(d[-1]))
-    return pd.DataFrame(out)
+    return encode_bucket_arrays(terms, docs, tfs, dls, bucket, block_size)
 
 
 def encode_segment(

@@ -21,8 +21,8 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from inverted_index_spark.functions.codec import DEFAULT_BLOCK, decode_postings, encode_postings
-from inverted_index_spark.operators.build import DEFAULT_BUCKET_SIZE
+from inverted_index_spark.functions.codec import DEFAULT_BLOCK, decode_postings
+from inverted_index_spark.operators.build import encode_bucket_arrays
 from inverted_index_spark.sources.store import (
     POSTINGS_SCHEMA,
     SegmentStore,
@@ -33,46 +33,37 @@ from inverted_index_spark.sources.store import (
 
 def _merge_bucket_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     """One doc-bucket's rows across input segments → one re-encoded row
-    per term. Decode + sort-unique keeps first (tf, dl) per doc
-    (duplicates are the same doc re-indexed; the reference concats then
-    sort-dedups, multiple/multiple_index.go:199-213). Grouping at the
-    bucket level (not per term) keeps Arrow batches large and Python
-    call overhead per group amortized."""
-    pdf = pdf.sort_values("term", kind="mergesort")
+    per term. Decode all rows into term-repeated arrays, sort-unique
+    per (term, doc) keeping the first (tf, dl) (duplicates are the same
+    doc re-indexed; the reference concats then sort-dedups,
+    multiple/multiple_index.go:199-213), then the same vectorized
+    bucket encoder the build path uses."""
     bucket = int(pdf["bucket"].iloc[0])
-    out = {k: [] for k in POSTINGS_SCHEMA.fieldNames()}
-    terms = pdf["term"].to_numpy()
-    starts = np.concatenate(([0], np.flatnonzero(terms[1:] != terms[:-1]) + 1))
-    ends = np.concatenate((starts[1:], [len(terms)]))
-    for s, e in zip(starts, ends):
-        docs_parts, tf_parts, dl_parts = [], [], []
-        for i in range(s, e):
-            d, tf, dl = decode_postings(
-                pdf["postings"].iloc[i], pdf["tfs"].iloc[i], pdf["dls"].iloc[i],
-                list(pdf["blocks"].iloc[i]),
-            )
-            docs_parts.append(d)
-            tf_parts.append(tf)
-            dl_parts.append(dl)
-        d = np.concatenate(docs_parts)
-        tf = np.concatenate(tf_parts)
-        dl = np.concatenate(dl_parts)
-        order = np.argsort(d, kind="mergesort")
-        d, tf, dl = d[order], tf[order], dl[order]
-        keep = np.ones(len(d), dtype=bool)
-        keep[1:] = d[1:] != d[:-1]
-        d, tf, dl = d[keep], tf[keep], dl[keep]
-        p_buf, t_buf, l_buf, blocks = encode_postings(d, tf, dl, block_size=block_size)
-        out["bucket"].append(bucket)
-        out["term"].append(terms[s])
-        out["df"].append(int(len(d)))
-        out["postings"].append(p_buf)
-        out["tfs"].append(t_buf)
-        out["dls"].append(l_buf)
-        out["blocks"].append(blocks)
-        out["min_doc"].append(int(d[0]))
-        out["max_doc"].append(int(d[-1]))
-    return pd.DataFrame(out)
+    term_parts, doc_parts, tf_parts, dl_parts = [], [], [], []
+    for term, p, t, l, blocks in zip(
+        pdf["term"], pdf["postings"], pdf["tfs"], pdf["dls"], pdf["blocks"]
+    ):
+        d, tf, dl = decode_postings(p, t, l, list(blocks))
+        term_parts.append(np.full(len(d), term, dtype=object))
+        doc_parts.append(d.astype(np.int64))
+        tf_parts.append(tf.astype(np.int64))
+        dl_parts.append(dl.astype(np.int64))
+    flat = pd.DataFrame(
+        {
+            "term": np.concatenate(term_parts),
+            "doc_id": np.concatenate(doc_parts),
+            "tf": np.concatenate(tf_parts),
+            "dl": np.concatenate(dl_parts),
+        }
+    ).sort_values(["term", "doc_id"], kind="mergesort")
+    terms = flat["term"].to_numpy()
+    docs = flat["doc_id"].to_numpy(dtype=np.int64)
+    tfs = flat["tf"].to_numpy(dtype=np.int64)
+    dls = flat["dl"].to_numpy(dtype=np.int64)
+    keep = np.ones(len(docs), dtype=bool)
+    keep[1:] = ~((terms[1:] == terms[:-1]) & (docs[1:] == docs[:-1]))
+    terms, docs, tfs, dls = terms[keep], docs[keep], tfs[keep], dls[keep]
+    return encode_bucket_arrays(terms, docs, tfs, dls, bucket, block_size)
 
 
 def merge_segments(

@@ -27,13 +27,24 @@ class Searcher:
         self._postings: DataFrame | None = None
         self._stats: tuple[int, float] | None = None
         self._df_memo: dict[str, int] = {}
+        self._df_complete = False
         self._single_segment = len(store.live_segments()) <= 1
 
     # ------------------------------------------------------------- open ---
-    def open(self) -> "Searcher":
+    def open(self, preload_dfs_max_terms: int = 5_000_000) -> "Searcher":
         self._postings = self.store.read_postings(self.spark).cache()
         self._postings.count()  # materialize
         self._stats = _bm25.corpus_stats(self.spark, self.store)
+        # preload the whole term→df dictionary when it fits (the
+        # reference eagerly caches all bitmaps at open the same way,
+        # single/single.go:742-788) → df lookups cost zero Spark jobs
+        n_terms = int(self.store.live_segments()["n_terms"].sum() or 0)
+        if self._single_segment and 0 < n_terms <= preload_dfs_max_terms:
+            rows = (
+                self._postings.groupBy("term").agg(F.sum("df").alias("df")).collect()
+            )
+            self._df_memo.update({r["term"]: int(r["df"]) for r in rows})
+            self._df_complete = True
         return self
 
     def close(self) -> None:
@@ -63,6 +74,12 @@ class Searcher:
         return out
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        if self._df_complete:
+            return {
+                t: self._df_memo[t]
+                for t in set(terms)
+                if self._df_memo.get(t, 0) > 0
+            }
         missing = [t for t in set(terms) if t not in self._df_memo]
         if missing:
             if self._single_segment:
@@ -119,25 +136,68 @@ class Searcher:
                 run, schema="doc_id long, score double"
             )
             return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        decoded = rows.mapInPandas(
-            lambda it: _decode_rows(it, None, None, True),
-            schema="term string, doc_id long, tf long, dl long",
-        ).dropDuplicates(["term", "doc_id"])
-        idf_expr = F.create_map(
-            *[x for t, w in idf_map.items() for x in (F.lit(t), F.lit(float(w)))]
-        )
-        contrib = decoded.withColumn(
-            "contrib",
-            idf_expr[F.col("term")]
-            * F.col("tf")
-            / (
-                F.col("tf")
-                + _bm25.K1 * (1 - _bm25.B + _bm25.B * F.col("dl") / F.lit(float(avgdl)))
-            ),
-        )
+        # exhaustive path with MAP-SIDE PARTIAL AGGREGATION: scores are
+        # computed and pre-summed per doc inside the Arrow batch, so
+        # only ≤(distinct docs per batch) small rows hit the shuffle —
+        # never the exploded postings. Buckets are disjoint doc ranges,
+        # so partial sums per doc are always combinable.
+        import numpy as np
+        import pandas as pd
+
+        k1, b = _bm25.K1, _bm25.B
+
+        from inverted_index_spark.functions.codec import decode_postings
+
+        def score_batches(batches):
+            for pdf in batches:
+                doc_parts, contrib_parts = [], []
+                for term, p, t, l, blocks in zip(
+                    pdf["term"], pdf["postings"], pdf["tfs"], pdf["dls"], pdf["blocks"]
+                ):
+                    d, tf, dl = decode_postings(p, t, l, blocks)
+                    if not len(d):
+                        continue
+                    w = idf_map[term]
+                    c = w * tf.astype(np.float64) / (
+                        tf.astype(np.float64)
+                        + k1 * (1 - b + b * dl.astype(np.float64) / avgdl)
+                    )
+                    doc_parts.append(d.astype(np.int64))
+                    contrib_parts.append(c)
+                if not doc_parts:
+                    continue
+                dd = np.concatenate(doc_parts)
+                cc = np.concatenate(contrib_parts)
+                uniq, inv = np.unique(dd, return_inverse=True)
+                sums = np.zeros(len(uniq))
+                np.add.at(sums, inv, cc)
+                yield pd.DataFrame({"doc_id": uniq, "score": sums})
+
+        partial = rows.mapInPandas(score_batches, schema="doc_id long, score double")
+        if not self._single_segment:
+            # pre-compaction overlap: fall back to exact dedup path
+            decoded = rows.mapInPandas(
+                lambda it: _decode_rows(it, None, None, True),
+                schema="term string, doc_id long, tf long, dl long",
+            ).dropDuplicates(["term", "doc_id"])
+            idf_expr = F.create_map(
+                *[x for t, w in idf_map.items() for x in (F.lit(t), F.lit(float(w)))]
+            )
+            partial = decoded.select(
+                "doc_id",
+                (
+                    idf_expr[F.col("term")]
+                    * F.col("tf")
+                    / (
+                        F.col("tf")
+                        + _bm25.K1
+                        * (1 - _bm25.B + _bm25.B * F.col("dl") / F.lit(float(avgdl)))
+                    )
+                ).alias("score"),
+            )
         return (
-            contrib.groupBy("doc_id")
-            .agg(F.sum("contrib").alias("score"))
+            partial.groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )

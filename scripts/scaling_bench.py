@@ -39,7 +39,9 @@ def worker(cores: int, n_turns: int) -> None:
     tx = generate_transcripts(spark, n_turns, include_doc_id=True)
 
     t0 = time.time()
-    build_index(spark, tx, store, bucket_size=1 << 15)
+    # FIXED bucket size across parallelism levels: the job must be
+    # identical at local[8] and local[32] for the efficiency claim
+    build_index(spark, tx, store, bucket_size=max(n_turns // 128, 512))
     build_sec = time.time() - t0
 
     searcher = Searcher(spark, store).open()

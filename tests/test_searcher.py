@@ -1,0 +1,58 @@
+"""Searcher (open-once query-many) must agree with the one-shot
+operators exactly — both WAND and exhaustive paths — and with the
+pure-pandas oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from inverted_index_spark.operators.bm25 import bm25_topk
+from inverted_index_spark.operators.build import build_index
+from inverted_index_spark.operators.query import read_values
+from inverted_index_spark.operators.search import Searcher
+from inverted_index_spark.sources.store import SegmentStore
+from inverted_index_spark.sources.transcripts import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    store = SegmentStore(str(tmp_path_factory.mktemp("searcher") / "idx"))
+    docs = generate_transcripts(spark, 600, include_doc_id=True)
+    build_index(spark, docs, store, bucket_size=128, block_size=32)
+    return store, Searcher(spark, store).open()
+
+
+QUERIES = [
+    ["w00000"],
+    ["w00001", "w00002"],
+    ["w00042", "w00007", "w00123", "w00999", "w05000"],
+    ["doesnotexist"],
+    ["бесплатно", "w00000"],
+]
+
+
+@pytest.mark.parametrize("terms", QUERIES)
+def test_searcher_topk_matches_oneshot(spark, setup, terms):
+    store, searcher = setup
+    oneshot = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in bm25_topk(spark, store, terms, 10).collect()
+    ]
+    naive = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in searcher.topk(terms, 10, use_wand=False).collect()
+    ]
+    wand = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in searcher.topk(terms, 10, use_wand=True).collect()
+    ]
+    assert naive == oneshot
+    assert wand == oneshot
+
+
+def test_searcher_read_values_matches(spark, setup):
+    store, searcher = setup
+    terms = ["w00000", "w00005"]
+    a = [r["doc_id"] for r in read_values(spark, store, terms, 50, 400).collect()]
+    b = [r["doc_id"] for r in searcher.read_values(terms, 50, 400).collect()]
+    assert a == b and len(a) > 0
