@@ -91,6 +91,10 @@ def main() -> None:
     with timed("bm25_wand_batch"):
         for q in queries:
             searcher.topk(q, 10, use_wand=True).collect()
+    with timed("bm25_wand_one_job"):
+        searcher.topk_batch(
+            {f"q{i:03d}": q for i, q in enumerate(queries)}, k=10
+        ).collect()
     with timed("read_values_batch"):
         for i, q in enumerate(queries):
             searcher.read_values(q, 1000 * i, 1000 * i + 50000).collect()
@@ -109,6 +113,7 @@ def main() -> None:
         "build_turns_per_sec": round(N_TURNS / timings["build_transcripts"], 1),
         "bm25_naive_qps": round(len(queries) / timings["bm25_naive_batch"], 2),
         "bm25_wand_qps": round(len(queries) / timings["bm25_wand_batch"], 2),
+        "bm25_batched_qps": round(len(queries) / timings["bm25_wand_one_job"], 2),
         "n_turns": N_TURNS,
         "cpus": CPUS,
     }

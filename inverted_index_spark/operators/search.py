@@ -116,6 +116,56 @@ class Searcher:
         return decoded.select("doc_id").distinct().orderBy("doc_id")
 
     # ------------------------------------------------------------ BM25 ---
+    def topk_batch(
+        self, queries: dict[str, list[str]], k: int = 10
+    ) -> DataFrame:
+        """Run MANY BM25 top-k queries in ONE Spark job: (qid, rank,
+        doc_id, score). Amortizes per-job scheduling latency across the
+        batch — the idiomatic Spark shape for query throughput (a
+        1000-executor cluster serves a query *stream* as unioned
+        batches, not one job per query).
+
+        Plan: broadcast (qid, term) pairs → join against the cached
+        postings (tiny broadcast hash join, no shuffle of postings) →
+        per-(bucket, qid) WAND → window top-k per qid.
+        """
+        from pyspark.sql import Window
+        import pandas as pd
+
+        n_docs, avgdl = self.stats
+        all_terms = sorted({t for ts in queries.values() for t in ts})
+        dfs = self.term_dfs(all_terms)
+        idf_map = {t: _bm25.idf(n_docs, dfs[t]) for t in all_terms if t in dfs}
+        pairs = [
+            (qid, t)
+            for qid, ts in queries.items()
+            for t in sorted(set(ts))
+            if t in idf_map
+        ]
+        if not pairs or n_docs == 0:
+            return self.spark.createDataFrame(
+                [], "qid string, rank int, doc_id long, score double"
+            )
+        qt = self.spark.createDataFrame(pairs, "qid string, term string")
+        rows = self._matching(list({t for _, t in pairs})).join(
+            F.broadcast(qt), "term"
+        )
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = _wand._wand_bucket(pdf, idf_map, avgdl, k)
+            out["qid"] = pdf["qid"].iloc[0]
+            return out[["qid", "doc_id", "score"]]
+
+        local = rows.groupBy("bucket", "qid").applyInPandas(
+            run, schema="qid string, doc_id long, score double"
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "rank", "doc_id", "score")
+        )
+
     def topk(self, terms: list[str], k: int = 10, use_wand: bool = True) -> DataFrame:
         uniq = sorted(set(terms))
         n_docs, avgdl = self.stats
