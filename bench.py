@@ -73,7 +73,12 @@ def main() -> None:
         build_index(spark, docs, doc_store, bucket_size=128)
 
     tx_store = SegmentStore(f"{tmp}/tx_idx")
-    tx = generate_transcripts(spark, N_TURNS, include_doc_id=True)
+    # the north-rule input is a STORED transcript table — materialize
+    # first, measure the build reading from parquet (not generation)
+    generate_transcripts(spark, N_TURNS, include_doc_id=True).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/transcripts")
+    tx = spark.read.parquet(f"{tmp}/transcripts")
     with timed("build_transcripts"):
         build_index(spark, tx, tx_store, bucket_size=max(N_TURNS // (CPUS * 2), 512))
 

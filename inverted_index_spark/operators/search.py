@@ -125,9 +125,12 @@ class Searcher:
         1000-executor cluster serves a query *stream* as unioned
         batches, not one job per query).
 
-        Plan: broadcast (qid, term) pairs → join against the cached
-        postings (tiny broadcast hash join, no shuffle of postings) →
-        per-(bucket, qid) WAND → window top-k per qid.
+        Plan: ONE pass over the matched postings grouped by bucket; the
+        query map rides in the task closure (small); inside each bucket
+        every query runs over shared block handles, so each posting
+        block is decoded AT MOST ONCE for the whole batch and no
+        posting bytes are ever duplicated per query through a shuffle.
+        Output is only ≤ k rows per (bucket, query) → window top-k.
         """
         from pyspark.sql import Window
         import pandas as pd
@@ -136,27 +139,41 @@ class Searcher:
         all_terms = sorted({t for ts in queries.values() for t in ts})
         dfs = self.term_dfs(all_terms)
         idf_map = {t: _bm25.idf(n_docs, dfs[t]) for t in all_terms if t in dfs}
-        pairs = [
-            (qid, t)
+        qmap = {
+            qid: [t for t in sorted(set(ts)) if t in idf_map]
             for qid, ts in queries.items()
-            for t in sorted(set(ts))
-            if t in idf_map
-        ]
-        if not pairs or n_docs == 0:
+        }
+        qmap = {qid: ts for qid, ts in qmap.items() if ts}
+        if not qmap or n_docs == 0:
             return self.spark.createDataFrame(
                 [], "qid string, rank int, doc_id long, score double"
             )
-        qt = self.spark.createDataFrame(pairs, "qid string, term string")
-        rows = self._matching(list({t for _, t in pairs})).join(
-            F.broadcast(qt), "term"
-        )
+        live_terms = sorted({t for ts in qmap.values() for t in ts})
+        rows = self._matching(live_terms)
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = _wand._wand_bucket(pdf, idf_map, avgdl, k)
-            out["qid"] = pdf["qid"].iloc[0]
-            return out[["qid", "doc_id", "score"]]
+            handles = {
+                t: _wand._term_handles(grp)
+                for t, grp in pdf.groupby("term", sort=True)
+            }
+            qids, docs, scores = [], [], []
+            for qid, ts in qmap.items():
+                sub = {t: handles[t] for t in ts if t in handles}
+                if not sub:
+                    continue
+                for d, s in _wand._wand_from_handles(sub, idf_map, avgdl, k):
+                    qids.append(qid)
+                    docs.append(d)
+                    scores.append(s)
+            return pd.DataFrame(
+                {
+                    "qid": pd.Series(qids, dtype="object"),
+                    "doc_id": pd.Series(docs, dtype="int64"),
+                    "score": pd.Series(scores, dtype="float64"),
+                }
+            )
 
-        local = rows.groupBy("bucket", "qid").applyInPandas(
+        local = rows.groupBy("bucket").applyInPandas(
             run, schema="qid string, doc_id long, score double"
         )
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -111,10 +111,13 @@ def _term_handles(grp: pd.DataFrame) -> list[_BlockHandle]:
     return out
 
 
-def _wand_bucket(pdf: pd.DataFrame, idf_map: dict, avgdl: float, k: int) -> pd.DataFrame:
-    terms: dict[str, list[_BlockHandle]] = {
-        t: _term_handles(grp) for t, grp in pdf.groupby("term", sort=True)
-    }
+def _wand_from_handles(
+    terms: dict[str, list[_BlockHandle]], idf_map: dict, avgdl: float, k: int
+) -> list[tuple[int, float]]:
+    """Core span-based block-max scorer over prebuilt block handles.
+    Returns the local top-k as (doc_id, score), best first. Handles
+    cache decoded blocks, so running many queries over the same
+    bucket's handles decodes each block at most once."""
     # span boundaries: union of all block edges → half-open doc spans
     edges = sorted(
         {h.first_doc for hs in terms.values() for h in hs}
@@ -167,13 +170,21 @@ def _wand_bucket(pdf: pd.DataFrame, idf_map: dict, avgdl: float, k: int) -> pd.D
                 heapq.heappush(topk, item)
             elif item > topk[0]:
                 heapq.heapreplace(topk, item)
-    if not topk:
+    items = sorted(topk, key=lambda x: (-x[0], -x[1]))
+    return [(-nd, s) for s, nd in items]
+
+
+def _wand_bucket(pdf: pd.DataFrame, idf_map: dict, avgdl: float, k: int) -> pd.DataFrame:
+    terms: dict[str, list[_BlockHandle]] = {
+        t: _term_handles(grp) for t, grp in pdf.groupby("term", sort=True)
+    }
+    items = _wand_from_handles(terms, idf_map, avgdl, k)
+    if not items:
         return pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
         )
-    items = sorted(topk, key=lambda x: (-x[0], -x[1]))
     return pd.DataFrame(
-        {"doc_id": [-nd for _, nd in items], "score": [s for s, _ in items]}
+        {"doc_id": [d for d, _ in items], "score": [s for _, s in items]}
     )
 
 

@@ -36,7 +36,13 @@ def worker(cores: int, n_turns: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix=f"ii_scale_{cores}_")
     store = SegmentStore(f"{tmp}/idx")
-    tx = generate_transcripts(spark, n_turns, include_doc_id=True)
+    # identical STORED input at both levels (north-rule input is a
+    # table, and generation must not pollute the build measurement);
+    # fixed partition count so the scan parallelism is data-driven
+    generate_transcripts(spark, n_turns, include_doc_id=True).repartition(
+        64
+    ).write.mode("overwrite").parquet(f"{tmp}/transcripts")
+    tx = spark.read.parquet(f"{tmp}/transcripts")
 
     t0 = time.time()
     # FIXED bucket size across parallelism levels: the job must be
