@@ -1,0 +1,60 @@
+"""Hypothesis property tests for the posting codec — randomized
+round-trip identity incl. extreme values (mirrors the randomized
+inputs of /root/reference/single/segment_test.go at property scale)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from inverted_index_spark.functions.codec import (
+    decode_postings,
+    decode_varint,
+    encode_postings,
+    encode_varint,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**64 - 1), min_size=0, max_size=400
+    )
+)
+def test_varint_roundtrip_property(values):
+    arr = np.array(values, dtype=np.uint64)
+    buf, _ = encode_varint(arr)
+    np.testing.assert_array_equal(decode_varint(buf), arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    docs=st.lists(
+        st.integers(min_value=0, max_value=2**53), min_size=1, max_size=300, unique=True
+    ),
+    block_size=st.integers(min_value=1, max_value=64),
+    data=st.data(),
+)
+def test_postings_roundtrip_property(docs, block_size, data):
+    d = np.array(sorted(docs), dtype=np.uint64)
+    n = len(d)
+    tfs = np.array(
+        data.draw(st.lists(st.integers(1, 1000), min_size=n, max_size=n)),
+        dtype=np.uint64,
+    )
+    dls = np.array(
+        data.draw(st.lists(st.integers(1, 10000), min_size=n, max_size=n)),
+        dtype=np.uint64,
+    )
+    p, t, l, blocks = encode_postings(d, tfs, dls, block_size=block_size)
+    rd, rt, rl = decode_postings(p, t, l, blocks)
+    np.testing.assert_array_equal(rd, d)
+    np.testing.assert_array_equal(rt, tfs)
+    np.testing.assert_array_equal(rl, dls)
+    # range pruning never returns out-of-range docs and never loses in-range ones
+    if n >= 2:
+        lo, hi = int(d[n // 3]), int(d[2 * n // 3])
+        pd_, _, _ = decode_postings(p, t, l, blocks, lo, hi)
+        expect = d[(d >= lo) & (d <= hi)]
+        np.testing.assert_array_equal(pd_, expect)
