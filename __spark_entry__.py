@@ -180,6 +180,14 @@ def _q_ann_lsh(spark, sf):
     return _sim.ann_lsh_topk(emb, [float(x) for x in qv], k=10)
 
 
+def _q_index_summary(spark, sf):
+    """U1 PrintSummary analog (reference single/summary.go:9-54) —
+    per-segment stats from the manifest."""
+    m = _store_for(spark, sf).summary()
+    cols = ["segment_id", "status", "n_terms", "n_postings", "n_docs", "bytes"]
+    return spark.createDataFrame(m[cols])
+
+
 def _q_transcripts_bm25(spark, sf):
     """North-rule corpus path: synthetic transcripts → index → WAND."""
     with tempfile.TemporaryDirectory(prefix="ii_tx_") as d:
@@ -213,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh,
+        "index_summary": _q_index_summary,
         "transcripts_bm25": _q_transcripts_bm25,
     }
 
