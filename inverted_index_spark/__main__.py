@@ -1,0 +1,74 @@
+"""CLI — parity with the reference's `inspect` command
+(/root/reference/main.go:12-28, single/summary.go:9-54).
+
+    python -m inverted_index_spark inspect <store_root>
+    python -m inverted_index_spark build <transcripts_parquet> <store_root>
+    python -m inverted_index_spark query <store_root> term1 term2 ... [-k 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="inverted_index_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    s_inspect = sub.add_parser("inspect", help="per-segment stats table (U1)")
+    s_inspect.add_argument("store_root")
+    s_build = sub.add_parser("build", help="build an index segment")
+    s_build.add_argument("input_parquet")
+    s_build.add_argument("store_root")
+    s_build.add_argument("--bucket-size", type=int, default=1 << 16)
+    s_query = sub.add_parser("query", help="BM25 top-k")
+    s_query.add_argument("store_root")
+    s_query.add_argument("terms", nargs="+")
+    s_query.add_argument("-k", type=int, default=10)
+    args = p.parse_args(argv)
+
+    from inverted_index_spark.sources.store import SegmentStore
+
+    store = SegmentStore(args.store_root if args.cmd != "build" else args.store_root)
+
+    if args.cmd == "inspect":
+        # driver-side only — no Spark session needed (manifest is the
+        # summary, like the reference's footer walk)
+        m = store.summary()
+        if not len(m):
+            print("empty index directory")
+            return 1
+        cols = [
+            "segment_id", "status", "n_terms", "n_postings", "n_docs",
+            "bytes", "min_doc", "max_doc", "skew_ratio",
+        ]
+        print(m[cols].to_string(index=False))
+        return 0
+
+    from inverted_index_spark import get_spark
+
+    spark = get_spark("ii-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.cmd == "build":
+        from inverted_index_spark.operators.build import build_index
+
+        docs = spark.read.parquet(args.input_parquet)
+        if "doc_id" not in docs.columns:
+            from inverted_index_spark.operators.docids import mint_doc_ids
+
+            docs = mint_doc_ids(docs)
+        sid = build_index(spark, docs, store, bucket_size=args.bucket_size)
+        print(f"committed segment {sid}")
+        return 0
+    if args.cmd == "query":
+        from inverted_index_spark.operators.search import Searcher
+
+        searcher = Searcher(spark, store).open()
+        for row in searcher.topk(args.terms, args.k).collect():
+            print(f"{row['doc_id']}\t{row['score']:.6f}")
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
