@@ -222,27 +222,35 @@ def build_index_from_tokens(
     # plain parquet clustered by bucket and sorted by term: row-group
     # min/max stats on (bucket, term) do the pruning (the reference's
     # FST/segment-index role); partitionBy dirs would break multi-
-    # segment single-scan reads (conflicting partition roots)
+    # segment single-scan reads (conflicting partition roots).
+    # NO repartition here: groupBy(bucket).applyInPandas already left
+    # the rows hash-partitioned by bucket — re-exchanging the encoded
+    # binary would double-shuffle the whole segment.
     (
-        encoded.repartition("bucket")
-        .sortWithinPartitions("bucket", "term")
+        encoded.sortWithinPartitions("bucket", "term")
         .write.mode("overwrite")
         .parquet(f"{seg_dir}/postings")
     )
     docstats.select("doc_id", "dl").write.mode("overwrite").parquet(f"{seg_dir}/docstats")
 
-    # segment stats from the written data (one small scan each)
+    # segment stats: ONE two-level aggregation job (per-term partials →
+    # global), plus one tiny docstats agg
     seg = spark.read.parquet(f"{seg_dir}/postings")
-    agg = seg.agg(
-        F.countDistinct("term").alias("n_terms"),
-        F.sum("df").alias("n_postings"),
-        F.min("min_doc").alias("min_doc"),
-        F.max("max_doc").alias("max_doc"),
+    per_term = seg.groupBy("term").agg(
+        F.sum("df").alias("tdf"),
+        F.min("min_doc").alias("mn"),
+        F.max("max_doc").alias("mx"),
+    )
+    agg = per_term.agg(
+        F.count("*").alias("n_terms"),
+        F.sum("tdf").alias("n_postings"),
+        F.min("mn").alias("min_doc"),
+        F.max("mx").alias("max_doc"),
+        (F.max("tdf") / F.avg("tdf")).alias("skew"),
     ).collect()[0]
     if not agg["n_terms"]:
         raise ErrEmptyIndex("refusing to commit an empty segment")
-    term_df = seg.groupBy("term").agg(F.sum("df").alias("tdf"))
-    skew = term_df.agg((F.max("tdf") / F.avg("tdf")).alias("s")).collect()[0]["s"]
+    skew = agg["skew"]
     dstats = (
         spark.read.parquet(f"{seg_dir}/docstats")
         .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))

@@ -86,9 +86,9 @@ def merge_segments(
     merged = seg.groupBy("bucket").applyInPandas(mrg, schema=POSTINGS_SCHEMA)
     segment_id = new_segment_id()
     seg_dir = store.seg_dir(segment_id)
+    # groupBy(bucket) already partitioned the output by bucket
     (
-        merged.repartition("bucket")
-        .sortWithinPartitions("bucket", "term")
+        merged.sortWithinPartitions("bucket", "term")
         .write.mode("overwrite")
         .parquet(f"{seg_dir}/postings")
     )
