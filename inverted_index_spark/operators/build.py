@@ -292,14 +292,35 @@ def build_index(
     input_fingerprint: str = "",
 ) -> str:
     """docs(doc_id, text) → one committed segment (entry point A,
-    SURVEY.md §3.1)."""
-    tokens = tokenize(docs, id_col=id_col, text_col=text_col)
-    dstats = doc_lengths(docs, id_col=id_col, text_col=text_col)
-    return build_index_from_tokens(
-        spark, tokens, dstats, store,
-        bucket_size=bucket_size, block_size=block_size,
-        build_id=build_id, chunk=chunk, input_fingerprint=input_fingerprint,
+    SURVEY.md §3.1).
+
+    Tokenization runs ONCE: the tokens stream is persisted and doc
+    lengths are derived from it (dl = Σ tf per doc; token-less docs
+    re-enter with dl=0 via a left join — they still count toward
+    N/avgdl, matching the oracle). At 10^12-turn scale the persisted
+    intermediate becomes a staging table; the plan shape is identical.
+    """
+    from pyspark import StorageLevel
+
+    tokens = tokenize(docs, id_col=id_col, text_col=text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    try:
+        all_ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        dstats = (
+            all_ids.join(
+                tokens.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+                "doc_id",
+                "left",
+            ).na.fill({"dl": 0})
+        )
+        return build_index_from_tokens(
+            spark, tokens, dstats, store,
+            bucket_size=bucket_size, block_size=block_size,
+            build_id=build_id, chunk=chunk, input_fingerprint=input_fingerprint,
+        )
+    finally:
+        tokens.unpersist()
 
 
 class SegmentWriter:

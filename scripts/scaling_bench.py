@@ -53,13 +53,16 @@ def worker(cores: int, n_turns: int, repeats: int = 2) -> None:
 
     steal0 = _steal_jiffies()
     build_secs = []
-    for r in range(repeats):
+    build_steals = []
+    for r in range(max(repeats, 3)):
         store = SegmentStore(f"{tmp}/idx{r}")
+        s0 = _steal_jiffies()
         t0 = time.time()
         # FIXED bucket size across parallelism levels: the job must be
-        # identical at local[8] and local[32] for the efficiency claim
+        # identical at both levels for the efficiency claim
         build_index(spark, tx, store, bucket_size=max(n_turns // 128, 512))
         build_secs.append(time.time() - t0)
+        build_steals.append(round((_steal_jiffies() - s0) / 100.0, 1))
     build_sec = min(build_secs)
 
     searcher = Searcher(spark, store).open()
@@ -96,6 +99,7 @@ def worker(cores: int, n_turns: int, repeats: int = 2) -> None:
                 "n_turns": n_turns,
                 "build_sec": round(build_sec, 3),
                 "build_secs_all": [round(x, 2) for x in build_secs],
+                "build_steals_all": build_steals,
                 "turns_per_sec": round(n_turns / build_sec, 1),
                 "n_queries": len(queries),
                 "query_sec": round(query_sec, 3),
