@@ -233,20 +233,16 @@ def build_index_from_tokens(
     )
     docstats.select("doc_id", "dl").write.mode("overwrite").parquet(f"{seg_dir}/docstats")
 
-    # segment stats: ONE two-level aggregation job (per-term partials →
-    # global), plus one tiny docstats agg
+    # segment stats: ONE single-pass shuffle-free aggregation (HLL for
+    # the term count; skew from per-(bucket,term) row dfs — the same
+    # Zipf-head signal without a groupBy(term) shuffle)
     seg = spark.read.parquet(f"{seg_dir}/postings")
-    per_term = seg.groupBy("term").agg(
-        F.sum("df").alias("tdf"),
-        F.min("min_doc").alias("mn"),
-        F.max("max_doc").alias("mx"),
-    )
-    agg = per_term.agg(
-        F.count("*").alias("n_terms"),
-        F.sum("tdf").alias("n_postings"),
-        F.min("mn").alias("min_doc"),
-        F.max("mx").alias("max_doc"),
-        (F.max("tdf") / F.avg("tdf")).alias("skew"),
+    agg = seg.agg(
+        F.approx_count_distinct("term").alias("n_terms"),
+        F.sum("df").alias("n_postings"),
+        F.min("min_doc").alias("min_doc"),
+        F.max("max_doc").alias("max_doc"),
+        (F.max("df") / F.avg("df")).alias("skew"),
     ).collect()[0]
     if not agg["n_terms"]:
         raise ErrEmptyIndex("refusing to commit an empty segment")
