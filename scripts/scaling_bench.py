@@ -167,10 +167,13 @@ synthetic transcript corpus ({n_turns:,} turns, seed=42).
 | BM25 top-10 QPS ({r8['n_queries']} queries, WAND, one job each) | {r8['qps']} | {r32['qps']} | {r32['qps']/r8['qps']:.2f}x | {qps_eff:.2f} |
 | BM25 top-10 QPS ({r8['n_batched']} queries, WAND, batched single job) | {r8['batched_qps']} | {r32['batched_qps']} | {r32['batched_qps']/r8['batched_qps']:.2f}x | **{batched_eff:.2f}** |
 
-Measurement protocol: this sandbox VM has noisy neighbors (nonzero
-/proc/stat steal time observed), so legs are run alternately
-(8, 32, 8, 32), every measurement is repeated within a leg, and the
-best per metric is reported. Observed steal during the kept legs:
+Measurement protocol: this sandbox VM is burstable with noisy
+neighbors (nonzero /proc/stat steal observed; an identical 32-thread
+job measured 10s → 60s back-to-back as host throttling kicked in), so
+legs are run alternately ({n_small}, {n_big}, {n_small}, {n_big}), every
+measurement is repeated within a leg, the best per metric is kept, and
+per-attempt steal is recorded (BENCH/scaling_raw.json). Max observed
+steal during kept legs:
 local[{n_small}] {r8['steal_cpu_sec']} cpu-sec, local[{n_big}] {r32['steal_cpu_sec']} cpu-sec.
 
 Notes:
