@@ -171,7 +171,9 @@ def _q_minhash_pairs(spark, sf):
 
 
 def _q_simhash_pairs(spark, sf):
-    return _dedup.simhash_near_pairs(_docs(spark, sf), max_hamming=16)
+    # bands auto-derives to max_hamming+1 → pigeonhole recall guarantee
+    # holds by construction (round-2 fix; was max_hamming=16, bands=4)
+    return _dedup.simhash_near_pairs(_docs(spark, sf), max_hamming=7)
 
 
 def _q_ann_lsh(spark, sf):
@@ -228,10 +230,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------- oracles ---
 
-_TOK = (
-    "SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term "
-    "FROM documents"
+# the pinned index-tokenizer contract (functions/tokenizer.py): lowercase →
+# [\p{L}\p{N}_]+ runs (identical in Java regex / RE2 / Python-\w) → len ≤ 64
+_TOKS_SQL = (
+    r"list_filter(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+'),"
+    " t -> length(t) <= 64)"
 )
+_TOK = f"SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents"
 _TF = f"SELECT doc_id, term, count(*) AS tf FROM ({_TOK}) GROUP BY doc_id, term"
 _DL = f"SELECT doc_id, count(*) AS dl FROM ({_TOK}) GROUP BY doc_id"
 _QTERMS = "('" + "','".join(Q_TERMS) + "')"
@@ -242,7 +247,7 @@ WITH tf AS ({_TF}),
      dl AS ({_DL}),
      stats AS (
        SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-              (SELECT sum(len(regexp_extract_all(lower(text), '\\w+'))) FROM documents)::DOUBLE
+              (SELECT sum(len({_TOKS_SQL})) FROM documents)::DOUBLE
               / (SELECT count(*) FROM documents) AS avgdl),
      dfq AS (
        SELECT term, count(*) AS df FROM tf WHERE term IN {_QTERMS} GROUP BY term),
@@ -305,12 +310,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT term, count(*) AS df FROM ({_TF}) GROUP BY term ORDER BY term"
         ),
         "ii_doc_lengths": (
-            "SELECT doc_id, len(regexp_extract_all(lower(text), '\\w+'))::BIGINT AS dl "
+            f"SELECT doc_id, len({_TOKS_SQL})::BIGINT AS dl "
             "FROM documents ORDER BY doc_id"
         ),
         "ii_corpus_stats": (
             "SELECT count(*)::BIGINT AS n_docs, "
-            "round(sum(len(regexp_extract_all(lower(text), '\\w+')))::DOUBLE "
+            f"round(sum(len({_TOKS_SQL}))::DOUBLE "
             "/ count(*), 6) AS avgdl FROM documents"
         ),
         "bm25_scores": (

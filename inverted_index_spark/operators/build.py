@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import time
 import uuid
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -32,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from inverted_index_spark.functions.codec import DEFAULT_BLOCK, encode_varint
-from inverted_index_spark.functions.tokenizer import tokenize, tokenize_text
+from inverted_index_spark.functions.tokenizer import doc_length_expr, tokenize
 from inverted_index_spark.sources.store import (
     POSTINGS_SCHEMA,
     SegmentStore,
@@ -159,9 +158,15 @@ def encode_segment(
     bucket_size: int = DEFAULT_BUCKET_SIZE,
     block_size: int = DEFAULT_BLOCK,
 ) -> DataFrame:
-    """tokens(doc_id, term, tf, dl) → postings rows (POSTINGS_SCHEMA)."""
+    """tokens(doc_id, term, tf, dl) → postings rows (POSTINGS_SCHEMA).
+
+    bucket = doc_id div bucket_size — INTEGER division kept long
+    end-to-end: float division loses exactness past 2^53 and an int
+    cast wraps past 2^31 buckets, both of which would silently break
+    the disjoint-bucket invariant WAND and merge rely on at 10^12+.
+    """
     bucketed = tokens.withColumn(
-        "bucket", (F.col("doc_id") / F.lit(bucket_size)).cast("int")
+        "bucket", F.expr(f"cast(doc_id div {int(bucket_size)} as long)")
     )
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -175,24 +180,12 @@ def encode_segment(
 
 def doc_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, dl) for every doc — including token-less ones, which
-    still count toward N/avgdl (the oracle counts them too)."""
-    narrow = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    still count toward N/avgdl (the oracle counts them too). Pure JVM
+    column expression: no shuffle, no Python, no join."""
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        doc_length_expr(F.col(text_col)).alias("dl"),
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
-                    "dl": np.asarray(
-                        [len(tokenize_text(t)) for t in pdf["text"].to_numpy()],
-                        dtype=np.int64,
-                    ),
-                }
-            )
-
-    return narrow.mapInPandas(run, schema="doc_id long, dl long")
 
 
 # ------------------------------------------------------------------ build ---
@@ -210,15 +203,28 @@ def build_index_from_tokens(
     chunk: int = -1,
     input_fingerprint: str = "",
     replaces: list[str] | None = None,
+    empty_terms: list[str] | None = None,
 ) -> str:
     """Encode + write + commit one immutable segment. Returns segment_id.
 
-    Raises ErrEmptyIndex on an empty token stream (reference W12).
+    Raises ErrEmptyIndex when there are no terms at all (reference
+    W12). ``empty_terms`` are terms Put() with zero postings — the
+    reference still registers them in the FST so ReadTerms enumerates
+    them while ReadValues stays empty (single/single.go:139-153;
+    single_test.go:74-86): they become df=0 rows with empty binaries.
     """
     t0 = time.time()
     segment_id = new_segment_id()
     seg_dir = store.seg_dir(segment_id)
     encoded = encode_segment(tokens, bucket_size, block_size)
+    if empty_terms:
+        zero_rows = [
+            (-1, t, 0, b"", b"", b"", [], None, None)
+            for t in sorted(set(empty_terms))
+        ]
+        encoded = encoded.unionByName(
+            spark.createDataFrame(zero_rows, POSTINGS_SCHEMA)
+        )
     # plain parquet clustered by bucket and sorted by term: row-group
     # min/max stats on (bucket, term) do the pruning (the reference's
     # FST/segment-index role); partitionBy dirs would break multi-
@@ -242,7 +248,7 @@ def build_index_from_tokens(
         F.sum("df").alias("n_postings"),
         F.min("min_doc").alias("min_doc"),
         F.max("max_doc").alias("max_doc"),
-        (F.max("df") / F.avg("df")).alias("skew"),
+        F.try_divide(F.max("df"), F.avg("df")).alias("skew"),
     ).collect()[0]
     if not agg["n_terms"]:
         raise ErrEmptyIndex("refusing to commit an empty segment")
@@ -257,12 +263,13 @@ def build_index_from_tokens(
         segment_id,
         {
             "n_terms": int(agg["n_terms"]),
-            "n_postings": int(agg["n_postings"]),
+            "n_postings": int(agg["n_postings"] or 0),
             "n_docs": int(dstats["n_docs"]),
             "sum_dl": int(dstats["sum_dl"] or 0),
             "bytes": dir_bytes(seg_dir),
-            "min_doc": int(agg["min_doc"]),
-            "max_doc": int(agg["max_doc"]),
+            # None only when every term has zero postings (empty_terms)
+            "min_doc": int(agg["min_doc"] if agg["min_doc"] is not None else 0),
+            "max_doc": int(agg["max_doc"] if agg["max_doc"] is not None else -1),
             "build_id": build_id or segment_id,
             "chunk": chunk,
             "input_fingerprint": input_fingerprint,
@@ -290,33 +297,20 @@ def build_index(
     """docs(doc_id, text) → one committed segment (entry point A,
     SURVEY.md §3.1).
 
-    Tokenization runs ONCE: the tokens stream is persisted and doc
-    lengths are derived from it (dl = Σ tf per doc; token-less docs
-    re-enter with dl=0 via a left join — they still count toward
-    N/avgdl, matching the oracle). At 10^12-turn scale the persisted
-    intermediate becomes a staging table; the plan shape is identical.
+    Both the token stream and the doc lengths are pure JVM column
+    expressions over the source scan (functions.tokenizer): two cheap
+    codegen'd passes over (doc_id, text), ZERO Python in the hot path,
+    no persist, no groupBy(doc_id), no join — dl = size(tokens) reads
+    straight off the same regex, and token-less docs get dl=0 rows for
+    free (they still count toward N/avgdl, matching the oracle).
     """
-    from pyspark import StorageLevel
-
-    tokens = tokenize(docs, id_col=id_col, text_col=text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    tokens = tokenize(docs, id_col=id_col, text_col=text_col)
+    dstats = doc_lengths(docs, id_col=id_col, text_col=text_col)
+    return build_index_from_tokens(
+        spark, tokens, dstats, store,
+        bucket_size=bucket_size, block_size=block_size,
+        build_id=build_id, chunk=chunk, input_fingerprint=input_fingerprint,
     )
-    try:
-        all_ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
-        dstats = (
-            all_ids.join(
-                tokens.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
-                "doc_id",
-                "left",
-            ).na.fill({"dl": 0})
-        )
-        return build_index_from_tokens(
-            spark, tokens, dstats, store,
-            bucket_size=bucket_size, block_size=block_size,
-            build_id=build_id, chunk=chunk, input_fingerprint=input_fingerprint,
-        )
-    finally:
-        tokens.unpersist()
 
 
 class SegmentWriter:
@@ -347,19 +341,18 @@ class SegmentWriter:
             for term, vals in self._terms.items()
             for v in vals
         ]
-        if not rows:
-            # only empty posting lists (reference case single_test.go:74-84):
-            # nothing to index; reads over the store stay empty
-            return ""
+        # terms Put() with zero postings still register (reference keeps
+        # them in the FST: ReadTerms sees them, ReadValues stays empty —
+        # single_test.go:74-86)
+        empty_terms = [t for t, vals in self._terms.items() if not vals]
         tokens = self.spark.createDataFrame(rows, "term string, doc_id long, tf int, dl int")
         all_docs = sorted({d for vals in self._terms.values() for d in vals})
-        if not all_docs:
-            raise ErrEmptyIndex("terms exist but no postings")
         dstats = self.spark.createDataFrame(
             [(d, 1) for d in all_docs], "doc_id long, dl long"
         )
         return build_index_from_tokens(
-            self.spark, tokens, dstats, self.store, **self.build_kw
+            self.spark, tokens, dstats, self.store,
+            empty_terms=empty_terms, **self.build_kw
         )
 
 
@@ -392,8 +385,7 @@ def build_index_resumable(
                 seg_ids.append(hit["segment_id"].iloc[0])
                 continue
         part = docs.where(
-            (F.col(id_col).cast("long") / F.lit(bucket_size)).cast("long")
-            % F.lit(n_chunks)
+            F.expr(f"(cast({id_col} as long) div {int(bucket_size)}) % {int(n_chunks)}")
             == F.lit(chunk)
         )
         fp = fingerprint_input({"build_id": build_id, "chunk": chunk})

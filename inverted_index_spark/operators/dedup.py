@@ -32,6 +32,26 @@ from pyspark.sql import functions as F
 from inverted_index_spark.functions.textstats import fingerprints, tokens_col
 
 MERSENNE_P = (1 << 61) - 1
+_U = np.uint64
+
+
+def _mulmod61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Exact (a·x) mod (2^61-1) for uint64 arrays, a < 2^61, x < 2^64.
+
+    128-bit product via 32-bit limb split — every intermediate stays
+    below 2^64, so the universal-hash property actually holds (round-2
+    fix: the previous single multiply wrapped mod 2^64 first)."""
+    mask32 = _U(0xFFFFFFFF)
+    a0, a1 = a & mask32, a >> _U(32)
+    x0, x1 = x & mask32, x >> _U(32)
+    p = _U(MERSENNE_P)
+    hi = (a1 * x1) % p          # a1 < 2^29, x1 < 2^32 → < 2^61
+    mid = ((a1 * x0) % p + (a0 * x1) % p) % p
+    lo = (a0 * x0) % p
+    # a·x = hi·2^64 + mid·2^32 + lo;   2^64 ≡ 8, 2^61 ≡ 1 (mod p)
+    hi_term = (hi * _U(8)) % p
+    mid_term = ((mid >> _U(29)) + ((mid & _U((1 << 29) - 1)) << _U(32))) % p
+    return (hi_term + mid_term + lo) % p
 
 
 # ------------------------------------------------------------------ exact ---
@@ -64,14 +84,16 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def _token_hash64(tokens: pd.Series) -> list[np.ndarray]:
-    """md5-low-64-bits per shingle string (vectorized per batch)."""
+    """64-bit shingle hash = little-endian first 8 md5 digest bytes —
+    pinned to DuckDB's ``md5_number_upper`` so the SQL oracle can
+    reproduce signatures bit-for-bit."""
     import hashlib
 
     out = []
     for toks in tokens:
         hs = np.fromiter(
             (
-                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
                 for t in toks
             ),
             dtype=np.uint64,
@@ -97,9 +119,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<long>) — minhash over token n-gram shingles.
 
-    h_i(x) = (a_i·x + b_i) mod p  over md5-derived 64-bit shingle
-    hashes; (a_i, b_i) drawn from a seeded rng so signatures are
-    deterministic across runs/partitionings.
+    h_i(x) = (a_i·x + b_i) mod p, p = 2^61-1, computed EXACTLY
+    (128-bit limb multiply, :func:`_mulmod61`) over md5-derived 64-bit
+    shingle hashes; (a_i, b_i) drawn from a seeded rng so signatures
+    are deterministic across runs/partitionings AND reproducible by
+    the DuckDB oracle (HUGEINT math + md5_number_upper).
     """
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE_P, size=num_hashes, dtype=np.uint64)
@@ -119,8 +143,8 @@ def minhash_signatures(
                     continue
                 # (num_hashes, n_shingles) in O(num_hashes) vector ops
                 vals = (
-                    a[:, None] * (hs[None, :] % MERSENNE_P) + b[:, None]
-                ) % MERSENNE_P
+                    _mulmod61(a[:, None], hs[None, :]) + b[:, None]
+                ) % _U(MERSENNE_P)
                 sigs.append(vals.min(axis=1).astype(np.int64).tolist())
                 ids.append(doc_id)
             yield pd.DataFrame(
@@ -142,6 +166,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.6,
     seed: int = 42,
+    hot_bucket_cap: int = 10_000,
 ) -> DataFrame:
     """(a, b, est_jaccard) near-duplicate candidate pairs.
 
@@ -149,6 +174,17 @@ def minhash_lsh_pairs(
     rows agree — the standard S-curve. The self-join runs within band
     buckets only (shuffle key = (band, band_hash)); est_jaccard = mean
     signature agreement; pairs below threshold are dropped.
+
+    band_hash = md5 of the comma-joined slice (identical in DuckDB, so
+    the oracle reproduces the exact candidate set — Spark's F.hash is
+    murmur3 and engine-private).
+
+    Skew guard (round-2 hardening): a bucket of B near-identical docs
+    would emit B²/2 pairs; buckets larger than ``hot_bucket_cap`` emit
+    a STAR instead — every member pairs with the bucket's min doc_id —
+    keeping pair generation O(B) per hot bucket while preserving
+    connectivity for union-find style dedup. Buckets at test/oracle
+    scale never hit the cap, so results are unchanged there.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, seed)
@@ -158,27 +194,44 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.hash(F.slice("sig", i * rows + 1, rows)),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", i * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
             )
         ).alias("band", "band_hash"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("a"),
-            F.col("r.doc_id").alias("b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["a", "b"])
+    # bucket sizes + representative (min doc_id) — same shuffle key as
+    # the self-join below, so AQE co-partitions the whole chain
+    sizes = banded.groupBy("band", "band_hash").agg(
+        F.count("*").alias("_bn"), F.min("doc_id").alias("_rep")
     )
+    banded = banded.join(sizes, ["band", "band_hash"])
+    normal = banded.where(F.col("_bn") <= hot_bucket_cap)
+    left = normal.alias("l")
+    right = normal.alias("r")
+    cand = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.band_hash") == F.col("r.band_hash"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(
+        F.col("l.doc_id").alias("a"),
+        F.col("r.doc_id").alias("b"),
+        F.col("l.sig").alias("sig_a"),
+        F.col("r.sig").alias("sig_b"),
+    )
+    hot = banded.where(
+        (F.col("_bn") > hot_bucket_cap) & (F.col("doc_id") != F.col("_rep"))
+    ).select(F.col("_rep").alias("a"), F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    rep_sig = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    hot_cand = hot.join(rep_sig, "a").select("a", "b", "sig_a", "sig_b")
+    cand = cand.unionByName(hot_cand).dropDuplicates(["a", "b"])
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -199,7 +252,9 @@ def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, simhash) — 64-bit simhash over token md5 hashes with tf
-    weights, computed in one Arrow pass (bit-matrix accumulate)."""
+    weights, computed in one Arrow pass (bit-matrix accumulate).
+    Token hash = little-endian first 8 md5 bytes (≡ DuckDB
+    md5_number_upper, so the SQL oracle reproduces it)."""
     narrow = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         tokens_col(F.col(text_col)).alias("toks"),
@@ -217,7 +272,7 @@ def simhash(
                     continue
                 uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
                 hs = np.fromiter(
-                    (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in uniq),
+                    (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in uniq),
                     dtype=np.uint64,
                     count=len(uniq),
                 )
@@ -233,24 +288,56 @@ def simhash(
     return narrow.mapInPandas(run, schema="doc_id long, simhash long")
 
 
+def simhash_chunk_bounds(max_hamming: int, bands: int | None) -> list[tuple[int, int]]:
+    """(offset, width) per band chunk. bands defaults to
+    max_hamming + 1 — the smallest count for which the pigeonhole
+    guarantee holds (a pair ≤ max_hamming bits apart MUST agree on at
+    least one chunk). Explicit bands ≤ max_hamming is a contract
+    violation and raises (round-2 fix: the previous default silently
+    lost recall for max_hamming ≥ bands)."""
+    if bands is None:
+        bands = max_hamming + 1
+    if not 1 <= bands <= 64:
+        raise ValueError(f"bands must be in [1, 64], got {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < bands "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    base, rem = divmod(64, bands)
+    widths = [base + 1] * rem + [base] * (bands - rem)
+    bounds, off = [], 0
+    for w in widths:
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    bands: int = 4,
+    bands: int | None = None,
 ) -> DataFrame:
     """(a, b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole banding: split 64 bits into `bands` chunks; any pair
-    within max_hamming < bands must agree on ≥1 chunk → equi-join per
-    chunk, verify exact Hamming with bit_count (JVM-side)."""
+    Pigeonhole banding: split 64 bits into `bands` variable-width
+    chunks (bands defaults to max_hamming + 1, which makes the recall
+    guarantee unconditional); any pair within max_hamming must agree
+    on ≥1 chunk → equi-join per chunk, verify exact Hamming with
+    bit_count (JVM-side)."""
     sh = simhash(docs, id_col, text_col)
-    width = 64 // bands
-    # static shift amounts (shiftrightunsigned takes a Python int)
+    # static shift amounts (shiftrightunsigned takes a Python int);
+    # mask with AND, not %: Java % of a negative long is sign-dependent
+    # and would split equal chunks across the sign bit
     chunk_exprs = [
-        F.shiftrightunsigned(F.col("simhash"), i * width) % F.lit(2**width)
-        for i in range(bands)
+        (
+            F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(F.lit(2**w - 1))
+            if w < 64
+            else F.col("simhash")
+        )
+        for off, w in simhash_chunk_bounds(max_hamming, bands)
     ]
     banded = sh.select(
         "doc_id",

@@ -43,13 +43,14 @@ def _tf_norm(tf, dl, avgdl):
 class _BlockHandle:
     """Lazy posting block: bounds + WAND stats now, decode on demand."""
 
-    __slots__ = ("first_doc", "last_doc", "max_tf", "min_dl", "_src", "_cache")
+    __slots__ = ("first_doc", "last_doc", "max_tf", "min_dl", "n", "_src", "_cache")
 
-    def __init__(self, first_doc, last_doc, max_tf, min_dl, src):
+    def __init__(self, first_doc, last_doc, max_tf, min_dl, n, src):
         self.first_doc = first_doc
         self.last_doc = last_doc
         self.max_tf = max_tf
         self.min_dl = min_dl
+        self.n = n  # posting count (adaptive exhaustive-fallback sizing)
         self._src = src  # (postings, tfs, dls, blocks, bi) | (docs, tfs, dls)
         self._cache = None
 
@@ -82,7 +83,7 @@ def _term_handles(grp: pd.DataFrame) -> list[_BlockHandle]:
         blocks = list(r["blocks"])
         return [
             _BlockHandle(
-                b["first_doc"], b["last_doc"], b["max_tf"], b["min_dl"],
+                b["first_doc"], b["last_doc"], b["max_tf"], b["min_dl"], b["n"],
                 (r["postings"], r["tfs"], r["dls"], blocks, bi),
             )
             for bi, b in enumerate(blocks)
@@ -105,10 +106,38 @@ def _term_handles(grp: pd.DataFrame) -> list[_BlockHandle]:
         out.append(
             _BlockHandle(
                 int(d[s]), int(d[e - 1]), int(tf[s:e].max()), int(dl[s:e].min()),
-                (d[s:e], tf[s:e], dl[s:e]),
+                int(e - s), (d[s:e], tf[s:e], dl[s:e]),
             )
         )
     return out
+
+
+def _exhaustive_from_handles(
+    terms: dict[str, list[_BlockHandle]], idf_map: dict, avgdl: float, k: int
+) -> list[tuple[int, float]]:
+    """Decode-everything scorer for tiny posting sets where span
+    bookkeeping costs more than it prunes (round-2 adaptivity). Blocks
+    within a term are doc-disjoint, so one concat per term is exact."""
+    doc_parts, contrib_parts = [], []
+    for t in sorted(terms):
+        for h in terms[t]:
+            docs, tfs, dls = h.decode()
+            if not len(docs):
+                continue
+            c = idf_map[t] * _tf_norm(
+                tfs.astype(np.float64), dls.astype(np.float64), avgdl
+            )
+            doc_parts.append(docs)
+            contrib_parts.append(c)
+    if not doc_parts:
+        return []
+    d = np.concatenate(doc_parts)
+    c = np.concatenate(contrib_parts)
+    uniq, inv = np.unique(d, return_inverse=True)
+    scores = np.zeros(len(uniq))
+    np.add.at(scores, inv, c)
+    order = np.argsort(-scores, kind="stable")[:k]  # ties → doc_id asc
+    return [(int(uniq[i]), float(scores[i])) for i in order]
 
 
 def _wand_from_handles(
@@ -117,24 +146,33 @@ def _wand_from_handles(
     """Core span-based block-max scorer over prebuilt block handles.
     Returns the local top-k as (doc_id, score), best first. Handles
     cache decoded blocks, so running many queries over the same
-    bucket's handles decodes each block at most once."""
-    # span boundaries: union of all block edges → half-open doc spans
+    bucket's handles decodes each block at most once.
+
+    Spans are doc-disjoint, so every doc's score is complete within its
+    span — which makes processing order free. We exploit that by
+    scoring spans in DESCENDING upper-bound order: θ tightens as fast
+    as possible and, because later spans can only have lower ub, the
+    first ub < θ ends the whole query (early break, not per-span skip).
+    Per-span slicing is binary search on the sorted block docs (no
+    full-block masks). Tiny posting sets skip the span machinery
+    entirely (exhaustive fallback — same results, less bookkeeping).
+    """
+    total_n = sum(h.n for hs in terms.values() for h in hs)
+    if total_n <= max(4 * k, 256):
+        return _exhaustive_from_handles(terms, idf_map, avgdl, k)
+    # pass 1 (no decode): doc-ordered pointer walk → per-span ub + blocks
     edges = sorted(
         {h.first_doc for hs in terms.values() for h in hs}
         | {h.last_doc + 1 for hs in terms.values() for h in hs}
     )
-    topk: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
     ptr = {t: 0 for t in terms}
-
-    def theta() -> float:
-        return topk[0][0] if len(topk) >= k else -np.inf
-
+    spans: list[tuple[float, int, int, list]] = []
     for si in range(len(edges) - 1):
         lo, hi = edges[si], edges[si + 1] - 1
-        # candidate block per term + summed upper bound for this span
         ub = 0.0
         active: list[tuple[str, _BlockHandle]] = []
-        for t, hs in terms.items():
+        for t in sorted(terms):
+            hs = terms[t]
             i = ptr[t]
             while i < len(hs) and hs[i].last_doc < lo:
                 i += 1
@@ -143,17 +181,30 @@ def _wand_from_handles(
                 h = hs[i]
                 ub += idf_map[t] * _tf_norm(h.max_tf, h.min_dl, avgdl)
                 active.append((t, h))
-        if not active or (ub < theta()):
-            continue  # skip span without decoding
+        if active:
+            spans.append((ub, lo, hi, active))
+    # pass 2: descending-ub processing with early break at ub < θ
+    spans.sort(key=lambda s: -s[0])
+    topk: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+
+    def theta() -> float:
+        return topk[0][0] if len(topk) >= k else -np.inf
+
+    for ub, lo, hi, active in spans:
+        if ub < theta():
+            break  # sorted desc: every remaining span is below θ too
         # vectorized span scoring, terms ascending (pinned float order)
         doc_parts, contrib_parts = [], []
         for t, h in active:
             docs, tfs, dls = h.decode()
-            m = (docs >= lo) & (docs <= hi)
-            if not m.any():
+            a = int(np.searchsorted(docs, lo, side="left"))
+            b = int(np.searchsorted(docs, hi, side="right"))
+            if a == b:
                 continue
-            c = idf_map[t] * _tf_norm(tfs[m].astype(np.float64), dls[m].astype(np.float64), avgdl)
-            doc_parts.append(docs[m])
+            c = idf_map[t] * _tf_norm(
+                tfs[a:b].astype(np.float64), dls[a:b].astype(np.float64), avgdl
+            )
+            doc_parts.append(docs[a:b])
             contrib_parts.append(c)
         if not doc_parts:
             continue
@@ -164,8 +215,12 @@ def _wand_from_handles(
         scores = np.zeros(len(uniq))
         np.add.at(scores, inv, c)
         # docs in this span are COMPLETE → fold into top-k, tighten θ
-        for doc, s in zip(uniq.tolist(), scores.tolist()):
-            item = (s, -doc)
+        if len(topk) >= k:
+            cand = np.flatnonzero(scores >= topk[0][0])
+        else:
+            cand = np.arange(len(uniq))
+        for i in cand:
+            item = (float(scores[i]), -int(uniq[i]))
             if len(topk) < k:
                 heapq.heappush(topk, item)
             elif item > topk[0]:

@@ -51,7 +51,9 @@ BLOCK_STRUCT = T.StructType(
 
 POSTINGS_SCHEMA = T.StructType(
     [
-        T.StructField("bucket", T.IntegerType()),
+        # bucket = doc_id div bucket_size — long end-to-end (an int32
+        # bucket wraps past ~2^31 buckets at 10^12+ doc ids)
+        T.StructField("bucket", T.LongType()),
         T.StructField("term", T.StringType()),
         T.StructField("df", T.LongType()),
         T.StructField("postings", T.BinaryType()),
@@ -68,7 +70,7 @@ MANIFEST_COLS = [
     "n_terms", "n_postings", "n_docs", "sum_dl", "bytes",
     "min_doc", "max_doc",
     "build_id", "chunk", "input_fingerprint",
-    "terms_per_sec", "skew_ratio", "created_ts",
+    "terms_per_sec", "skew_ratio", "created_ts", "tombstone_ts",
 ]
 
 LIVE, MERGED = "live", "merged"
@@ -90,11 +92,22 @@ class SegmentStore:
 
     # ---------------------------------------------------------- manifest
     def current_generation(self) -> int:
+        """Highest committed generation = max gen-<n>.parquet present.
+
+        Gen files only become visible via an atomic os.link of a fully
+        written temp file, so the max is always a complete, consistent
+        snapshot — the directory scan IS the commit log (the parquet
+        stand-in for Iceberg's metadata version listing)."""
         try:
-            with open(self._current_path()) as f:
-                return int(f.read().strip())
+            names = os.listdir(self._manifest_dir())
         except FileNotFoundError:
             return 0
+        gens = [
+            int(n[4:-8])
+            for n in names
+            if n.startswith("gen-") and n.endswith(".parquet")
+        ]
+        return max(gens, default=0)
 
     def read_manifest(self) -> pd.DataFrame:
         gen = self.current_generation()
@@ -102,21 +115,61 @@ class SegmentStore:
             return pd.DataFrame(columns=MANIFEST_COLS)
         return pd.read_parquet(
             os.path.join(self._manifest_dir(), f"gen-{gen}.parquet")
-        )
+        ).reindex(columns=MANIFEST_COLS)
 
-    def _commit_manifest(self, manifest: pd.DataFrame) -> int:
-        """Write gen-(n+1) snapshot, atomically swap CURRENT."""
+    def _commit_manifest(self, transform) -> int:
+        """Serializable optimistic commit (round-2 fix for the CAS gap
+        the reference closes with O_CREATE|O_EXCL + per-file locks,
+        single/single.go:810, multiple/files_list.go:9-16):
+
+            loop: base = max gen → manifest = read(base)
+                  → next = transform(manifest, base)
+                  → write temp → os.link(temp, gen-(base+1))  [atomic excl]
+                  → on EEXIST (someone else won base+1): retry on top
+                    of THEIR snapshot — transform is re-applied, so no
+                    committer's rows are ever lost.
+
+        CURRENT remains as a best-effort monotone pointer for humans;
+        readers resolve via the max-gen scan above."""
         os.makedirs(self._manifest_dir(), exist_ok=True)
-        gen = self.current_generation() + 1
-        manifest = manifest[MANIFEST_COLS]
-        manifest.to_parquet(
-            os.path.join(self._manifest_dir(), f"gen-{gen}.parquet"), index=False
-        )
+        for _ in range(1000):
+            base = self.current_generation()
+            manifest = (
+                pd.read_parquet(
+                    os.path.join(self._manifest_dir(), f"gen-{base}.parquet")
+                ).reindex(columns=MANIFEST_COLS)
+                if base
+                else pd.DataFrame(columns=MANIFEST_COLS)
+            )
+            nxt = transform(manifest, base)[MANIFEST_COLS]
+            gen = base + 1
+            tmp = os.path.join(
+                self._manifest_dir(), f".tmp-{uuid.uuid4().hex[:8]}.parquet"
+            )
+            nxt.to_parquet(tmp, index=False)
+            target = os.path.join(self._manifest_dir(), f"gen-{gen}.parquet")
+            try:
+                os.link(tmp, target)  # atomic create-exclusive
+            except FileExistsError:
+                os.unlink(tmp)
+                continue  # lost the race — retry on the new base
+            os.unlink(tmp)
+            self._advance_current(gen)
+            return gen
+        raise RuntimeError("manifest commit contention: 1000 retries exhausted")
+
+    def _advance_current(self, gen: int) -> None:
+        """Monotone best-effort CURRENT pointer (debug/compat only)."""
+        try:
+            with open(self._current_path()) as f:
+                if int(f.read().strip()) >= gen:
+                    return
+        except (FileNotFoundError, ValueError):
+            pass
         tmp = self._current_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             f.write(str(gen))
-        os.replace(tmp, self._current_path())  # atomic pointer swap
-        return gen
+        os.replace(tmp, self._current_path())
 
     def live_segments(self) -> pd.DataFrame:
         m = self.read_manifest()
@@ -139,50 +192,65 @@ class SegmentStore:
     ) -> int:
         """Append a live manifest row (optionally tombstoning inputs) —
         the analog of filesList add + merged-list move
-        (multiple/multiple_index.go:70-81)."""
-        m = self.read_manifest()
-        if replaces:
-            m = m.copy()
-            m.loc[m["segment_id"].isin(replaces), "status"] = MERGED
-        row = {
-            "segment_id": segment_id,
-            "path": self.seg_dir(segment_id),
-            "generation_added": self.current_generation() + 1,
-            "status": LIVE,
-            "created_ts": time.time(),
-            "build_id": stats.get("build_id", ""),
-            "chunk": stats.get("chunk", -1),
-            "input_fingerprint": stats.get("input_fingerprint", ""),
-            "terms_per_sec": stats.get("terms_per_sec", 0.0),
-            "skew_ratio": stats.get("skew_ratio", 0.0),
-            **{
-                k: stats.get(k, 0)
-                for k in (
-                    "n_terms", "n_postings", "n_docs", "sum_dl", "bytes",
-                    "min_doc", "max_doc",
-                )
-            },
-        }
-        row_df = pd.DataFrame([row])
-        m = row_df if not len(m) else pd.concat([m, row_df], ignore_index=True)
-        return self._commit_manifest(m)
+        (multiple/multiple_index.go:70-81). The transform re-applies on
+        every CAS retry, so concurrent committers never lose rows."""
 
-    def cleanup(self) -> list[str]:
+        def transform(m: pd.DataFrame, base: int) -> pd.DataFrame:
+            m = m.copy()
+            if replaces:
+                hit = m["segment_id"].isin(replaces) & (m["status"] == LIVE)
+                m.loc[hit, "status"] = MERGED
+                m.loc[hit, "tombstone_ts"] = time.time()
+            row = {
+                "segment_id": segment_id,
+                "path": self.seg_dir(segment_id),
+                "generation_added": base + 1,
+                "status": LIVE,
+                "created_ts": time.time(),
+                "tombstone_ts": 0.0,
+                "build_id": stats.get("build_id", ""),
+                "chunk": stats.get("chunk", -1),
+                "input_fingerprint": stats.get("input_fingerprint", ""),
+                "terms_per_sec": stats.get("terms_per_sec", 0.0),
+                "skew_ratio": stats.get("skew_ratio", 0.0),
+                **{
+                    k: stats.get(k, 0)
+                    for k in (
+                        "n_terms", "n_postings", "n_docs", "sum_dl", "bytes",
+                        "min_doc", "max_doc",
+                    )
+                },
+            }
+            row_df = pd.DataFrame([row])
+            return row_df if not len(m) else pd.concat([m, row_df], ignore_index=True)
+
+        return self._commit_manifest(transform)
+
+    def cleanup(self, grace_s: float = 0.0) -> list[str]:
         """Delete merged segments' data (reference Cleanup,
-        multiple/multiple_index.go:218-252; snapshot isolation makes
-        the lock probe unnecessary). Returns deleted segment ids."""
+        multiple/multiple_index.go:218-252). ``grace_s`` keeps
+        tombstoned segments on disk for a window after the merge commit
+        so in-flight readers holding an older snapshot finish cleanly —
+        the snapshot-isolation replacement for the reference's per-file
+        read locks (set it above your max read latency when readers
+        run concurrently; 0 keeps single-driver behavior). Returns
+        deleted segment ids."""
         m = self.read_manifest()
         if not len(m):
             return []
-        dead = m[m["status"] == MERGED]
+        now = time.time()
+        ts = m["tombstone_ts"].fillna(0.0)
+        dead = m[(m["status"] == MERGED) & (ts <= now - grace_s)]
         deleted = []
         for seg_id in dead["segment_id"]:
             d = self.seg_dir(seg_id)
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+            shutil.rmtree(d, ignore_errors=True)
             deleted.append(seg_id)
         if deleted:
-            self._commit_manifest(m[m["status"] != MERGED].reset_index(drop=True))
+            gone = set(deleted)
+            self._commit_manifest(
+                lambda m, base: m[~m["segment_id"].isin(gone)].reset_index(drop=True)
+            )
         return deleted
 
     # ------------------------------------------------------------- reads

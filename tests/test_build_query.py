@@ -54,8 +54,44 @@ def test_empty_index_error(spark, store):
 
 
 def test_empty_postings(spark, store):
+    # reference single_test.go:74-86: Put(term, []) registers the term
+    # (ReadTerms enumerates it) while ReadValues stays empty
     _write(spark, store, [("term", [])])
     assert _vals(read_all_values(spark, store, ["term"])) == []
+    assert _terms(read_terms(spark, store)) == ["term"]
+
+
+def test_empty_postings_mixed(spark, store):
+    _write(spark, store, [("a", [1, 2]), ("empty", []), ("z", [3])])
+    assert _terms(read_terms(spark, store)) == ["a", "empty", "z"]
+    assert _vals(read_all_values(spark, store, ["empty"])) == []
+    assert _vals(read_all_values(spark, store, ["a", "empty"])) == [1, 2]
+
+
+def test_jvm_python_tokenizer_parity(spark):
+    """The JVM hot-path tokenizer and the Python oracle kernel are the
+    same contract on NFC input (unicode, caps, length bounds, dups)."""
+    from inverted_index_spark.functions.tokenizer import tokenize, tokenize_arrow
+
+    texts = [
+        "Héllo мир foo_bar 123 التقديم חתונה бесплатно zx9uyv",
+        "ÅNGSTRÖM ß STRASSE İstanbul ligature ﬁne",
+        "x" * 70 + " ok a 12.5 co-op co-op the the the",
+        "ελληνικά ΣΊΣΥΦΟΣ end",
+        "", "   ", "a",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    jvm = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+        for r in tokenize(docs).collect()
+    }
+    py = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+        for r in tokenize_arrow(docs).collect()
+    }
+    assert jvm == py and len(jvm) > 10
 
 
 def test_read_terms_sorted_idempotent(spark, store):

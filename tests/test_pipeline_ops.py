@@ -73,6 +73,57 @@ def test_simhash_near_pairs(spark, docs):
     assert (0, 3) not in pairs
 
 
+def test_simhash_recall_guarantee(spark, docs):
+    """Round-2 contract fix: every true pair within max_hamming is
+    found, for any max_hamming, because bands auto-derive. Pin it with
+    a BRUTE-FORCE oracle at max_hamming=16 (the driver-entry setting
+    that used to silently lose recall) and a hamming-10 spot check."""
+    from inverted_index_spark.operators.dedup import simhash
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    want = {
+        (a, b): bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+        for a in sh
+        for b in sh
+        if a < b and bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= 16
+    }
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, max_hamming=16).collect()
+    }
+    assert got == want and any(h >= 4 for h in want.values())
+
+
+def test_simhash_bands_contract(spark, docs):
+    with pytest.raises(ValueError):
+        simhash_near_pairs(docs, max_hamming=16, bands=4)
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """1k identical docs: pair generation collapses to a star around
+    the min doc_id (O(B), not B²/2) and every member is still linked."""
+    rows = [(i, "same exact text repeated for the hot bucket test") for i in range(1000)]
+    rows.append((5000, "entirely different content that stands alone"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, threshold=0.3, hot_bucket_cap=100).collect()
+    assert len(pairs) == 999  # star, not 1000*999/2
+    assert all(r["a"] == 0 and r["est_jaccard"] == 1.0 for r in pairs)
+    assert sorted(r["b"] for r in pairs) == list(range(1, 1000))
+
+
+def test_mulmod61_exact():
+    """The minhash hash family is the documented (a·x+b) mod p —
+    exact 128-bit math, cross-checked against Python bigints."""
+    from inverted_index_spark.operators.dedup import MERSENNE_P, _mulmod61
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(1, MERSENNE_P, size=200, dtype=np.uint64)
+    x = rng.integers(0, np.iinfo(np.uint64).max, size=200, dtype=np.uint64)
+    got = _mulmod61(a, x)
+    want = np.array([(int(ai) * int(xi)) % MERSENNE_P for ai, xi in zip(a, x)], dtype=np.uint64)
+    assert (got == want).all()
+
+
 def test_ngram_jaccard(spark, docs):
     ids = docs.select(F.col("doc_id").alias("a"))
     pairs = ids.crossJoin(docs.select(F.col("doc_id").alias("b"))).where("a < b")
