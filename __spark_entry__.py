@@ -163,11 +163,9 @@ def _q_ngram_jaccard(spark, sf):
     )
 
 
-# rows-only entries (no SQL oracle — non-SQL-expressible semantics)
-
-
 def _q_minhash_pairs(spark, sf):
-    return _dedup.minhash_lsh_pairs(_docs(spark, sf), threshold=0.3)
+    p = _dedup.minhash_lsh_pairs(_docs(spark, sf), threshold=0.3)
+    return p.select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
 def _q_simhash_pairs(spark, sf):
@@ -176,10 +174,40 @@ def _q_simhash_pairs(spark, sf):
     return _dedup.simhash_near_pairs(_docs(spark, sf), max_hamming=7)
 
 
+def _q_index_stats(spark, sf):
+    """Corpus-level accounting cross-check: the manifest's exact counters
+    (n_docs, n_postings = Σdf, sum_dl) must equal what DuckDB derives
+    from the raw corpus — an end-to-end audit of the whole write path."""
+    m = _store_for(spark, sf).summary()
+    live = m[m["status"] == "live"]
+    return spark.createDataFrame(
+        [(
+            int(len(live)),
+            int(live["n_docs"].sum()),
+            int(live["n_postings"].sum()),
+            int(live["sum_dl"].sum()),
+        )],
+        "n_segments long, n_docs long, n_postings long, sum_dl long",
+    )
+
+
+# rows-only entries (no SQL oracle — non-SQL-expressible semantics)
+
+
+_LSH_INDEXES: dict[str, str] = {}
+
+
 def _q_ann_lsh(spark, sf):
+    """ANN over a PERSISTED LSH bucket table (built once per process —
+    round-2 fix: the on-the-fly variant recomputed every projection per
+    query, costing more than brute force)."""
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    if sf not in _LSH_INDEXES:
+        d = tempfile.mkdtemp(prefix="ii_lsh_") + "/lsh"
+        _sim.build_lsh_index(emb, d)
+        _LSH_INDEXES[sf] = d
     qv = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return _sim.ann_lsh_topk(emb, [float(x) for x in qv], k=10)
+    return _sim.ann_lsh_topk_indexed(spark, _LSH_INDEXES[sf], [float(x) for x in qv], k=10)
 
 
 def _q_index_summary(spark, sf):
@@ -222,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "index_stats": _q_index_stats,
         "ann_lsh_topk": _q_ann_lsh,
         "index_summary": _q_index_summary,
         "transcripts_bm25": _q_transcripts_bm25,
@@ -272,6 +301,66 @@ SELECT doc_id,
          END) AS sh
 FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
       FROM documents WHERE doc_id < 60)
+"""
+
+def _minhash_params_sql(num_hashes: int = 64, seed: int = 42) -> str:
+    """The exact (a_i, b_i) constants the engine draws
+    (operators/dedup.py minhash_signatures) as a SQL VALUES list."""
+    import numpy as np
+
+    from inverted_index_spark.operators.dedup import MERSENNE_P
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE_P, size=num_hashes, dtype=np.uint64)
+    return ", ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
+        for i in range(num_hashes)
+    )
+
+
+# bit-exact DuckDB twin of minhash_lsh_pairs(threshold=0.3): same shingle
+# hash (md5_number_upper = little-endian first 8 md5 bytes), same exact
+# (a·x+b) mod 2^61-1 (HUGEINT math), same md5 band keys, same banding
+_MINHASH = f"""
+WITH params(i, pa, pb) AS (VALUES {_minhash_params_sql()}),
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents),
+shg AS (SELECT doc_id, unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+        WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        ELSE list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+       FROM toks),
+hx AS (SELECT DISTINCT doc_id, md5_number_upper(s)::HUGEINT AS x FROM shg),
+comp AS (SELECT doc_id, p.i,
+           min(((p.pa * x) % 2305843009213693951 + p.pb) % 2305843009213693951)::BIGINT AS v
+         FROM hx CROSS JOIN params p GROUP BY doc_id, p.i),
+sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM comp GROUP BY doc_id),
+banded AS (SELECT doc_id, sig, band,
+             md5(array_to_string(list_transform(sig[band*4+1 : band*4+4], x -> x::VARCHAR), ',')) AS bh
+           FROM sig CROSS JOIN (SELECT unnest(range(16)) AS band)),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sig AS sig_a, r.sig AS sig_b
+         FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+est AS (SELECT a, b, list_sum(list_transform(generate_series(1, 64),
+          k -> CASE WHEN sig_a[k] = sig_b[k] THEN 1 ELSE 0 END))::DOUBLE / 64 AS ej
+        FROM cand)
+SELECT a, b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.3
+"""
+
+# bit-exact DuckDB twin of simhash_near_pairs(max_hamming=7): tf-weighted
+# bit votes over md5_number_upper token hashes, 8×8-bit pigeonhole bands
+_SIMHASH = """
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents),
+tc AS (SELECT doc_id, w, count(*)::HUGEINT AS c FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w),
+th AS (SELECT doc_id, md5_number_upper(w)::HUGEINT AS h, c FROM tc),
+bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN c ELSE -c END) AS vote
+         FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY doc_id, j),
+shu AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::HUGEINT << j) ELSE 0::HUGEINT END) AS hu FROM bits GROUP BY doc_id),
+sh AS (SELECT doc_id, (CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END)::BIGINT AS simhash,
+              hu FROM shu),
+banded AS (SELECT doc_id, simhash, band, ((hu >> (band * 8)) & 255)::BIGINT AS chunk
+           FROM sh CROSS JOIN (SELECT unnest(range(8)) AS band)),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS ha, r.simhash AS hb
+         FROM banded l JOIN banded r ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id)
+SELECT a, b, bit_count(xor(ha, hb))::INT AS hamming FROM cand WHERE bit_count(xor(ha, hb)) <= 7
 """
 
 _COS = """
@@ -371,6 +460,14 @@ def oracle_sql() -> dict[str, str]:
         "embed_knn": (
             f"SELECT vec_id, round(raw_cos, 4) AS cosine FROM ({_COS}) "
             "ORDER BY raw_cos DESC, vec_id ASC LIMIT 20"
+        ),
+        "minhash_pairs": _MINHASH,
+        "simhash_pairs": _SIMHASH,
+        "index_stats": (
+            "SELECT 1::BIGINT AS n_segments, "
+            "(SELECT count(*) FROM documents)::BIGINT AS n_docs, "
+            f"(SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM ({_TOK})))::BIGINT AS n_postings, "
+            f"(SELECT sum(len({_TOKS_SQL})) FROM documents)::BIGINT AS sum_dl"
         ),
         "ngram_jaccard": (
             f"WITH sh AS ({_SHINGLES}) "

@@ -20,7 +20,10 @@ def main(argv: list[str] | None = None) -> int:
     s_build = sub.add_parser("build", help="build an index segment")
     s_build.add_argument("input_parquet")
     s_build.add_argument("store_root")
-    s_build.add_argument("--bucket-size", type=int, default=1 << 16)
+    s_build.add_argument(
+        "--bucket-size", type=int, default=None,
+        help="doc-bucket width; defaults to the store's pinned size, else 65536",
+    )
     s_query = sub.add_parser("query", help="BM25 top-k")
     s_query.add_argument("store_root")
     s_query.add_argument("terms", nargs="+")
@@ -57,7 +60,8 @@ def main(argv: list[str] | None = None) -> int:
             from inverted_index_spark.operators.docids import mint_doc_ids
 
             docs = mint_doc_ids(docs)
-        sid = build_index(spark, docs, store, bucket_size=args.bucket_size)
+        bucket_size = args.bucket_size or store.pinned_bucket_size() or (1 << 16)
+        sid = build_index(spark, docs, store, bucket_size=bucket_size)
         print(f"committed segment {sid}")
         return 0
     if args.cmd == "query":

@@ -213,6 +213,13 @@ def build_index_from_tokens(
     them while ReadValues stays empty (single/single.go:139-153;
     single_test.go:74-86): they become df=0 rows with empty binaries.
     """
+    pinned = store.pinned_bucket_size()
+    if pinned is not None and pinned != bucket_size:
+        raise ValueError(
+            f"store is pinned to bucket_size={pinned}; a segment with "
+            f"bucket_size={bucket_size} would break the disjoint-bucket "
+            "invariant (docs double-counted across segments at query time)"
+        )
     t0 = time.time()
     segment_id = new_segment_id()
     seg_dir = store.seg_dir(segment_id)
@@ -270,6 +277,7 @@ def build_index_from_tokens(
             # None only when every term has zero postings (empty_terms)
             "min_doc": int(agg["min_doc"] if agg["min_doc"] is not None else 0),
             "max_doc": int(agg["max_doc"] if agg["max_doc"] is not None else -1),
+            "bucket_size": int(bucket_size),
             "build_id": build_id or segment_id,
             "chunk": chunk,
             "input_fingerprint": input_fingerprint,

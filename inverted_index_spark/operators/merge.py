@@ -78,6 +78,7 @@ def merge_segments(
     victims = store.pick_merge_candidates(min_files, max_files)
     if not victims:
         return None
+    bucket_size = store.pinned_bucket_size() or 0  # inherited, never changed
     seg = store.read_postings(spark, victims)
 
     def mrg(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -119,6 +120,7 @@ def merge_segments(
             "min_doc": int(agg["min_doc"] or 0),
             "max_doc": int(agg["max_doc"] or 0),
             "build_id": f"merge:{'+'.join(victims)}"[:512],
+            "bucket_size": bucket_size,
         },
         replaces=victims,
     )

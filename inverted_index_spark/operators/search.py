@@ -32,7 +32,15 @@ class Searcher:
 
     # ------------------------------------------------------------- open ---
     def open(self, preload_dfs_max_terms: int = 5_000_000) -> "Searcher":
-        self._postings = self.store.read_postings(self.spark).cache()
+        # cache pre-partitioned BY BUCKET: every per-query
+        # groupBy("bucket").applyInPandas then satisfies its clustered
+        # distribution straight off the cache and Catalyst elides the
+        # per-query exchange — a WAND/topk query becomes ONE stage over
+        # cached columnar batches plus a TakeOrdered merge (one-time
+        # shuffle here instead of one per query)
+        self._postings = (
+            self.store.read_postings(self.spark).repartition("bucket").cache()
+        )
         self._postings.count()  # materialize
         self._stats = _bm25.corpus_stats(self.spark, self.store)
         # preload the whole term→df dictionary when it fits (the

@@ -71,6 +71,7 @@ MANIFEST_COLS = [
     "min_doc", "max_doc",
     "build_id", "chunk", "input_fingerprint",
     "terms_per_sec", "skew_ratio", "created_ts", "tombstone_ts",
+    "bucket_size",
 ]
 
 LIVE, MERGED = "live", "merged"
@@ -175,6 +176,24 @@ class SegmentStore:
         m = self.read_manifest()
         return m[m["status"] == LIVE] if len(m) else m
 
+    def pinned_bucket_size(self) -> int | None:
+        """The store-wide doc-bucket width, pinned by the first commit.
+
+        Buckets are only disjoint doc ranges ACROSS segments when every
+        segment used the same bucket_size — the invariant query-side
+        groupBy(bucket) and merge rely on. Mixing widths silently
+        double-counts docs (verified live before this guard existed).
+        Returns None on an empty store or a pre-versioned manifest."""
+        live = self.live_segments()
+        if not len(live) or "bucket_size" not in live.columns:
+            return None
+        vals = sorted({int(v) for v in live["bucket_size"].fillna(0) if int(v) > 0})
+        if not vals:
+            return None
+        if len(vals) > 1:  # pre-guard stores could have mixed widths
+            raise ValueError(f"store has mixed bucket sizes {vals}; rebuild or merge")
+        return vals[0]
+
     def has_chunk(self, build_id: str, chunk: int) -> bool:
         """Resumability probe: was this (build_id, chunk) committed?"""
         m = self.read_manifest()
@@ -213,6 +232,7 @@ class SegmentStore:
                 "input_fingerprint": stats.get("input_fingerprint", ""),
                 "terms_per_sec": stats.get("terms_per_sec", 0.0),
                 "skew_ratio": stats.get("skew_ratio", 0.0),
+                "bucket_size": stats.get("bucket_size", 0),
                 **{
                     k: stats.get(k, 0)
                     for k in (

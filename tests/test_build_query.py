@@ -68,6 +68,24 @@ def test_empty_postings_mixed(spark, store):
     assert _vals(read_all_values(spark, store, ["a", "empty"])) == [1, 2]
 
 
+def test_bucket_size_pinned_per_store(spark, store, tmp_path):
+    """Buckets are disjoint doc ranges across segments ONLY when every
+    segment shares one bucket_size; a mismatched build must fail loudly
+    (mixing widths double-counted docs at query time before the guard)."""
+    from inverted_index_spark.operators.build import build_index
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} shared") for i in range(64)], "doc_id long, text string"
+    )
+    build_index(spark, docs, store, bucket_size=16)
+    with pytest.raises(ValueError, match="pinned to bucket_size=16"):
+        build_index(spark, docs, store, bucket_size=32)
+    # same width: fine, and cross-segment reads dedup (no double counts)
+    build_index(spark, docs, store, bucket_size=16)
+    vals = _vals(read_all_values(spark, store, ["shared"]))
+    assert vals == list(range(64))
+
+
 def test_jvm_python_tokenizer_parity(spark):
     """The JVM hot-path tokenizer and the Python oracle kernel are the
     same contract on NFC input (unicode, caps, length bounds, dups)."""

@@ -187,6 +187,29 @@ def test_ann_lsh_recall(spark, vectors):
     assert len(exact & approx) >= 3  # recall floor, seeded → deterministic
 
 
+def test_ann_indexed_matches_on_the_fly(spark, vectors, tmp_path):
+    """The persisted LSH index returns exactly the on-the-fly results
+    (same planes/seed) and its scan is pruned: the key equality reaches
+    the parquet scan as a pushed filter instead of a full pass."""
+    from inverted_index_spark.operators.similarity import (
+        ann_lsh_topk_indexed,
+        build_lsh_index,
+    )
+    from inverted_index_spark.plans import pushed_filters
+
+    df, base = vectors
+    path = str(tmp_path / "lsh")
+    meta = build_lsh_index(df, path)
+    assert meta["tables"] == 8 and meta["dim"] == 16
+    q = [float(x) for x in base[0]]
+    fly = [(r["vec_id"], round(r["cosine"], 9)) for r in ann_lsh_topk(df, q, k=5).collect()]
+    idx = ann_lsh_topk_indexed(spark, path, q, k=5)
+    got = [(r["vec_id"], round(r["cosine"], 9)) for r in idx.collect()]
+    assert got == fly
+    pf = pushed_filters(idx)
+    assert "key" in pf  # EqualTo(key, …) pushed into the bucket scan
+
+
 def test_embedding_near_dups(spark, vectors):
     df, _ = vectors
     pairs = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(df, threshold=0.95).collect()}
