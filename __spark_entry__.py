@@ -174,6 +174,18 @@ def _q_simhash_pairs(spark, sf):
     return _dedup.simhash_near_pairs(_docs(spark, sf), max_hamming=7)
 
 
+def _q_winnow_fps(spark, sf):
+    """Winnowing fingerprints (rolling-hash k-grams, min-per-window) —
+    the task rubric's document-fingerprinting operator."""
+    return _dedup.winnow_fingerprints(_docs(spark, sf), k=5, window=4)
+
+
+def _q_winnow_pairs(spark, sf):
+    return _dedup.winnow_match_pairs(
+        _docs(spark, sf), k=5, window=4, min_shared=2
+    ).orderBy("a", "b")
+
+
 def _q_index_stats(spark, sf):
     """Corpus-level accounting cross-check: the manifest's exact counters
     (n_docs, n_postings = Σdf, sum_dl) must equal what DuckDB derives
@@ -251,6 +263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "index_stats": _q_index_stats,
+        "winnow_fingerprints": _q_winnow_fps,
+        "winnow_pairs": _q_winnow_pairs,
         "ann_lsh_topk": _q_ann_lsh,
         "index_summary": _q_index_summary,
         "transcripts_bm25": _q_transcripts_bm25,
@@ -363,6 +377,23 @@ cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS ha, r.simhas
 SELECT a, b, bit_count(xor(ha, hb))::INT AS hamming FROM cand WHERE bit_count(xor(ha, hb)) <= 7
 """
 
+# bit-exact DuckDB twin of winnow_fingerprints(k=5, window=4): same
+# signed little-endian first-8-md5-bytes hash, same min-per-window rule
+_WINNOW_FPS = """
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents),
+g AS (SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+        ELSE list_transform(generate_series(1, len(t) - 4), i -> array_to_string(t[i:i+4], ' ')) END AS gs
+      FROM toks WHERE len(t) > 0),
+h AS (SELECT doc_id, list_transform(gs, x ->
+        (CASE WHEN md5_number_upper(x)::HUGEINT >= 9223372036854775808
+              THEN md5_number_upper(x)::HUGEINT - 18446744073709551616
+              ELSE md5_number_upper(x)::HUGEINT END)::BIGINT) AS hs FROM g),
+m AS (SELECT doc_id, CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+        ELSE list_transform(generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3])) END AS mins
+      FROM h)
+SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m
+"""
+
 _COS = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
      qn AS (SELECT sqrt(sum(x * x)) AS n
@@ -460,6 +491,17 @@ def oracle_sql() -> dict[str, str]:
         "embed_knn": (
             f"SELECT vec_id, round(raw_cos, 4) AS cosine FROM ({_COS}) "
             "ORDER BY raw_cos DESC, vec_id ASC LIMIT 20"
+        ),
+        "winnow_fingerprints": (
+            f"SELECT doc_id, fp FROM ({_WINNOW_FPS}) ORDER BY doc_id, fp"
+        ),
+        "winnow_pairs": (
+            f"WITH fps AS ({_WINNOW_FPS}), "
+            "rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000) "
+            "SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared "
+            "FROM fps l JOIN rare USING (fp) JOIN fps r USING (fp) "
+            "WHERE l.doc_id < r.doc_id "
+            "GROUP BY a, b HAVING count(*) >= 2 ORDER BY a, b"
         ),
         "minhash_pairs": _MINHASH,
         "simhash_pairs": _SIMHASH,

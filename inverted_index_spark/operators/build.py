@@ -232,6 +232,26 @@ def build_index_from_tokens(
         encoded = encoded.unionByName(
             spark.createDataFrame(zero_rows, POSTINGS_SCHEMA)
         )
+    # segment stats ride the WRITE job itself via Observation metrics —
+    # zero extra read-back jobs on the commit path (the Amdahl-serial
+    # share the round-1 scaling gate tripped on). HLL for the term
+    # count; skew from per-(bucket,term) row dfs — the Zipf-head signal
+    # without a groupBy(term) shuffle.
+    from pyspark.sql import Observation
+
+    obs = Observation(f"seg-{segment_id}")
+    encoded = encoded.observe(
+        obs,
+        F.approx_count_distinct("term").alias("n_terms"),
+        F.sum("df").alias("n_postings"),
+        F.min("min_doc").alias("min_doc"),
+        F.max("max_doc").alias("max_doc"),
+        F.try_divide(F.max("df"), F.avg("df")).alias("skew"),
+    )
+    d_obs = Observation(f"doc-{segment_id}")
+    docstats = docstats.select("doc_id", "dl").observe(
+        d_obs, F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
     # plain parquet clustered by bucket and sorted by term: row-group
     # min/max stats on (bucket, term) do the pruning (the reference's
     # FST/segment-index role); partitionBy dirs would break multi-
@@ -239,32 +259,36 @@ def build_index_from_tokens(
     # NO repartition here: groupBy(bucket).applyInPandas already left
     # the rows hash-partitioned by bucket — re-exchanging the encoded
     # binary would double-shuffle the whole segment.
-    (
-        encoded.sortWithinPartitions("bucket", "term")
-        .write.mode("overwrite")
-        .parquet(f"{seg_dir}/postings")
-    )
-    docstats.select("doc_id", "dl").write.mode("overwrite").parquet(f"{seg_dir}/docstats")
+    # The two writes are independent datasets → run them as CONCURRENT
+    # Spark jobs (thread-per-action): overlaps the driver-side parquet
+    # commit protocol and job tails, which are the constant share the
+    # scaling gate measures (Spark schedulers are thread-safe).
+    import threading
 
-    # segment stats: ONE single-pass shuffle-free aggregation (HLL for
-    # the term count; skew from per-(bucket,term) row dfs — the same
-    # Zipf-head signal without a groupBy(term) shuffle)
-    seg = spark.read.parquet(f"{seg_dir}/postings")
-    agg = seg.agg(
-        F.approx_count_distinct("term").alias("n_terms"),
-        F.sum("df").alias("n_postings"),
-        F.min("min_doc").alias("min_doc"),
-        F.max("max_doc").alias("max_doc"),
-        F.try_divide(F.max("df"), F.avg("df")).alias("skew"),
-    ).collect()[0]
+    errs: list[BaseException] = []
+
+    def _write(df: DataFrame, dest: str) -> None:
+        try:
+            df.write.mode("overwrite").parquet(dest)
+        except BaseException as e:  # surface on the caller thread
+            errs.append(e)
+
+    t_post = threading.Thread(
+        target=_write,
+        args=(encoded.sortWithinPartitions("bucket", "term"), f"{seg_dir}/postings"),
+    )
+    t_doc = threading.Thread(target=_write, args=(docstats, f"{seg_dir}/docstats"))
+    t_post.start()
+    t_doc.start()
+    t_post.join()
+    t_doc.join()
+    if errs:
+        raise errs[0]
+    agg = obs.get
     if not agg["n_terms"]:
         raise ErrEmptyIndex("refusing to commit an empty segment")
     skew = agg["skew"]
-    dstats = (
-        spark.read.parquet(f"{seg_dir}/docstats")
-        .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
-        .collect()[0]
-    )
+    dstats = d_obs.get
     elapsed = max(time.time() - t0, 1e-9)
     store.commit_segment(
         segment_id,

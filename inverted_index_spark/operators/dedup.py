@@ -368,6 +368,94 @@ def simhash_near_pairs(
     )
 
 
+# -------------------------------------------------------------- winnowing ---
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """(doc_id, fp) — winnowing document fingerprints (min-per-window
+    variant): hash every token k-gram, slide a window of `window`
+    consecutive k-gram hashes, keep each window's minimum; the distinct
+    kept hashes are the doc's fingerprint set. Guarantees any shared
+    run of ≥ k+window-1 tokens between two docs shares ≥1 fingerprint.
+
+    Pure JVM column expressions; the 64-bit k-gram hash is the pinned
+    signed(md5 first-8-bytes little-endian) — ≡ DuckDB
+    md5_number_upper, so the SQL oracle reproduces it bit-for-bit
+    (Spark side: md5 hex pairs reversed, then conv(…, 16, -10)).
+    """
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    ).where(F.size("toks") > 0)
+    n = k
+    grams = F.when(
+        F.size("toks") < n, F.array(F.concat_ws(" ", "toks"))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+        )
+    )
+    # signed little-endian first-8-md5-bytes (see module pinning notes);
+    # the hash array stays IN-ROW (transform, not explode+collect_list —
+    # collect_list would lose the k-gram order windows depend on, and
+    # this way the whole op is shuffle-free until the caller aggregates)
+    def _h64(g):
+        le_hex = F.concat(
+            *[F.substring(F.md5(g), 15 - 2 * i, 2) for i in range(8)]
+        )
+        return F.conv(le_hex, 16, -10).cast("long")
+
+    seqs = toks.select("doc_id", F.transform(grams, _h64).alias("hs"))
+    w = window
+    mins = F.when(
+        F.size("hs") <= w, F.array(F.array_min("hs"))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("hs") - w),
+            lambda i: F.array_min(F.slice("hs", i + 1, w)),
+        )
+    )
+    return (
+        seqs.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+        .orderBy("doc_id", "fp")
+    )
+
+
+def winnow_match_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 1000,
+) -> DataFrame:
+    """(a, b, n_shared) doc pairs sharing ≥ min_shared winnowing
+    fingerprints — the copy-detection join. Fingerprints appearing in
+    more than ``max_fp_df`` docs are dropped first (boilerplate
+    "stop fingerprints"); that bounds the self-join fan-out per fp to
+    max_fp_df² instead of corpus², the standard MOSS-style guard."""
+    fp = winnow_fingerprints(docs, id_col, text_col, k, window)
+    rare = fp.join(
+        fp.groupBy("fp").count().where(F.col("count") <= max_fp_df).select("fp"),
+        "fp",
+    )
+    l, r = rare.alias("l"), rare.alias("r")
+    return (
+        l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 # ----------------------------------------------------------- ngram jaccard ---
 
 

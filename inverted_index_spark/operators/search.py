@@ -31,7 +31,7 @@ class Searcher:
         self._single_segment = len(store.live_segments()) <= 1
 
     # ------------------------------------------------------------- open ---
-    def open(self, preload_dfs_max_terms: int = 5_000_000) -> "Searcher":
+    def open(self, preload_dfs_max_terms: int = 1_000_000) -> "Searcher":
         # cache pre-partitioned BY BUCKET: every per-query
         # groupBy("bucket").applyInPandas then satisfies its clustered
         # distribution straight off the cache and Catalyst elides the

@@ -222,6 +222,119 @@ def ann_lsh_topk_indexed(
     return cosine_topk(candidates, query, k, "vec_id", "embedding")
 
 
+# --------------------------------------------------------------------- IVF ---
+
+
+def _kmeans_fit(x: np.ndarray, n_lists: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Deterministic lloyd k-means on L2-normalized vectors (numpy,
+    driver-side — runs on a SAMPLE, never the corpus). kmeans++ seeding
+    with a seeded rng; empty clusters re-seeded to the farthest point."""
+    rng = np.random.default_rng(seed)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = [xn[rng.integers(len(xn))]]
+    for _ in range(n_lists - 1):
+        d2 = np.min(
+            [(np.linalg.norm(xn - c, axis=1) ** 2) for c in cents], axis=0
+        )
+        if d2.sum() <= 1e-12:  # degenerate sample (all points identical)
+            cents.append(xn[rng.integers(len(xn))])
+            continue
+        p = d2 / d2.sum()
+        cents.append(xn[rng.choice(len(xn), p=p)])
+    c = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(xn @ c.T, axis=1)  # cosine on normalized = dot
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                v = xn[m].mean(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+            else:
+                far = np.argmin(np.max(xn @ c.T, axis=1))
+                c[j] = xn[far]
+    return c
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    seed: int = 42,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """IVF coarse quantizer: fit n_lists centroids on a deterministic
+    sample (vec_id % sample_mod == 0 — set sample_mod so the sample
+    fits the driver; at 100 TB that's ~10^5 rows, the centroids stay
+    tiny either way), assign every vector to its nearest centroid in a
+    vectorized Arrow pass, and persist partitioned by list_id so an
+    nprobe query is a partition-pruned scan of nprobe/n_lists of the
+    data. Returns metadata (also a JSON sidecar with the centroids)."""
+    import json
+    import os
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    sample = (
+        vectors.where(F.col(id_col) % sample_mod == 0) if sample_mod > 1 else vectors
+    )
+    rows = sample.select(vec_col).collect()
+    x = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    cents = _kmeans_fit(x, n_lists, seed)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            v = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            pdf["list_id"] = np.argmax(vn @ cents.T, axis=1).astype(np.int32)
+            yield pdf
+
+    narrow = vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    assigned = narrow.mapInPandas(
+        assign, schema="vec_id long, embedding array<float>, list_id int"
+    )
+    (
+        assigned.repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/lists")
+    )
+    meta = {"n_lists": n_lists, "seed": seed, "centroids": cents.tolist()}
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k against a :func:`build_ivf_index` table: rank
+    centroids by cosine to the query on the driver, scan only the
+    nprobe nearest lists (partition-pruned `list_id IN (...)`), exact
+    cosine on the survivors. Recall rises with nprobe; nprobe=n_lists
+    is exact."""
+    import json
+
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(cents @ qn))[: int(nprobe)].tolist()
+    scan = spark.read.parquet(f"{path}/lists")
+    candidates = scan.where(F.col("list_id").isin(probe)).select("vec_id", "embedding")
+    return cosine_topk(candidates, query, k, "vec_id", "embedding")
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

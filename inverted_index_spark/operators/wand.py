@@ -1,11 +1,13 @@
 """Block-max WAND top-k (north-star optimization, SURVEY.md §4 item 2).
 
 Per doc-bucket, a *span-based* block-max scorer: doc space is cut at
-the union of all query terms' block boundaries; spans are processed in
-ascending-doc order, so every doc's score is complete once its span
-closes — which lets the top-k threshold θ tighten monotonically and
-later spans whose summed block upper bounds fall below θ are skipped
-without decoding. Upper bounds come from per-block (max_tf, min_dl):
+the union of all query terms' block boundaries, so spans are disjoint
+doc ranges and every doc's score is complete within its span. That
+makes processing order free — spans are scored in DESCENDING
+upper-bound order, so the top-k threshold θ tightens as fast as
+possible and the first span with ub < θ ends the query (early break;
+everything after it is skipped without decoding). Upper bounds come
+from per-block (max_tf, min_dl):
 ub = idf · max_tf/(max_tf + k1·(1-b+b·min_dl/avgdl)) is valid for ANY
 avgdl/idf chosen at query time (tf/(tf+c) monotone in tf and dl), so
 merges that shift corpus stats can never break pruning correctness.

@@ -5,12 +5,21 @@ The Go reference cannot score (it has no BM25); the north rule's
 against this deterministic single-process reimplementation of the
 pinned contracts (FIXTURES.md §B):
 
-    tokenizer: NFC → lower → \\w+ runs, len 1..64 (shared code —
-               imports the exact same tokenize_text the engine uses)
+    tokenizer: lower → [\\p{L}\\p{N}_]+ runs, len 1..64, NFC input
+               (shared code — imports the same tokenize_text kernel
+               the engine's JVM hot path is parity-tested against)
     BM25:      k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1),
                score = Σ_t idf·tf/(tf + k1·(1-b+b·dl/avgdl)),
-               contributions summed ascending-term order,
                ties (score DESC, doc_id ASC)
+
+Float-sum order is a TOLERANCE contract, not a pinned one: this
+oracle and the WAND scorer sum contributions in ascending-term order,
+but the distributed exhaustive path (groupBy(doc_id).sum) accumulates
+in partition order, which is plan-dependent. Cross-path equality is
+therefore asserted to ≤1e-9 (see tests/test_bm25_parity.py and
+test_wand.py) — with ≤64 query terms the worst-case reassociation
+error is far below that bound, and ranks are additionally exact on
+every test corpus.
 
 Also reimplements the reference's read semantics for table-driven
 parity: sorted-term enumeration (R5, single/single.go:198-228) and
@@ -90,8 +99,10 @@ class OracleIndex:
         return float(np.log((n - df + 0.5) / (df + 0.5) + 1.0))
 
     def bm25_scores(self, terms: list[str]) -> dict[int, float]:
-        """All matching docs → score; term contributions summed in
-        ascending-term order (the pinned float-determinism rule)."""
+        """All matching docs → score; contributions summed in
+        ascending-term order here and in WAND — the engine's
+        distributed exhaustive path matches to ≤1e-9, not bit-for-bit
+        (module docstring: tolerance contract)."""
         avgdl = self.avgdl
         scores: dict[int, float] = {}
         for t in sorted(set(terms)):

@@ -27,7 +27,23 @@ def _steal_jiffies() -> int:
         return int(f.readline().split()[8])
 
 
-def worker(cores: int, n_turns: int, repeats: int = 2) -> None:
+def gen_corpus(n_turns: int, data_dir: str) -> None:
+    """Generate the shared input ONCE at full parallelism — per-leg
+    generation both wasted minutes and drained the burstable host's
+    CPU credits before the measurements even started."""
+    from inverted_index_spark import get_spark
+    from inverted_index_spark.sources.transcripts import generate_transcripts
+
+    spark = get_spark("scaling-gen", cores=16, shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    generate_transcripts(spark, n_turns, include_doc_id=True).repartition(
+        64
+    ).write.mode("overwrite").parquet(f"{data_dir}/transcripts")
+    spark.stop()
+    print("GENDONE")
+
+
+def worker(cores: int, n_turns: int, data_dir: str, repeats: int = 2) -> None:
     """One parallelism level. This sandbox VM has noisy neighbors
     (nonzero historical steal time), so every measurement is repeated
     and the BEST run is reported, with observed steal noted."""
@@ -38,18 +54,13 @@ def worker(cores: int, n_turns: int, repeats: int = 2) -> None:
     from inverted_index_spark.operators.build import build_index
     from inverted_index_spark.operators.search import Searcher
     from inverted_index_spark.sources.store import SegmentStore
-    from inverted_index_spark.sources.transcripts import generate_transcripts
 
     spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix=f"ii_scale_{cores}_")
     # identical STORED input at both levels (north-rule input is a
-    # table, and generation must not pollute the build measurement);
-    # fixed partition count so the scan parallelism is data-driven
-    generate_transcripts(spark, n_turns, include_doc_id=True).repartition(
-        64
-    ).write.mode("overwrite").parquet(f"{tmp}/transcripts")
-    tx = spark.read.parquet(f"{tmp}/transcripts")
+    # table; fixed partition count so scan parallelism is data-driven)
+    tx = spark.read.parquet(f"{data_dir}/transcripts")
 
     steal0 = _steal_jiffies()
     build_secs = []
@@ -82,9 +93,11 @@ def worker(cores: int, n_turns: int, repeats: int = 2) -> None:
         query_secs.append(time.time() - t0)
     query_sec = min(query_secs)
     # batched: N queries in one job — the throughput-relevant number
-    qmap = {f"q{i:03d}": q for i, q in enumerate(queries * 5)}
+    # (300: enough parallel mass that the one-job constant overhead
+    # doesn't dominate either parallelism level)
+    qmap = {f"q{i:03d}": q for i, q in enumerate(queries * 15)}
     batch_secs = []
-    for _ in range(max(repeats, 3)):
+    for _ in range(repeats):  # 300 queries/attempt is already heavy
         t0 = time.time()
         searcher.topk_batch(qmap, k=10).collect()
         batch_secs.append(time.time() - t0)
@@ -116,7 +129,7 @@ def worker(cores: int, n_turns: int, repeats: int = 2) -> None:
     spark.stop()
 
 
-def main(n_turns: int, n_small: int = 4, n_big: int = 16) -> None:
+def main(n_turns: int, n_small: int = 4, n_big: int = 16, cooldown_s: int = 180) -> None:
     # alternate legs and keep the best per level. The sandbox VM is
     # BURSTABLE: sustained high parallelism exhausts a host CPU-credit
     # budget and /proc/stat steal time explodes (measured: an identical
@@ -124,10 +137,25 @@ def main(n_turns: int, n_small: int = 4, n_big: int = 16) -> None:
     # cpu-sec). The N vs 4N evidence therefore uses a core pair whose
     # sustained load stays under the throttle, with per-leg steal
     # reported for honesty.
+    import tempfile
+
+    data_dir = tempfile.mkdtemp(prefix="ii_scale_data_")
+    gen = subprocess.run(
+        [sys.executable, __file__, "--gen", str(n_turns), data_dir],
+        capture_output=True, text=True, cwd=str(REPO), timeout=3000,
+    )
+    if "GENDONE" not in gen.stdout:
+        print(gen.stdout[-2000:], gen.stderr[-2000:])
+        raise SystemExit("corpus generation failed")
     results: dict[int, dict] = {}
-    for cores in (n_small, n_big, n_small, n_big):
+    for leg_i, cores in enumerate((n_small, n_big, n_small, n_big)):
+        # cooldown BEFORE each measured leg: the burstable host refills
+        # CPU credits while idle; measuring back-to-back legs drains
+        # them and the later leg absorbs all the steal (observed 470
+        # cpu-sec steal on a leg that followed a heavy one)
+        time.sleep(cooldown_s if leg_i else cooldown_s // 3)
         out = subprocess.run(
-            [sys.executable, __file__, "--worker", str(cores), str(n_turns)],
+            [sys.executable, __file__, "--worker", str(cores), str(n_turns), data_dir],
             capture_output=True, text=True, cwd=str(REPO), timeout=3000,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
@@ -194,7 +222,9 @@ Notes:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), int(sys.argv[3]))
+        worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--gen":
+        gen_corpus(int(sys.argv[2]), sys.argv[3])
     else:
         main(
             int(sys.argv[1]) if len(sys.argv) > 1 else 400_000,

@@ -111,6 +111,67 @@ def test_minhash_hot_bucket_cap(spark):
     assert sorted(r["b"] for r in pairs) == list(range(1, 1000))
 
 
+def test_winnowing_guarantee(spark):
+    """Winnowing contract: two docs sharing a run of ≥ k+window-1
+    tokens share ≥1 fingerprint; disjoint docs share none. Pinned
+    against a pure-Python reimplementation of the same rule."""
+    import hashlib
+
+    from inverted_index_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [
+        (0, f"intro words {shared} trailing stuff here"),
+        (1, f"{shared} completely other ending tokens now"),
+        (2, "nothing in common with the others at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(docs, k=5, window=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+
+    def py_winnow(text, k=5, w=4):
+        toks = text.lower().split()
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)] \
+            if len(toks) >= k else [" ".join(toks)]
+        hs = []
+        for g in grams:
+            u = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+            hs.append(u - (1 << 64) if u >= 1 << 63 else u)
+        if len(hs) <= w:
+            return {min(hs)}
+        return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+    for doc_id, text in rows:
+        assert got[doc_id] == py_winnow(text), doc_id
+    assert got[0] & got[1]          # the shared run produced a shared fp
+    assert not (got[0] & got[2])    # disjoint docs share nothing
+    pairs = {(r["a"], r["b"]): r["n_shared"]
+             for r in winnow_match_pairs(docs, min_shared=1).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_ivf_recall(spark, vectors, tmp_path):
+    """IVF probe: nprobe=n_lists is exact (identical to brute force);
+    small nprobe keeps recall ≥ 0.6 on this corpus and scans only the
+    probed list partitions."""
+    from inverted_index_spark.operators.similarity import build_ivf_index, ivf_topk
+
+    df, base = vectors
+    path = str(tmp_path / "ivf")
+    meta = build_ivf_index(df, path, n_lists=4)
+    assert len(meta["centroids"]) == 4
+    q = [float(x) for x in base[0]]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    full = [r["vec_id"] for r in ivf_topk(spark, path, q, k=10, nprobe=4).collect()]
+    assert full == exact  # all lists probed == brute force
+    part = [r["vec_id"] for r in ivf_topk(spark, path, q, k=10, nprobe=1).collect()]
+    assert len(set(part) & set(exact)) >= 6
+
+
 def test_mulmod61_exact():
     """The minhash hash family is the documented (a·x+b) mod p —
     exact 128-bit math, cross-checked against Python bigints."""
