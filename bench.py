@@ -103,9 +103,17 @@ def main() -> None:
     with timed("read_values_batch"):
         for i, q in enumerate(queries):
             searcher.read_values(q, 1000 * i, 1000 * i + 50000).collect()
+    with timed("read_values_one_job"):
+        searcher.read_values_batch(
+            {f"r{i:03d}": (q, 1000 * i, 1000 * i + 50000) for i, q in enumerate(queries)}
+        ).count()
 
     with timed("minhash_dedup"):
         minhash_lsh_pairs(docs, threshold=0.5).count()
+    with timed("winnow_pairs"):
+        from inverted_index_spark.operators.dedup import winnow_match_pairs
+
+        winnow_match_pairs(docs, min_shared=2).count()
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]

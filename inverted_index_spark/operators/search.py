@@ -123,6 +123,66 @@ class Searcher:
         )
         return decoded.select("doc_id").distinct().orderBy("doc_id")
 
+    def read_values_batch(
+        self, queries: dict[str, tuple[list[str], int | None, int | None]]
+    ) -> DataFrame:
+        """MANY R10 reads in ONE Spark job: qid → (terms, min_doc,
+        max_doc) → rows (qid, doc_id), sorted unique per qid. Same
+        amortization shape as :meth:`topk_batch` — one pass over the
+        union of matched postings, each block decoded at most once for
+        the whole batch, per-query range slicing via binary search."""
+        import numpy as np
+        import pandas as pd
+
+        from inverted_index_spark.functions.codec import decode_postings
+
+        qmap = {
+            qid: (sorted(set(ts)), lo, hi) for qid, (ts, lo, hi) in queries.items() if ts
+        }
+        if not qmap:
+            return self.spark.createDataFrame([], "qid string, doc_id long")
+        all_terms = sorted({t for ts, _, _ in qmap.values() for t in ts})
+        lo_all = [lo for _, lo, _ in qmap.values()]
+        hi_all = [hi for _, _, hi in qmap.values()]
+        g_lo = None if any(x is None for x in lo_all) else min(lo_all)
+        g_hi = None if any(x is None for x in hi_all) else max(hi_all)
+        rows = self._matching(all_terms, g_lo, g_hi)
+        term_qids: dict[str, list[str]] = {}
+        for qid, (ts, _, _) in qmap.items():
+            for t in ts:
+                term_qids.setdefault(t, []).append(qid)
+
+        def run(batches):
+            for pdf in batches:
+                out_qid, out_doc = [], []
+                for term, p, t, l, blocks in zip(
+                    pdf["term"], pdf["postings"], pdf["tfs"], pdf["dls"], pdf["blocks"]
+                ):
+                    qids = term_qids.get(term)
+                    if not qids:
+                        continue
+                    d, _, _ = decode_postings(p, t, l, blocks, g_lo, g_hi)
+                    if not len(d):
+                        continue
+                    for qid in qids:
+                        _, lo, hi = qmap[qid]
+                        a = 0 if lo is None else int(np.searchsorted(d, lo, "left"))
+                        b = len(d) if hi is None else int(np.searchsorted(d, hi, "right"))
+                        if a == b:
+                            continue
+                        out_qid.append(np.repeat(qid, b - a))
+                        out_doc.append(d[a:b])
+                if out_qid:
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.concatenate(out_qid),
+                            "doc_id": np.concatenate(out_doc).astype(np.int64),
+                        }
+                    )
+
+        decoded = rows.mapInPandas(run, schema="qid string, doc_id long")
+        return decoded.distinct().orderBy("qid", "doc_id")
+
     # ------------------------------------------------------------ BM25 ---
     def topk_batch(
         self, queries: dict[str, list[str]], k: int = 10

@@ -50,6 +50,23 @@ def test_searcher_topk_matches_oneshot(spark, setup, terms):
     assert wand == oneshot
 
 
+def test_read_values_batch_matches_singles(spark, setup):
+    """One-job batched R10 reads == per-query reads, per qid."""
+    store, searcher = setup
+    qs = {
+        "a": (["w00000"], 50, 400),
+        "b": (["w00001", "w00002"], None, None),
+        "c": (["w00003", "missing_term"], 100, None),
+        "d": ([], None, None),  # empty term list → no rows for d
+    }
+    batched = {}
+    for r in searcher.read_values_batch(qs).collect():
+        batched.setdefault(r["qid"], []).append(r["doc_id"])
+    for qid, (ts, lo, hi) in qs.items():
+        single = [r["doc_id"] for r in searcher.read_values(ts, lo, hi).collect()]
+        assert batched.get(qid, []) == single, qid
+
+
 def test_searcher_read_values_matches(spark, setup):
     store, searcher = setup
     terms = ["w00000", "w00005"]

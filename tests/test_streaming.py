@@ -49,3 +49,67 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
     merge_until_one(spark, stream_store)
     m_top = [(r["doc_id"], round(r["score"], 9)) for r in bm25_topk(spark, stream_store, sq, 10).collect()]
     assert m_top == b_top
+
+
+def test_stream_ingest_with_concurrent_compaction(spark, tmp_path):
+    """The round-1 gap made real: streaming ingest COMMITTING WHILE a
+    compactor merges and cleans the same store. The CAS manifest
+    serializes both writers; the tombstone grace window protects
+    readers; final results equal a batch build of the same corpus."""
+    import threading
+    import time
+
+    from inverted_index_spark.operators.merge import merge_segments
+
+    docs = generate_transcripts(spark, 400, include_doc_id=True).cache()
+    src = str(tmp_path / "src")
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+
+    store = SegmentStore(str(tmp_path / "race_idx"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")  # 8 micro-batches → 8 commits
+        .parquet(src)
+    )
+    stop = threading.Event()
+    merges: list[str] = []
+    errors: list[Exception] = []
+
+    def compactor() -> None:
+        try:
+            while not stop.is_set():
+                sid = merge_segments(spark, store, min_files=2, max_files=4)
+                if sid:
+                    merges.append(sid)
+                store.cleanup(grace_s=5.0)
+                time.sleep(0.2)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    t = threading.Thread(target=compactor)
+    t.start()
+    q = stream_to_segments(
+        stream, store,
+        build_id="race", bucket_size=64,
+        checkpoint_dir=str(tmp_path / "ckpt_race"),
+    )
+    q.awaitTermination(180)
+    # let the compactor finish at least one more full pass, then stop
+    time.sleep(1.0)
+    stop.set()
+    t.join(timeout=120)
+    assert not errors, errors[:2]
+    assert merges, "compactor never merged — the race was not exercised"
+
+    batch_store = SegmentStore(str(tmp_path / "race_batch_idx"))
+    build_index(spark, docs, batch_store, bucket_size=64)
+    s_terms = [r["term"] for r in read_terms(spark, store).collect()]
+    b_terms = [r["term"] for r in read_terms(spark, batch_store).collect()]
+    assert s_terms == b_terms
+    sq = ["w00000", "w00002"]
+    s_top = [(r["doc_id"], round(r["score"], 9)) for r in bm25_topk(spark, store, sq, 10).collect()]
+    b_top = [(r["doc_id"], round(r["score"], 9)) for r in bm25_topk(spark, batch_store, sq, 10).collect()]
+    assert s_top == b_top
+    s_vals = [r["doc_id"] for r in read_all_values(spark, store, sq).collect()]
+    b_vals = [r["doc_id"] for r in read_all_values(spark, batch_store, sq).collect()]
+    assert s_vals == b_vals
