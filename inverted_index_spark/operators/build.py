@@ -175,6 +175,51 @@ def encode_segment(
     return bucketed.groupBy("bucket").applyInPandas(enc, schema=POSTINGS_SCHEMA)
 
 
+def encode_segment_fragments(
+    tokens: DataFrame,
+    bucket_size: int = DEFAULT_BUCKET_SIZE,
+    block_size: int = DEFAULT_BLOCK,
+) -> DataFrame:
+    """SHUFFLE-FREE encode: each input partition encodes its own
+    (bucket, term) fragment rows in place — the reference's actual
+    ingest shape (one immutable index file per source file,
+    /root/reference/README.md:9-11), where the merge pass, not the
+    build, pays for consolidation.
+
+    Contract: input partitions must hold DISJOINT doc_id sets (true for
+    any sanely written corpus — file-per-range parquet, streaming
+    micro-batches). A (bucket, term) pair then appears in ≤ one row PER
+    INPUT PARTITION with disjoint docs; every read path already merges
+    multi-row groups (query._decode_rows explodes then dedups, WAND
+    `_term_handles` decode-merges), and one `merge_segments` pass
+    rewrites fragments into the compact one-row-per-(bucket, term)
+    layout. Trade-off vs :func:`encode_segment`: zero shuffle of the
+    token stream (the single biggest data movement in the build — at
+    10^12 turns that shuffle is petabyte-scale) against slower reads
+    until compaction.
+
+    Measured honestly: on local[32] at 1M turns this is SLOWER than the
+    shuffled build (10.8s vs 7.5s) — a local shuffle never touches a
+    network, so only the fragment overhead (per-partition pandas
+    grouping, ~1.4× output rows) shows. The mode exists for the
+    multi-executor case the north rule targets, where the token-stream
+    shuffle is cross-machine traffic; pick per deployment.
+    """
+    bucketed = tokens.withColumn(
+        "bucket", F.expr(f"cast(doc_id div {int(bucket_size)} as long)")
+    ).select("bucket", "doc_id", "term", "tf", "dl")
+
+    def enc_partition(batches):
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        for _, grp in pdf.groupby("bucket", sort=False):
+            yield _encode_bucket_pdf(grp, block_size)
+
+    return bucketed.mapInPandas(enc_partition, schema=POSTINGS_SCHEMA)
+
+
 # ------------------------------------------------------------- doc lengths ---
 
 
@@ -204,6 +249,7 @@ def build_index_from_tokens(
     input_fingerprint: str = "",
     replaces: list[str] | None = None,
     empty_terms: list[str] | None = None,
+    shuffle: bool = True,
 ) -> str:
     """Encode + write + commit one immutable segment. Returns segment_id.
 
@@ -223,7 +269,11 @@ def build_index_from_tokens(
     t0 = time.time()
     segment_id = new_segment_id()
     seg_dir = store.seg_dir(segment_id)
-    encoded = encode_segment(tokens, bucket_size, block_size)
+    # shuffle=False → fragment encode (see encode_segment_fragments:
+    # zero token-stream shuffle, requires doc-disjoint input partitions,
+    # reads slower until a merge pass compacts)
+    enc_fn = encode_segment if shuffle else encode_segment_fragments
+    encoded = enc_fn(tokens, bucket_size, block_size)
     if empty_terms:
         zero_rows = [
             (-1, t, 0, b"", b"", b"", [], None, None)
@@ -325,9 +375,11 @@ def build_index(
     build_id: str = "",
     chunk: int = -1,
     input_fingerprint: str = "",
+    shuffle: bool = True,
 ) -> str:
     """docs(doc_id, text) → one committed segment (entry point A,
-    SURVEY.md §3.1).
+    SURVEY.md §3.1). ``shuffle=False`` selects the fragment encode
+    (zero token shuffle; input partitions must hold disjoint doc sets).
 
     Both the token stream and the doc lengths are pure JVM column
     expressions over the source scan (functions.tokenizer): two cheap
@@ -342,6 +394,7 @@ def build_index(
         spark, tokens, dstats, store,
         bucket_size=bucket_size, block_size=block_size,
         build_id=build_id, chunk=chunk, input_fingerprint=input_fingerprint,
+        shuffle=shuffle,
     )
 
 

@@ -60,6 +60,20 @@ class Searcher:
             self._postings.unpersist()
             self._postings = None
 
+    def refresh(self) -> "Searcher":
+        """Re-open against the CURRENT manifest snapshot. A Searcher
+        holds the segment set it opened with; after a compaction the
+        old segments survive only through cleanup's grace window, and a
+        cache eviction would try to re-read deleted files. Long-lived
+        searchers should refresh() after compaction (or size the grace
+        window above their lifetime)."""
+        self.close()
+        self._stats = None
+        self._df_memo.clear()
+        self._df_complete = False
+        self._single_segment = len(self.store.live_segments()) <= 1
+        return self.open()
+
     @property
     def postings(self) -> DataFrame:
         if self._postings is None:

@@ -201,3 +201,46 @@ def test_bucket_spanning_postings(spark, store):
     _write(spark, store, [("t", vals)], bucket_size=1 << 16)
     assert _vals(read_all_values(spark, store, ["t"])) == vals
     assert _vals(read_values(spark, store, ["t"], 3, 70000)) == [70000]
+
+
+def test_fragment_build_equals_shuffled(spark, tmp_path):
+    """shuffle=False fragment encode (the reference's file-per-source
+    ingest shape): identical read_terms / read_values / BM25 results to
+    the shuffled build on doc-disjoint input partitions, before AND
+    after one compaction pass rewrites the fragments."""
+    from inverted_index_spark.operators.bm25 import bm25_topk
+    from inverted_index_spark.operators.build import build_index
+    from inverted_index_spark.sources.transcripts import generate_transcripts
+
+    docs = generate_transcripts(spark, 600, include_doc_id=True).cache()
+    a = SegmentStore(str(tmp_path / "shuffled"))
+    b = SegmentStore(str(tmp_path / "fragments"))
+    build_index(spark, docs, a, bucket_size=128)
+    build_index(spark, docs, b, bucket_size=128, shuffle=False)
+
+    # fragments really happened: more rows than distinct (bucket, term)
+    frag_rows = b.read_postings(spark)
+    assert frag_rows.count() > frag_rows.select("bucket", "term").distinct().count()
+
+    qs = [["w00000"], ["w00001", "w00003"], ["бесплатно", "w00002"]]
+
+    def snap(store):
+        out = [[r["term"] for r in read_terms(spark, store).collect()]]
+        for q in qs:
+            out.append([r["doc_id"] for r in read_all_values(spark, store, q).collect()])
+            out.append(
+                [(r["doc_id"], round(r["score"], 9))
+                 for r in bm25_topk(spark, store, q, 10).collect()]
+            )
+        return out
+
+    assert snap(b) == snap(a)
+    # compact the single fragmented segment (min_files=1: a rewrite
+    # pass over one segment is exactly fragment consolidation)
+    from inverted_index_spark.operators.merge import merge_segments
+
+    assert merge_segments(spark, b, min_files=1, max_files=4) is not None
+    b.cleanup()
+    merged_rows = b.read_postings(spark)
+    assert merged_rows.count() == merged_rows.select("bucket", "term").distinct().count()
+    assert snap(b) == snap(a)
