@@ -28,6 +28,14 @@ def main(argv: list[str] | None = None) -> int:
     s_query.add_argument("store_root")
     s_query.add_argument("terms", nargs="+")
     s_query.add_argument("-k", type=int, default=10)
+    s_compact = sub.add_parser(
+        "compact", help="merge live segments (min_files=1 also consolidates "
+        "a single fragmented segment) and delete tombstoned data"
+    )
+    s_compact.add_argument("store_root")
+    s_compact.add_argument("--min-files", type=int, default=2)
+    s_compact.add_argument("--max-files", type=int, default=8)
+    s_compact.add_argument("--grace-s", type=float, default=0.0)
     args = p.parse_args(argv)
 
     from inverted_index_spark.sources.store import SegmentStore
@@ -70,6 +78,13 @@ def main(argv: list[str] | None = None) -> int:
         searcher = Searcher(spark, store).open()
         for row in searcher.topk(args.terms, args.k).collect():
             print(f"{row['doc_id']}\t{row['score']:.6f}")
+        return 0
+    if args.cmd == "compact":
+        from inverted_index_spark.operators.merge import merge_segments
+
+        sid = merge_segments(spark, store, args.min_files, args.max_files)
+        deleted = store.cleanup(grace_s=args.grace_s)
+        print(f"merged -> {sid or '(nothing to merge)'}; deleted {len(deleted)} segments")
         return 0
     return 2
 

@@ -103,6 +103,7 @@ def merge_segments(
         F.sum("df").alias("n_postings"),
         F.min("min_doc").alias("min_doc"),
         F.max("max_doc").alias("max_doc"),
+        F.try_divide(F.max("df"), F.avg("df")).alias("skew"),
     ).collect()[0]
     dstats = (
         spark.read.parquet(f"{seg_dir}/docstats")
@@ -121,6 +122,7 @@ def merge_segments(
             "max_doc": int(agg["max_doc"] or 0),
             "build_id": f"merge:{'+'.join(victims)}"[:512],
             "bucket_size": bucket_size,
+            "skew_ratio": float(agg["skew"] or 1.0),
         },
         replaces=victims,
     )
