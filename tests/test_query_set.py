@@ -52,3 +52,31 @@ def test_full_query_set_parity(setup):
             for r in searcher.read_values(q.terms, q.min_doc, q.max_doc).collect()
         ]
         assert got_vals == oracle.read_values(q.terms, q.min_doc, q.max_doc), q.query_id
+
+
+def test_parity_at_20k_fragment_build(spark, tmp_path):
+    """Rank parity holds at 10× the corpus AND through the shuffle-free
+    fragment build + one compaction — the round-2 ingest shape under
+    the same 1e-9 score contract."""
+    from inverted_index_spark.operators.merge import merge_segments
+
+    store = SegmentStore(str(tmp_path / "idx20k"))
+    docs = generate_transcripts(spark, 20_000, include_doc_id=True).cache()
+    build_index(spark, docs, store, bucket_size=1024, shuffle=False)
+    merge_segments(spark, store, min_files=1, max_files=4)
+    store.cleanup()
+    pdf = docs.select("doc_id", "text").toPandas()
+    oracle = OracleIndex.from_docs(pdf)
+    dfs = {t: len(p) for t, p in oracle.postings.items() if p}
+    queries = [q for q in generate_query_set(dfs, oracle.n_docs)
+               if q.mode == "bm25_topk"][:20]
+    searcher = Searcher(spark, store).open()
+    rows = searcher.topk_batch({q.query_id: q.terms for q in queries}, k=10).collect()
+    got: dict[str, list] = {q.query_id: [] for q in queries}
+    for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+        got[r["qid"]].append((r["doc_id"], r["score"]))
+    for q in queries:
+        expect = oracle.bm25_topk(q.terms, k=10)
+        assert [d for d, _ in got[q.query_id]] == [d for d, _ in expect], q.terms
+        for (gd, gs), (_, es) in zip(got[q.query_id], expect):
+            assert abs(gs - es) < 1e-9
