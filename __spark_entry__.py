@@ -31,8 +31,20 @@ from inverted_index_spark.sources.transcripts import generate_transcripts
 Q_TERMS = ["spark", "merge", "window"]
 OR_TERMS = ["spark", "merge"]
 RANGE = (100, 400)
+# batched query sets (the headline one-job paths, oracle-gated too)
+BATCH_QS = {
+    "q1": ["spark", "merge"],
+    "q2": ["window", "partition"],
+    "q3": ["index", "spark", "query"],
+}
+BATCH_READS = {
+    "r1": (["spark"], 100, 400),
+    "r2": (["merge", "window"], None, None),
+    "r3": (["index", "nosuchterm"], 50, None),
+}
 
 _STORES: dict[str, SegmentStore] = {}
+_SEARCHERS: dict[str, object] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,6 +186,28 @@ def _q_simhash_pairs(spark, sf):
     return _dedup.simhash_near_pairs(_docs(spark, sf), max_hamming=7)
 
 
+def _searcher_for(spark, sf):
+    if sf not in _SEARCHERS:
+        from inverted_index_spark.operators.search import Searcher
+
+        _SEARCHERS[sf] = Searcher(spark, _store_for(spark, sf)).open()
+    return _SEARCHERS[sf]
+
+
+def _q_bm25_topk_batch(spark, sf):
+    """Headline one-job batched BM25 (Searcher.topk_batch) — the path
+    bench.py's bm25_wand_one_job measures, oracle-gated here."""
+    t = _searcher_for(spark, sf).topk_batch(BATCH_QS, k=5)
+    return t.select(
+        "qid", "rank", "doc_id", F.round("score", 4).alias("score")
+    ).orderBy("qid", "rank")
+
+
+def _q_read_values_batch(spark, sf):
+    """One-job batched R10 reads (Searcher.read_values_batch)."""
+    return _searcher_for(spark, sf).read_values_batch(BATCH_READS)
+
+
 def _q_winnow_fps(spark, sf):
     """Winnowing fingerprints (rolling-hash k-grams, min-per-window) —
     the task rubric's document-fingerprinting operator."""
@@ -253,6 +287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": _q_bm25_scores,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_wand": _q_bm25_topk_wand,
+        "bm25_topk_batch": _q_bm25_topk_batch,
+        "read_values_batch": _q_read_values_batch,
         "dedup_fingerprints": _q_dedup_fingerprints,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -285,7 +321,12 @@ _DL = f"SELECT doc_id, count(*) AS dl FROM ({_TOK}) GROUP BY doc_id"
 _QTERMS = "('" + "','".join(Q_TERMS) + "')"
 _ORTERMS = "('" + "','".join(OR_TERMS) + "')"
 
-_BM25_CONTRIB = f"""
+
+def _bm25_contrib_sql(terms: list[str]) -> str:
+    """DuckDB BM25 per-doc raw scores for one term set (the pinned
+    k1/b/idf contract, FIXTURES.md §B)."""
+    qt = "('" + "','".join(sorted(set(terms))) + "')"
+    return f"""
 WITH tf AS ({_TF}),
      dl AS ({_DL}),
      stats AS (
@@ -293,7 +334,7 @@ WITH tf AS ({_TF}),
               (SELECT sum(len({_TOKS_SQL})) FROM documents)::DOUBLE
               / (SELECT count(*) FROM documents) AS avgdl),
      dfq AS (
-       SELECT term, count(*) AS df FROM tf WHERE term IN {_QTERMS} GROUP BY term),
+       SELECT term, count(*) AS df FROM tf WHERE term IN {qt} GROUP BY term),
      contrib AS (
        SELECT tf.doc_id,
               ln((s.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
@@ -302,9 +343,40 @@ WITH tf AS ({_TF}),
        JOIN dfq USING (term)
        JOIN dl USING (doc_id)
        CROSS JOIN stats s
-       WHERE tf.term IN {_QTERMS})
+       WHERE tf.term IN {qt})
 SELECT doc_id, sum(c) AS raw_score FROM contrib GROUP BY doc_id
 """
+
+
+_BM25_CONTRIB = _bm25_contrib_sql(Q_TERMS)
+
+# batched twins: one UNION ALL branch per qid — the SQL image of the
+# engine's one-job topk_batch / read_values_batch
+_BM25_BATCH = " UNION ALL ".join(
+    f"SELECT '{qid}' AS qid, "
+    "row_number() OVER (ORDER BY raw_score DESC, doc_id ASC)::INT AS rank, "
+    f"doc_id, round(raw_score, 4) AS score FROM ({_bm25_contrib_sql(ts)}) "
+    "QUALIFY rank <= 5"
+    for qid, ts in BATCH_QS.items()
+)
+
+
+def _read_batch_branch(qid: str, ts: list[str], lo, hi) -> str:
+    qt = "('" + "','".join(sorted(set(ts))) + "')"
+    cond = f"term IN {qt}"
+    if lo is not None:
+        cond += f" AND doc_id >= {int(lo)}"
+    if hi is not None:
+        cond += f" AND doc_id <= {int(hi)}"
+    return (
+        f"SELECT '{qid}' AS qid, doc_id FROM "
+        f"(SELECT DISTINCT doc_id FROM ({_TOK}) WHERE {cond})"
+    )
+
+
+_READ_BATCH = " UNION ALL ".join(
+    _read_batch_branch(qid, ts, lo, hi) for qid, (ts, lo, hi) in BATCH_READS.items()
+)
 
 _SHINGLES = """
 SELECT doc_id,
@@ -491,6 +563,12 @@ def oracle_sql() -> dict[str, str]:
         "embed_knn": (
             f"SELECT vec_id, round(raw_cos, 4) AS cosine FROM ({_COS}) "
             "ORDER BY raw_cos DESC, vec_id ASC LIMIT 20"
+        ),
+        "bm25_topk_batch": (
+            f"SELECT qid, rank, doc_id, score FROM ({_BM25_BATCH}) ORDER BY qid, rank"
+        ),
+        "read_values_batch": (
+            f"SELECT qid, doc_id FROM ({_READ_BATCH}) ORDER BY qid, doc_id"
         ),
         "winnow_fingerprints": (
             f"SELECT doc_id, fp FROM ({_WINNOW_FPS}) ORDER BY doc_id, fp"
