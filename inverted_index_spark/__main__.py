@@ -24,6 +24,12 @@ def main(argv: list[str] | None = None) -> int:
         "--bucket-size", type=int, default=None,
         help="doc-bucket width; defaults to the store's pinned size, else 65536",
     )
+    s_build.add_argument(
+        "--no-shuffle", action="store_true",
+        help="fragment encode: no token-stream shuffle (multi-executor "
+        "option; input partitions must hold disjoint doc sets; run "
+        "`compact --min-files 1` afterwards to consolidate)",
+    )
     s_query = sub.add_parser("query", help="BM25 top-k")
     s_query.add_argument("store_root")
     s_query.add_argument("terms", nargs="+")
@@ -69,7 +75,9 @@ def main(argv: list[str] | None = None) -> int:
 
             docs = mint_doc_ids(docs)
         bucket_size = args.bucket_size or store.pinned_bucket_size() or (1 << 16)
-        sid = build_index(spark, docs, store, bucket_size=bucket_size)
+        sid = build_index(
+            spark, docs, store, bucket_size=bucket_size, shuffle=not args.no_shuffle
+        )
         print(f"committed segment {sid}")
         return 0
     if args.cmd == "query":
