@@ -6,8 +6,9 @@ Runs the build + query workload in a fresh subprocess per parallelism
 level (a JVM can't change master), writes BENCH/BASELINE.md with
 turns/sec, QPS at both levels, and efficiency = (T8/T32)/4.
 
-Usage: python scripts/scaling_bench.py [n_turns]
-       python scripts/scaling_bench.py --worker <cores> <n_turns>  (internal)
+Usage: python scripts/scaling_bench.py [n_turns] [n_small] [n_big]
+       python scripts/scaling_bench.py --gen <n_turns> <data_dir>       (subprocess)
+       python scripts/scaling_bench.py --worker <cores> <n_turns> <data_dir>
 """
 
 from __future__ import annotations
