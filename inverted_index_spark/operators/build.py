@@ -71,6 +71,8 @@ def encode_bucket_arrays(
     per-term byte slices and per-block metadata dicts — O(terms) and
     O(blocks), not O(postings)."""
     n = len(terms)
+    if n == 0:
+        return pd.DataFrame({k: [] for k in POSTINGS_SCHEMA.fieldNames()})
     # term boundaries
     t_starts = np.concatenate(([0], np.flatnonzero(terms[1:] != terms[:-1]) + 1))
     t_ends = np.concatenate((t_starts[1:], [n]))

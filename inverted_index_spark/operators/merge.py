@@ -25,6 +25,7 @@ from inverted_index_spark.functions.codec import DEFAULT_BLOCK, decode_postings
 from inverted_index_spark.operators.build import encode_bucket_arrays
 from inverted_index_spark.sources.store import (
     POSTINGS_SCHEMA,
+    ErrMergeConflict,
     SegmentStore,
     dir_bytes,
     new_segment_id,
@@ -37,8 +38,23 @@ def _merge_bucket_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     per (term, doc) keeping the first (tf, dl) (duplicates are the same
     doc re-indexed; the reference concats then sort-dedups,
     multiple/multiple_index.go:199-213), then the same vectorized
-    bucket encoder the build path uses."""
+    bucket encoder the build path uses.
+
+    df=0 rows are empty-postings term REGISTRATIONS (reference keeps
+    Put(term, []) in the FST — single_test.go:74-86): they carry no
+    decodable streams, so they are re-emitted verbatim (deduped) instead
+    of decoded — merging must never drop a registered term (the
+    merge-invariance contract on read_terms)."""
     bucket = int(pdf["bucket"].iloc[0])
+    empty = pdf[pdf["df"] == 0]
+    pdf = pdf[pdf["df"] > 0]
+    passthrough = None
+    if len(empty):
+        passthrough = empty.drop_duplicates(subset=["term"])[
+            list(POSTINGS_SCHEMA.fieldNames())
+        ]
+    if not len(pdf):
+        return passthrough
     term_parts, doc_parts, tf_parts, dl_parts = [], [], [], []
     for term, p, t, l, blocks in zip(
         pdf["term"], pdf["postings"], pdf["tfs"], pdf["dls"], pdf["blocks"]
@@ -63,7 +79,10 @@ def _merge_bucket_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     keep = np.ones(len(docs), dtype=bool)
     keep[1:] = ~((terms[1:] == terms[:-1]) & (docs[1:] == docs[:-1]))
     terms, docs, tfs, dls = terms[keep], docs[keep], tfs[keep], dls[keep]
-    return encode_bucket_arrays(terms, docs, tfs, dls, bucket, block_size)
+    out = encode_bucket_arrays(terms, docs, tfs, dls, bucket, block_size)
+    if passthrough is not None:
+        out = pd.concat([out, passthrough], ignore_index=True)
+    return out
 
 
 def merge_segments(
@@ -110,22 +129,31 @@ def merge_segments(
         .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
         .collect()[0]
     )
-    store.commit_segment(
-        segment_id,
-        {
-            "n_terms": int(agg["n_terms"] or 0),
-            "n_postings": int(agg["n_postings"] or 0),
-            "n_docs": int(dstats["n_docs"] or 0),
-            "sum_dl": int(dstats["sum_dl"] or 0),
-            "bytes": dir_bytes(seg_dir),
-            "min_doc": int(agg["min_doc"] or 0),
-            "max_doc": int(agg["max_doc"] or 0),
-            "build_id": f"merge:{'+'.join(victims)}"[:512],
-            "bucket_size": bucket_size,
-            "skew_ratio": float(agg["skew"] or 1.0),
-        },
-        replaces=victims,
-    )
+    try:
+        store.commit_segment(
+            segment_id,
+            {
+                "n_terms": int(agg["n_terms"] or 0),
+                "n_postings": int(agg["n_postings"] or 0),
+                "n_docs": int(dstats["n_docs"] or 0),
+                "sum_dl": int(dstats["sum_dl"] or 0),
+                "bytes": dir_bytes(seg_dir),
+                "min_doc": int(agg["min_doc"] or 0),
+                "max_doc": int(agg["max_doc"] or 0),
+                "build_id": f"merge:{'+'.join(victims)}"[:512],
+                "bucket_size": bucket_size,
+                "skew_ratio": float(agg["skew"] or 1.0),
+            },
+            replaces=victims,
+        )
+    except ErrMergeConflict:
+        # lost a merge/merge race: a concurrent compactor consumed one
+        # of our victims. Discard the orphan output — the winner's
+        # merged segment already covers those docs.
+        import shutil
+
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        return None
     return segment_id
 
 

@@ -77,6 +77,15 @@ MANIFEST_COLS = [
 LIVE, MERGED = "live", "merged"
 
 
+class ErrMergeConflict(RuntimeError):
+    """A compaction commit found one of its victims already tombstoned
+    by a racing committer. Committing anyway would leave TWO live
+    segments covering the same docs (double-counted df/tf → wrong BM25)
+    — the analog of the reference's `merging` set, which prevents two
+    mergers from picking the same file (multiple/multiple_index.go:94-129).
+    The losing merger must abort and discard its output."""
+
+
 @dataclass
 class SegmentStore:
     root: str
@@ -212,11 +221,23 @@ class SegmentStore:
         """Append a live manifest row (optionally tombstoning inputs) —
         the analog of filesList add + merged-list move
         (multiple/multiple_index.go:70-81). The transform re-applies on
-        every CAS retry, so concurrent committers never lose rows."""
+        every CAS retry, so concurrent committers never lose rows.
+
+        When ``replaces`` is non-empty, EVERY victim must still be LIVE
+        in the retry-time snapshot; raises :class:`ErrMergeConflict`
+        otherwise (a racing merger already consumed one — committing
+        would double-count the shared docs)."""
 
         def transform(m: pd.DataFrame, base: int) -> pd.DataFrame:
             m = m.copy()
             if replaces:
+                live_ids = set(m.loc[m["status"] == LIVE, "segment_id"])
+                stale = [s for s in replaces if s not in live_ids]
+                if stale:
+                    raise ErrMergeConflict(
+                        f"merge victims no longer live: {stale} — a racing "
+                        "compaction already consumed them; abort this merge"
+                    )
                 hit = m["segment_id"].isin(replaces) & (m["status"] == LIVE)
                 m.loc[hit, "status"] = MERGED
                 m.loc[hit, "tombstone_ts"] = time.time()

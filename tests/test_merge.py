@@ -71,6 +71,31 @@ def test_merge_bm25_invariance(spark, store, tmp_path):
     assert len(store.live_segments()) == 1
 
 
+def test_merge_preserves_empty_postings_terms(spark, store):
+    """Compaction over a store containing Put(term, []) registrations
+    (df=0 rows) must neither crash nor drop the empty terms — the
+    reference FST keeps them enumerable after any merge
+    (single_test.go:74-86) and merge.py's invariant says merging never
+    changes read_terms."""
+    w = SegmentWriter(spark, store)
+    w.put("emptyterm", [])
+    w.put("real", [1, 2])
+    w.close()
+    w2 = SegmentWriter(spark, store)
+    w2.put("alsoempty", [])
+    w2.put("emptyterm", [])  # same empty term registered twice across segments
+    w2.put("other", [3])
+    w2.close()
+    before = _state(spark, store)
+    assert before == (["alsoempty", "emptyterm", "other", "real"], [1, 2, 3])
+    sid = merge_segments(spark, store, min_files=2, max_files=3)
+    assert sid is not None
+    assert _state(spark, store) == before
+    # the empty terms read as empty posting lists, not errors
+    assert read_all_values(spark, store, ["emptyterm", "alsoempty"]).count() == 0
+    assert len(store.live_segments()) == 1
+
+
 def test_cleanup_removes_merged(spark, store):
     for i in range(3):
         w = SegmentWriter(spark, store)

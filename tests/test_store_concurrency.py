@@ -20,7 +20,12 @@ import time
 import pandas as pd
 import pytest
 
-from inverted_index_spark.sources.store import LIVE, MERGED, SegmentStore
+from inverted_index_spark.sources.store import (
+    LIVE,
+    MERGED,
+    ErrMergeConflict,
+    SegmentStore,
+)
 
 
 @pytest.fixture()
@@ -38,7 +43,7 @@ def _fake_segment(store: SegmentStore, seg_id: str) -> None:
 def test_concurrent_commits_lose_nothing(store):
     """16 threads × 8 commits each: all 128 rows survive, generations
     are gapless, and every generation file is a consistent snapshot."""
-    n_threads, per_thread = 10, 5
+    n_threads, per_thread = 16, 8
     errors: list[Exception] = []
 
     def writer(w: int) -> None:
@@ -165,6 +170,57 @@ def test_concurrent_merge_and_ingest(store):
     assert m["segment_id"].is_unique
     assert n_merged_commits >= 1  # the merger actually ran
     del hist
+
+
+def test_merge_merge_race_aborts_loser(store):
+    """Two compactions with OVERLAPPING victims: the second commit must
+    raise ErrMergeConflict instead of silently appending a second live
+    segment covering the same docs (double-counted df/tf → wrong BM25).
+    Mirrors the reference's `merging` set, which prevents two mergers
+    from ever picking the same file (multiple/multiple_index.go:94-129)."""
+    for s in ("a", "b", "c"):
+        _fake_segment(store, s)
+        store.commit_segment(s, {"bytes": 1})
+    _fake_segment(store, "m1")
+    store.commit_segment("m1", {"bytes": 2}, replaces=["a", "b"])
+    _fake_segment(store, "m2")
+    with pytest.raises(ErrMergeConflict):
+        store.commit_segment("m2", {"bytes": 2}, replaces=["b", "c"])
+    m = store.read_manifest()
+    # the loser appended nothing; a/b tombstoned once, c still live
+    assert "m2" not in set(m["segment_id"])
+    assert set(m[m["status"] == LIVE]["segment_id"]) == {"c", "m1"}
+
+
+def test_merge_merge_race_threads_exactly_one_winner(store):
+    """N racing compactors over the SAME victim set: exactly one commit
+    wins; every loser gets ErrMergeConflict; the final live set covers
+    each doc range exactly once."""
+    for s in ("a", "b"):
+        _fake_segment(store, s)
+        store.commit_segment(s, {"bytes": 1})
+    outcomes: list[str] = []
+    lock = threading.Lock()
+
+    def compactor(i: int) -> None:
+        seg = f"race_m{i}"
+        _fake_segment(store, seg)
+        try:
+            store.commit_segment(seg, {"bytes": 2}, replaces=["a", "b"])
+            with lock:
+                outcomes.append("won")
+        except ErrMergeConflict:
+            with lock:
+                outcomes.append("lost")
+
+    threads = [threading.Thread(target=compactor, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(outcomes) == ["lost"] * 7 + ["won"]
+    live = set(store.live_segments()["segment_id"])
+    assert len(live) == 1 and next(iter(live)).startswith("race_m")
 
 
 def test_tombstone_grace_period(store):
