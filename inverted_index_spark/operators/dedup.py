@@ -54,6 +54,49 @@ def _mulmod61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
     return (hi_term + mid_term + lo) % p
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the per-row hashing kernels can use every core: a
+    single-file parquet input arrives as ONE partition and would run
+    the whole md5/minhash pass single-task. Repartitions (round-robin
+    on the raw rows, BEFORE tokenization so only (id, text) shuffles)
+    only when the input has fewer partitions than the cluster's
+    default parallelism — at 100 TB inputs have thousands of
+    partitions and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def h64_md5_le(col):
+    """Pinned 64-bit string hash as a PURE JVM column expression:
+    signed little-endian first-8-md5-bytes — bit-identical to DuckDB's
+    ``md5_number_upper`` (oracle side) and to Python's
+    ``int.from_bytes(md5(s).digest()[:8], 'little')`` (parity twin
+    :func:`_token_hash64`). Spark side: md5 hex byte-pairs reversed,
+    then ``conv(…, 16, -10)`` → signed long. Used by minhash shingles,
+    simhash tokens, and winnowing k-grams, so ALL dedup hashing runs in
+    whole-stage codegen — no per-token Python anywhere (round-3 fix:
+    minhash/simhash previously hashed per token in Python hashlib)."""
+    le_hex = F.concat(*[F.substring(F.md5(col), 15 - 2 * i, 2) for i in range(8)])
+    return F.conv(le_hex, 16, -10).cast("long")
+
+
+def _shingles_col(toks_col, n: int):
+    """Token n-gram shingle strings, in-row (JVM image of
+    :func:`_shingles`): fewer than n tokens → one shingle of the whole
+    doc; callers must pre-filter empty-token docs."""
+    return F.when(
+        F.size(toks_col) < n, F.array(F.concat_ws(" ", toks_col))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks_col) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks_col, i + 1, n)),
+        )
+    )
+
+
 # ------------------------------------------------------------------ exact ---
 
 
@@ -84,9 +127,11 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def _token_hash64(tokens: pd.Series) -> list[np.ndarray]:
-    """64-bit shingle hash = little-endian first 8 md5 digest bytes —
-    pinned to DuckDB's ``md5_number_upper`` so the SQL oracle can
-    reproduce signatures bit-for-bit."""
+    """64-bit string hash = little-endian first 8 md5 digest bytes —
+    the pure-Python PARITY TWIN of :func:`h64_md5_le` (pinned to
+    DuckDB's ``md5_number_upper``). Kept OUT of the hot path: the
+    engine hashes in JVM codegen; this exists for tests that pin the
+    two implementations together."""
     import hashlib
 
     out = []
@@ -124,37 +169,64 @@ def minhash_signatures(
     shingle hashes; (a_i, b_i) drawn from a seeded rng so signatures
     are deterministic across runs/partitionings AND reproducible by
     the DuckDB oracle (HUGEINT math + md5_number_upper).
+
+    Shingle construction AND hashing are JVM column expressions
+    (:func:`h64_md5_le` — whole-stage codegen, zero per-token Python);
+    the Arrow kernel only does the (a·x+b) min-reduction, vectorized
+    across ALL docs in the batch at once (chunked `minimum.reduceat`,
+    not a per-doc matrix loop).
     """
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE_P, size=num_hashes, dtype=np.uint64)
     b = rng.integers(0, MERSENNE_P, size=num_hashes, dtype=np.uint64)
 
-    narrow = docs.select(
+    narrow = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).cast("long").alias("doc_id"),
         tokens_col(F.col(text_col)).alias("toks"),
+    ).where(F.size("toks") > 0)
+    hashed = narrow.select(
+        "doc_id",
+        F.transform(_shingles_col(F.col("toks"), shingle_n), h64_md5_le).alias("hs"),
     )
+    # chunk bound for the (num_hashes × shingles) work matrix: keeps
+    # each _mulmod61 temporary ~2 MB. Measured (local[32], 270k
+    # shingles): 2-8k-shingle chunks run the kernel in ~1s; 32k chunks
+    # take >20s inside Python workers — every 16 MB temporary is a
+    # fresh mmap → first-touch page faults dominate the arithmetic.
+    chunk = max((1 << 18) // max(num_hashes, 1), 512)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = _U(MERSENNE_P)
         for pdf in batches:
-            ids, sigs = [], []
-            sh = pdf["toks"].map(lambda t: _shingles(list(t), shingle_n))
-            for doc_id, hs in zip(pdf["doc_id"], _token_hash64(sh)):
-                if len(hs) == 0:
-                    continue
-                # (num_hashes, n_shingles) in O(num_hashes) vector ops
-                vals = (
-                    _mulmod61(a[:, None], hs[None, :]) + b[:, None]
-                ) % _U(MERSENNE_P)
-                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
-                ids.append(doc_id)
+            if not len(pdf):
+                continue
+            arrs = [np.asarray(h, dtype=np.int64) for h in pdf["hs"]]
+            lens = np.fromiter((len(h) for h in arrs), dtype=np.int64, count=len(arrs))
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            all_h = np.concatenate(arrs).view(np.uint64)
+            sig_parts = []
+            d0 = 0
+            n_docs = len(arrs)
+            while d0 < n_docs:
+                d1 = d0 + 1
+                while d1 < n_docs and bounds[d1 + 1] - bounds[d0] <= chunk:
+                    d1 += 1
+                h = all_h[bounds[d0] : bounds[d1]]
+                vals = (_mulmod61(a[:, None], h[None, :]) + b[:, None]) % p
+                rel = (bounds[d0:d1] - bounds[d0]).astype(np.int64)
+                sig_parts.append(
+                    np.minimum.reduceat(vals, rel, axis=1).astype(np.int64)
+                )
+                d0 = d1
+            sigs = np.concatenate(sig_parts, axis=1).T  # (n_docs, num_hashes)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "sig": pd.Series(sigs, dtype="object"),
+                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                    "sig": pd.Series(list(sigs), dtype="object"),
                 }
             )
 
-    return narrow.mapInPandas(run, schema="doc_id long, sig array<long>")
+    return hashed.mapInPandas(run, schema="doc_id long, sig array<long>")
 
 
 def minhash_lsh_pairs(
@@ -226,11 +298,18 @@ def minhash_lsh_pairs(
         F.col("l.sig").alias("sig_a"),
         F.col("r.sig").alias("sig_b"),
     )
+    # hot-bucket star: members pair with the bucket's min-doc rep. The
+    # rep's OWN banded row is in the same (band, band_hash) bucket, so
+    # its signature joins in from `banded` itself — same shuffle key as
+    # everything above → one reusable exchange, sig computed ONCE for
+    # the whole plan (no second signature pass through a rep_sig scan).
+    reps = banded.where(
+        (F.col("_bn") > hot_bucket_cap) & (F.col("doc_id") == F.col("_rep"))
+    ).select("band", "band_hash", F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
     hot = banded.where(
         (F.col("_bn") > hot_bucket_cap) & (F.col("doc_id") != F.col("_rep"))
-    ).select(F.col("_rep").alias("a"), F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
-    rep_sig = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
-    hot_cand = hot.join(rep_sig, "a").select("a", "b", "sig_a", "sig_b")
+    ).select("band", "band_hash", F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    hot_cand = hot.join(reps, ["band", "band_hash"]).select("a", "b", "sig_a", "sig_b")
     cand = cand.unionByName(hot_cand).dropDuplicates(["a", "b"])
     agree = F.size(
         F.filter(
@@ -252,40 +331,46 @@ def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, simhash) — 64-bit simhash over token md5 hashes with tf
-    weights, computed in one Arrow pass (bit-matrix accumulate).
-    Token hash = little-endian first 8 md5 bytes (≡ DuckDB
-    md5_number_upper, so the SQL oracle reproduces it)."""
-    narrow = docs.select(
+    weights. Token hash = little-endian first 8 md5 bytes (≡ DuckDB
+    md5_number_upper, so the SQL oracle reproduces it), computed by
+    the JVM (:func:`h64_md5_le`, whole-stage codegen — round-3: no
+    per-token Python md5); the Arrow kernel keeps only the bit-vote
+    matrix. tf weights come from counting equal HASHES rather than
+    equal tokens — identical votes, since votes add linearly per
+    token and equal tokens hash equally."""
+    narrow = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).cast("long").alias("doc_id"),
         tokens_col(F.col(text_col)).alias("toks"),
+    ).where(F.size("toks") > 0)
+    hashed = narrow.select(
+        "doc_id", F.transform("toks", h64_md5_le).alias("hs")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         bit_idx = np.arange(64, dtype=np.uint64)
+        pow2 = np.uint64(1) << bit_idx
         for pdf in batches:
             ids, out = [], []
-            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
-                toks = list(toks)
-                if not toks:
+            for doc_id, hs_raw in zip(pdf["doc_id"], pdf["hs"]):
+                hs_all = np.asarray(hs_raw, dtype=np.int64).view(np.uint64)
+                if not len(hs_all):
                     continue
-                uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-                hs = np.fromiter(
-                    (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in uniq),
-                    dtype=np.uint64,
-                    count=len(uniq),
-                )
+                hs, counts = np.unique(hs_all, return_counts=True)
                 bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
                 votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-                sh = np.uint64(0)
-                for j in np.flatnonzero(votes > 0):
-                    sh |= np.uint64(1) << np.uint64(j)
+                shu = int(pow2[votes > 0].sum(dtype=np.uint64))
                 ids.append(doc_id)
-                out.append(np.int64(sh.astype(np.int64)))
-            yield pd.DataFrame({"doc_id": ids, "simhash": out})
+                # explicit two's-complement reinterpretation (bit 63 set
+                # → negative long), matching h64-signed space
+                out.append(shu - (1 << 64) if shu >= (1 << 63) else shu)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "simhash": pd.Series(out, dtype="int64"),
+                }
+            )
 
-    return narrow.mapInPandas(run, schema="doc_id long, simhash long")
+    return hashed.mapInPandas(run, schema="doc_id long, simhash long")
 
 
 def simhash_chunk_bounds(max_hamming: int, bands: int | None) -> list[tuple[int, int]]:
@@ -389,30 +474,17 @@ def winnow_fingerprints(
     md5_number_upper, so the SQL oracle reproduces it bit-for-bit
     (Spark side: md5 hex pairs reversed, then conv(…, 16, -10)).
     """
-    toks = docs.select(
+    toks = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).cast("long").alias("doc_id"),
         tokens_col(F.col(text_col)).alias("toks"),
     ).where(F.size("toks") > 0)
-    n = k
-    grams = F.when(
-        F.size("toks") < n, F.array(F.concat_ws(" ", "toks"))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size("toks") - n),
-            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-        )
-    )
-    # signed little-endian first-8-md5-bytes (see module pinning notes);
-    # the hash array stays IN-ROW (transform, not explode+collect_list —
-    # collect_list would lose the k-gram order windows depend on, and
-    # this way the whole op is shuffle-free until the caller aggregates)
-    def _h64(g):
-        le_hex = F.concat(
-            *[F.substring(F.md5(g), 15 - 2 * i, 2) for i in range(8)]
-        )
-        return F.conv(le_hex, 16, -10).cast("long")
-
-    seqs = toks.select("doc_id", F.transform(grams, _h64).alias("hs"))
+    grams = _shingles_col(F.col("toks"), k)
+    # signed little-endian first-8-md5-bytes (h64_md5_le, shared with
+    # minhash/simhash); the hash array stays IN-ROW (transform, not
+    # explode+collect_list — collect_list would lose the k-gram order
+    # windows depend on, and this way the whole op is shuffle-free
+    # until the caller aggregates)
+    seqs = toks.select("doc_id", F.transform(grams, h64_md5_le).alias("hs"))
     w = window
     mins = F.when(
         F.size("hs") <= w, F.array(F.array_min("hs"))
@@ -474,21 +546,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).cast("long").alias("doc_id"),
         tokens_col(F.col(text_col)).alias("toks"),
     )
-    n = shingle_n
     sh = toks.select(
         "doc_id",
-        F.array_distinct(
-            F.when(
-                F.size("toks") < n, F.array(F.concat_ws(" ", "toks"))
-            ).otherwise(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - n),
-                    lambda i: F.concat_ws(
-                        " ", F.slice("toks", i + 1, n)
-                    ),
-                )
-            )
-        ).alias("sh"),
+        F.array_distinct(_shingles_col(F.col("toks"), shingle_n)).alias("sh"),
     )
     a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))

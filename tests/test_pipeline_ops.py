@@ -172,6 +172,41 @@ def test_ivf_recall(spark, vectors, tmp_path):
     assert len(set(part) & set(exact)) >= 6
 
 
+def test_h64_jvm_python_parity(spark):
+    """The JVM hash expression (h64_md5_le over JVM-built shingles) and
+    the pure-Python twin (_token_hash64 over _shingles) are bit-equal —
+    the pinning that lets dedup kernels run in whole-stage codegen
+    while the DuckDB oracle reproduces them via md5_number_upper."""
+    import pandas as pd
+
+    from inverted_index_spark.operators.dedup import (
+        _shingles,
+        _shingles_col,
+        _token_hash64,
+        h64_md5_le,
+    )
+
+    toks = [
+        ["the", "quick", "brown", "fox"],
+        ["бесплатно", "скачать", "сейчас"],  # unicode (md5 over utf-8)
+        ["one"],  # fewer tokens than n → whole-doc shingle
+        ["a", "b"],
+        ["émoji", "☃", "tokens", "mixed", "案例"],
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(toks)], "i long, toks array<string>")
+    got = {
+        r["i"]: list(r["hs"])
+        for r in df.select(
+            "i", F.transform(_shingles_col(F.col("toks"), 3), h64_md5_le).alias("hs")
+        ).collect()
+    }
+    sh = pd.Series([_shingles(t, 3) for t in toks])
+    want = {
+        i: hs.view(np.int64).tolist() for i, hs in enumerate(_token_hash64(sh))
+    }
+    assert got == want
+
+
 def test_mulmod61_exact():
     """The minhash hash family is the documented (a·x+b) mod p —
     exact 128-bit math, cross-checked against Python bigints."""
