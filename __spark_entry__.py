@@ -265,13 +265,34 @@ def _q_index_summary(spark, sf):
 
 
 def _q_transcripts_bm25(spark, sf):
-    """North-rule corpus path: synthetic transcripts → index → WAND."""
+    """North-rule corpus path: synthetic transcripts → index → WAND.
+
+    DuckDB can't run the Spark-side generator, so this entry is
+    SELF-CHECKING instead (round-3): the collected top-10 is asserted
+    rank-identical (scores to 1e-9) against the pure-pandas oracle
+    (inverted_index_spark.oracle) over the same generated corpus
+    before being returned — a mismatch raises rather than returning
+    silently-wrong rows."""
+    from inverted_index_spark.oracle import OracleIndex
+
+    q = ["w00000", "w00010"]
     with tempfile.TemporaryDirectory(prefix="ii_tx_") as d:
         store = SegmentStore(d + "/idx")
         docs = generate_transcripts(spark, 2000, include_doc_id=True)
         build_index(spark, docs, store, bucket_size=512)
-        out = bm25_topk_wand(spark, store, ["w00000", "w00010"], k=10)
-        out = spark.createDataFrame(out.collect(), out.schema)  # materialize pre-cleanup
+        out = bm25_topk_wand(spark, store, q, k=10)
+        rows = out.collect()
+        oracle = OracleIndex.from_docs(
+            docs.select("doc_id", "text").toPandas()
+        ).bm25_topk(q, k=10)
+        got = [(r["doc_id"], r["score"]) for r in rows]
+        if [g[0] for g in got] != [o[0] for o in oracle] or any(
+            abs(g[1] - o[1]) > 1e-9 for g, o in zip(got, oracle)
+        ):
+            raise AssertionError(
+                f"transcripts_bm25 rank-parity failed: engine={got} oracle={oracle}"
+            )
+        out = spark.createDataFrame(rows, out.schema)  # materialize pre-cleanup
     return out
 
 

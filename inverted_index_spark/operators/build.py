@@ -339,6 +339,18 @@ def build_index_from_tokens(
     agg = obs.get
     if not agg["n_terms"]:
         raise ErrEmptyIndex("refusing to commit an empty segment")
+    if agg["min_doc"] is not None and int(agg["min_doc"]) < 0:
+        # the reference indexes any cmp.Ordered V incl. full uint64
+        # (README.md:7); this engine pins postings to SIGNED 64-bit doc
+        # ids (LongType schema). A uint64 id ≥ 2^63 arrives wrapped
+        # negative — reject loudly instead of committing ids that
+        # break sort order, bucketing, and range reads. Ids up to
+        # 2^63-1 round-trip exactly (boundary-tested).
+        raise ValueError(
+            f"negative doc_id {int(agg['min_doc'])} in segment: doc ids "
+            "must be in [0, 2^63-1] (uint64 ids >= 2^63 are not "
+            "representable in this engine's LongType postings schema)"
+        )
     skew = agg["skew"]
     dstats = d_obs.get
     elapsed = max(time.time() - t0, 1e-9)

@@ -31,7 +31,7 @@ class Searcher:
         self._single_segment = len(store.live_segments()) <= 1
 
     # ------------------------------------------------------------- open ---
-    def open(self, preload_dfs_max_terms: int = 1_000_000) -> "Searcher":
+    def open(self, preload_dfs_max_terms: int = 100_000) -> "Searcher":
         # cache pre-partitioned BY BUCKET: every per-query
         # groupBy("bucket").applyInPandas then satisfies its clustered
         # distribution straight off the cache and Catalyst elides the
@@ -45,14 +45,23 @@ class Searcher:
         self._stats = _bm25.corpus_stats(self.spark, self.store)
         # preload the whole term→df dictionary when it fits (the
         # reference eagerly caches all bitmaps at open the same way,
-        # single/single.go:742-788) → df lookups cost zero Spark jobs
+        # single/single.go:742-788) → df lookups cost zero Spark jobs.
+        # HARD-BOUNDED on every path (round-3): the manifest's n_terms
+        # is an approx_count_distinct estimate, so the collect itself
+        # carries a .limit(cap + 1) — the driver can never pull an
+        # unbounded-by-data row count no matter what the estimate says.
         n_terms = int(self.store.live_segments()["n_terms"].sum() or 0)
-        if self._single_segment and 0 < n_terms <= preload_dfs_max_terms:
+        cap = preload_dfs_max_terms
+        if self._single_segment and 0 < n_terms <= int(cap * 1.05):
             rows = (
-                self._postings.groupBy("term").agg(F.sum("df").alias("df")).collect()
+                self._postings.groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .limit(cap + 1)
+                .collect()
             )
-            self._df_memo.update({r["term"]: int(r["df"]) for r in rows})
-            self._df_complete = True
+            if len(rows) <= cap:
+                self._df_memo.update({r["term"]: int(r["df"]) for r in rows})
+                self._df_complete = True
         return self
 
     def close(self) -> None:

@@ -260,27 +260,38 @@ def build_ivf_index(
     path: str,
     n_lists: int = 16,
     seed: int = 42,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
+    max_sample: int = 100_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
     """IVF coarse quantizer: fit n_lists centroids on a deterministic
-    sample (vec_id % sample_mod == 0 — set sample_mod so the sample
-    fits the driver; at 100 TB that's ~10^5 rows, the centroids stay
-    tiny either way), assign every vector to its nearest centroid in a
-    vectorized Arrow pass, and persist partitioned by list_id so an
-    nprobe query is a partition-pruned scan of nprobe/n_lists of the
-    data. Returns metadata (also a JSON sidecar with the centroids)."""
+    sample, assign every vector to its nearest centroid in a vectorized
+    Arrow pass, and persist partitioned by list_id so an nprobe query
+    is a partition-pruned scan of nprobe/n_lists of the data. Returns
+    metadata (also a JSON sidecar with the centroids).
+
+    The k-means sample is HARD-CAPPED at ``max_sample`` rows on every
+    code path (round-3 fix: the old default collected the entire vector
+    table to the driver — an OOM at 100 TB, not a slowdown):
+    sample_mod=None derives the stride from a cheap count so
+    ``vec_id % sample_mod == 0`` lands ≈ max_sample rows; an explicit
+    sample_mod is still bounded by a ``.limit(max_sample)`` before the
+    collect. Centroid quality needs ~10^3 rows per list, so 10^5 is
+    plenty at any corpus size."""
     import json
     import os
     from collections.abc import Iterator
 
     import pandas as pd
 
+    if sample_mod is None:
+        n = vectors.count()
+        sample_mod = max(1, -(-n // max_sample))  # ceil(n / max_sample)
     sample = (
         vectors.where(F.col(id_col) % sample_mod == 0) if sample_mod > 1 else vectors
     )
-    rows = sample.select(vec_col).collect()
+    rows = sample.select(vec_col).limit(max_sample).collect()
     x = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
     cents = _kmeans_fit(x, n_lists, seed)
 
@@ -303,7 +314,13 @@ def build_ivf_index(
         .partitionBy("list_id")
         .parquet(f"{path}/lists")
     )
-    meta = {"n_lists": n_lists, "seed": seed, "centroids": cents.tolist()}
+    meta = {
+        "n_lists": n_lists,
+        "seed": seed,
+        "sample_rows": len(x),
+        "sample_mod": int(sample_mod),
+        "centroids": cents.tolist(),
+    }
     os.makedirs(path, exist_ok=True)
     with open(f"{path}/meta.json", "w") as f:
         json.dump(meta, f)

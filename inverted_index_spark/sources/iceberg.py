@@ -10,26 +10,56 @@ when one is configured, keeping the exact SegmentStore interface so
 every operator (build/query/merge/streaming) runs unchanged:
 
     manifest row      → row in an Iceberg table `<ns>.ii_manifest`
-    commit_segment    → Iceberg append (serializable via the catalog's
-                        own optimistic commit — replaces our os.link CAS)
+    commit_segment    → Iceberg APPEND of the new row + a serializable
+                        UPDATE flipping victims live→merged (round-3:
+                        replaces the read→overwritePartitions commit,
+                        which was last-writer-wins under concurrency)
     read_manifest     → snapshot-isolated table scan
     cleanup           → DELETE + expire_snapshots
+
+Commit protocol (mirrors the parquet store's victim-liveness CAS,
+store.commit_segment):
+
+    1. UPDATE victims SET status='merged', tombstone_ts=<unique mark>
+       WHERE segment_id IN (...) AND status='live'   -- serializable
+    2. count rows WHERE tombstone_ts = <mark>; a shortfall means a
+       racing compactor already consumed a victim → COMPENSATE
+       (flip our marks back to live) and raise ErrMergeConflict
+    3. append the new live segment row (appends never conflict)
+
+Appends are conflict-free in Iceberg; the only contended operation is
+the victim flip, where Iceberg's serializable isolation on row-level
+UPDATE provides the write-write conflict detection the os.link CAS
+provides on parquet. The compensation in step 2 restores victims the
+loser tombstoned before it learned it lost (readers can observe the
+transient tombstone for the duration of one statement — same blast
+radius as the parquet store's tombstone grace window).
 
 Availability is probed at call time: this sandbox ships NO Iceberg
 runtime (no iceberg-spark-runtime jar in /opt/spark/jars, no
 pyiceberg), so the adapter raises a clear error here and the parquet
 store remains the tested default. `tests/test_iceberg_store.py` skips
-unless a catalog is configured (`spark.sql.catalog.<name>` conf).
+unless a catalog is configured (`spark.sql.catalog.<name>` conf);
+`tests/test_iceberg_mock.py` exercises the commit protocol against a
+mock catalog (append/update/count semantics simulated in pandas).
 """
 
 from __future__ import annotations
 
+import time
+import uuid
 from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import SparkSession
 
-from inverted_index_spark.sources.store import MANIFEST_COLS, SegmentStore
+from inverted_index_spark.sources.store import (
+    LIVE,
+    MANIFEST_COLS,
+    MERGED,
+    ErrMergeConflict,
+    SegmentStore,
+)
 
 
 def iceberg_available(spark: SparkSession, catalog: str = "ii_catalog") -> bool:
@@ -75,7 +105,11 @@ class IcebergSegmentStore(SegmentStore):
                          else f"{c} BIGINT"
                          for c in MANIFEST_COLS)
         self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}")
-        self.spark.sql(f"CREATE TABLE IF NOT EXISTS {self._table()} ({cols}) USING iceberg")
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self._table()} ({cols}) USING iceberg "
+            "TBLPROPERTIES ('commit.retry.num-retries'='20', "
+            "'write.update.isolation-level'='serializable')"
+        )
 
     def read_manifest(self) -> pd.DataFrame:
         self._ensure()
@@ -83,17 +117,95 @@ class IcebergSegmentStore(SegmentStore):
             self.spark.table(self._table()).toPandas().reindex(columns=MANIFEST_COLS)
         )
 
+    def current_generation(self) -> int:
+        """Snapshot count stands in for the parquet gen number."""
+        self._ensure()
+        return int(
+            self.spark.sql(
+                f"SELECT count(*) AS n FROM {self._table()}.snapshots"
+            ).collect()[0]["n"]
+        )
+
+    def commit_segment(
+        self,
+        segment_id: str,
+        stats: dict,
+        replaces: list[str] | None = None,
+    ) -> int:
+        """Append-only commit with a validated victim flip (module
+        docstring has the full protocol). Raises ErrMergeConflict when
+        a racing compactor already consumed a victim."""
+        self._ensure()
+        tbl = self._table()
+        if replaces:
+            ids = ", ".join(f"'{s}'" for s in replaces)
+            # unique mark → we can count and (on conflict) compensate
+            # exactly the rows THIS commit flipped
+            mark = float(f"{time.time():.6f}") + (uuid.uuid4().int % 997) * 1e-9
+            self.spark.sql(
+                f"UPDATE {tbl} SET status = '{MERGED}', tombstone_ts = {mark!r} "
+                f"WHERE segment_id IN ({ids}) AND status = '{LIVE}'"
+            )
+            flipped = int(
+                self.spark.sql(
+                    f"SELECT count(*) AS n FROM {tbl} WHERE tombstone_ts = {mark!r}"
+                ).collect()[0]["n"]
+            )
+            if flipped != len(set(replaces)):
+                # a racer tombstoned some victim first → restore ours, abort
+                self.spark.sql(
+                    f"UPDATE {tbl} SET status = '{LIVE}', tombstone_ts = 0.0 "
+                    f"WHERE tombstone_ts = {mark!r}"
+                )
+                raise ErrMergeConflict(
+                    f"{len(set(replaces)) - flipped} merge victim(s) no longer "
+                    "live — a racing compaction already consumed them"
+                )
+        row = {c: None for c in MANIFEST_COLS}
+        row.update(
+            {
+                "segment_id": segment_id,
+                "path": self.seg_dir(segment_id),
+                "generation_added": 0,
+                "status": LIVE,
+                "created_ts": time.time(),
+                "tombstone_ts": 0.0,
+                "build_id": stats.get("build_id", ""),
+                "chunk": stats.get("chunk", -1),
+                "input_fingerprint": stats.get("input_fingerprint", ""),
+                "terms_per_sec": stats.get("terms_per_sec", 0.0),
+                "skew_ratio": stats.get("skew_ratio", 0.0),
+                "bucket_size": stats.get("bucket_size", 0),
+                **{
+                    k: stats.get(k, 0)
+                    for k in (
+                        "n_terms", "n_postings", "n_docs", "sum_dl", "bytes",
+                        "min_doc", "max_doc",
+                    )
+                },
+            }
+        )
+        self.spark.createDataFrame(pd.DataFrame([row])[MANIFEST_COLS]).writeTo(
+            tbl
+        ).append()
+        return self.current_generation()
+
     def _commit_manifest(self, transform) -> int:
-        """Iceberg's optimistic snapshot commit replaces the os.link CAS:
-        read current snapshot → transform → overwrite; the catalog
-        serializes concurrent committers and retries conflicts."""
+        """Generic-transform commits (cleanup's row deletion) go through
+        a read→DELETE-by-id path: compute which rows the transform
+        removed and DELETE exactly those — row-level deletes compose
+        with concurrent appends instead of overwriting them."""
         self._ensure()
         base = self.read_manifest()
         nxt = transform(base, len(base))[MANIFEST_COLS]
-        self.spark.createDataFrame(nxt).writeTo(self._table()).overwritePartitions()
-        return int(
+        gone = set(base["segment_id"]) - set(nxt["segment_id"])
+        if gone:
+            ids = ", ".join(f"'{s}'" for s in sorted(gone))
             self.spark.sql(
-                f"SELECT count(*) AS n FROM {self.catalog}.{self.namespace}"
-                ".ii_manifest.snapshots"
-            ).collect()[0]["n"]
-        )
+                f"DELETE FROM {self._table()} WHERE segment_id IN ({ids})"
+            )
+        return self.current_generation()
+
+    def expire_generations(self, keep: int = 8, grace_s: float = 0.0) -> int:
+        """Iceberg's own expire_snapshots owns snapshot retention."""
+        return 0

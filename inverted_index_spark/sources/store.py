@@ -120,12 +120,20 @@ class SegmentStore:
         return max(gens, default=0)
 
     def read_manifest(self) -> pd.DataFrame:
-        gen = self.current_generation()
-        if gen == 0:
-            return pd.DataFrame(columns=MANIFEST_COLS)
-        return pd.read_parquet(
-            os.path.join(self._manifest_dir(), f"gen-{gen}.parquet")
-        ).reindex(columns=MANIFEST_COLS)
+        # retry: under extreme contention the resolved gen file can be
+        # expired (expire_generations keeps the last K) between the
+        # listdir and the read — re-resolve to the new max
+        for _ in range(100):
+            gen = self.current_generation()
+            if gen == 0:
+                return pd.DataFrame(columns=MANIFEST_COLS)
+            try:
+                return pd.read_parquet(
+                    os.path.join(self._manifest_dir(), f"gen-{gen}.parquet")
+                ).reindex(columns=MANIFEST_COLS)
+            except FileNotFoundError:
+                continue
+        raise RuntimeError("manifest read: resolved generation kept vanishing")
 
     def _commit_manifest(self, transform) -> int:
         """Serializable optimistic commit (round-2 fix for the CAS gap
@@ -144,13 +152,16 @@ class SegmentStore:
         os.makedirs(self._manifest_dir(), exist_ok=True)
         for _ in range(1000):
             base = self.current_generation()
-            manifest = (
-                pd.read_parquet(
-                    os.path.join(self._manifest_dir(), f"gen-{base}.parquet")
-                ).reindex(columns=MANIFEST_COLS)
-                if base
-                else pd.DataFrame(columns=MANIFEST_COLS)
-            )
+            try:
+                manifest = (
+                    pd.read_parquet(
+                        os.path.join(self._manifest_dir(), f"gen-{base}.parquet")
+                    ).reindex(columns=MANIFEST_COLS)
+                    if base
+                    else pd.DataFrame(columns=MANIFEST_COLS)
+                )
+            except FileNotFoundError:
+                continue  # base expired under us — re-resolve
             nxt = transform(manifest, base)[MANIFEST_COLS]
             gen = base + 1
             tmp = os.path.join(
@@ -292,7 +303,44 @@ class SegmentStore:
             self._commit_manifest(
                 lambda m, base: m[~m["segment_id"].isin(gone)].reset_index(drop=True)
             )
+        self.expire_generations(grace_s=grace_s)
         return deleted
+
+    def expire_generations(self, keep: int = 8, grace_s: float = 0.0) -> int:
+        """Delete old gen-N.parquet snapshot files, keeping the last
+        ``keep`` (Iceberg's expire_snapshots; the reference's analog is
+        its bounded in-RAM filesList). Without this, a streaming sink
+        committing per micro-batch grows the manifest dir O(commits)
+        files / O(commits²) bytes and current_generation()'s listdir
+        slows linearly (round-3 fix). Safe with concurrent committers:
+        commits only ever CREATE gen-(max+1); deleting gens below
+        max-keep can't race the max-scan forward, and ``grace_s``
+        (mtime-based) protects in-flight readers that resolved an older
+        snapshot. Returns how many files were deleted."""
+        mdir = self._manifest_dir()
+        try:
+            names = os.listdir(mdir)
+        except FileNotFoundError:
+            return 0
+        gens = sorted(
+            int(n[4:-8])
+            for n in names
+            if n.startswith("gen-") and n.endswith(".parquet")
+        )
+        if len(gens) <= keep:
+            return 0
+        now = time.time()
+        n_deleted = 0
+        for g in gens[:-keep]:
+            p = os.path.join(mdir, f"gen-{g}.parquet")
+            try:
+                if now - os.path.getmtime(p) < grace_s:
+                    continue
+                os.unlink(p)
+                n_deleted += 1
+            except FileNotFoundError:
+                pass  # a concurrent cleaner got it first
+        return n_deleted
 
     # ------------------------------------------------------------- reads
     def read_postings(

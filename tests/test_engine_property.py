@@ -67,3 +67,28 @@ def test_write_read_matches_oracle(spark, mk_store, postings, data):
         lo = hi = None
     got = [r["doc_id"] for r in read_values(spark, store, terms, lo, hi).collect()]
     assert got == oracle.read_values(terms, lo, hi)
+
+
+def test_doc_id_int64_boundary(spark, mk_store):
+    """Ids up to 2^63-1 (the LongType ceiling) round-trip exactly; a
+    negative id (what a uint64 ≥ 2^63 becomes after wrapping) is
+    rejected with a clear error instead of committing a segment whose
+    sort order / bucketing / range reads are silently broken. The
+    reference's full-uint64 V is a documented narrowing (SURVEY §2.6)."""
+    top = 2**63 - 1
+    store = mk_store()
+    w = SegmentWriter(spark, store, bucket_size=1 << 20)
+    w.put("edge", [top, 5, top - 1])
+    w.close()
+    got = [r["doc_id"] for r in read_values(spark, store, ["edge"], None, None).collect()]
+    assert got == [5, top - 1, top]
+    # range read straddling the ceiling
+    got = [r["doc_id"] for r in read_values(spark, store, ["edge"], top - 1, top).collect()]
+    assert got == [top - 1, top]
+
+    bad = mk_store()
+    w = SegmentWriter(spark, bad, bucket_size=1 << 20)
+    w.put("neg", [-3])
+    with pytest.raises(ValueError, match="doc_id|2\\^63"):
+        w.close()
+    assert len(bad.live_segments()) == 0  # nothing committed

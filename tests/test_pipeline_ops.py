@@ -172,6 +172,27 @@ def test_ivf_recall(spark, vectors, tmp_path):
     assert len(set(part) & set(exact)) >= 6
 
 
+def test_ivf_sample_hard_cap(spark, vectors, tmp_path):
+    """No build_ivf_index code path may collect more than max_sample
+    rows to the driver, regardless of caller arguments (round-3 fix:
+    the old sample_mod=1 default collected the ENTIRE vector table —
+    an OOM at 100 TB)."""
+    from inverted_index_spark.operators.similarity import build_ivf_index
+
+    df, _ = vectors
+    n = df.count()
+    # explicit sample_mod=1 (the old foot-gun) still caps via limit()
+    meta = build_ivf_index(df, str(tmp_path / "a"), n_lists=4, sample_mod=1, max_sample=50)
+    assert meta["sample_rows"] <= 50
+    # default derives the stride from a count
+    meta = build_ivf_index(df, str(tmp_path / "b"), n_lists=4, max_sample=50)
+    assert meta["sample_rows"] <= 50
+    assert meta["sample_mod"] >= n // 50
+    # default with a roomy cap uses everything (small corpus)
+    meta = build_ivf_index(df, str(tmp_path / "c"), n_lists=4)
+    assert meta["sample_rows"] == n and meta["sample_mod"] == 1
+
+
 def test_h64_jvm_python_parity(spark):
     """The JVM hash expression (h64_md5_le over JVM-built shingles) and
     the pure-Python twin (_token_hash64 over _shingles) are bit-equal —

@@ -172,6 +172,31 @@ def test_concurrent_merge_and_ingest(store):
     del hist
 
 
+def test_manifest_generations_expire(store):
+    """A streaming-style sink committing hundreds of micro-batches must
+    not grow the manifest dir without bound: cleanup() keeps O(keep)
+    gen files while the newest snapshot stays complete (round-3;
+    models Iceberg expire_snapshots / the reference's bounded in-RAM
+    filesList)."""
+    for i in range(220):
+        seg = f"mb{i:04d}"
+        _fake_segment(store, seg)
+        store.commit_segment(seg, {"bytes": 1})
+    mdir = os.path.join(store.root, "manifest")
+    n_before = len([n for n in os.listdir(mdir) if n.startswith("gen-")])
+    assert n_before == 220
+    store.cleanup()
+    gens = [n for n in os.listdir(mdir) if n.startswith("gen-")]
+    assert len(gens) <= 8
+    # newest snapshot is intact and complete
+    m = store.read_manifest()
+    assert len(m) == 220 and store.current_generation() == 220
+    # a later commit keeps working on top of the pruned history
+    _fake_segment(store, "after")
+    store.commit_segment("after", {"bytes": 1})
+    assert len(store.read_manifest()) == 221
+
+
 def test_merge_merge_race_aborts_loser(store):
     """Two compactions with OVERLAPPING victims: the second commit must
     raise ErrMergeConflict instead of silently appending a second live
