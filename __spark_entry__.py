@@ -175,6 +175,19 @@ def _q_ngram_jaccard(spark, sf):
     )
 
 
+def _q_dedup_exact_keep(spark, sf):
+    """The dedup SURVIVOR set (corpus minus exact duplicates, keep min
+    doc_id) — the other half of exact dedup next to the group listing."""
+    kept = _dedup.dedup_exact(_docs(spark, sf))
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+def _q_simhash_values(spark, sf):
+    """Per-doc 64-bit simhash values (tf-weighted md5 bit votes) —
+    oracle-pinned bit-for-bit via DuckDB md5_number_upper."""
+    return _dedup.simhash(_docs(spark, sf)).orderBy("doc_id")
+
+
 def _q_minhash_pairs(spark, sf):
     p = _dedup.minhash_lsh_pairs(_docs(spark, sf), threshold=0.3)
     return p.select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
@@ -311,6 +324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_batch": _q_bm25_topk_batch,
         "read_values_batch": _q_read_values_batch,
         "dedup_fingerprints": _q_dedup_fingerprints,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "simhash_values": _q_simhash_values,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
@@ -451,6 +466,17 @@ est AS (SELECT a, b, list_sum(list_transform(generate_series(1, 64),
         FROM cand)
 SELECT a, b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.3
 """
+
+# shared simhash core: tf-weighted bit votes over md5_number_upper
+# token hashes → per-doc signed 64-bit simhash (CTE `sh`)
+_SIMHASH_CORE = """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents),
+tc AS (SELECT doc_id, w, count(*)::HUGEINT AS c FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w),
+th AS (SELECT doc_id, md5_number_upper(w)::HUGEINT AS h, c FROM tc),
+bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN c ELSE -c END) AS vote
+         FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY doc_id, j),
+shu AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::HUGEINT << j) ELSE 0::HUGEINT END) AS hu FROM bits GROUP BY doc_id),
+sh AS (SELECT doc_id, (CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END)::BIGINT AS simhash,
+              hu FROM shu)"""
 
 # bit-exact DuckDB twin of simhash_near_pairs(max_hamming=7): tf-weighted
 # bit votes over md5_number_upper token hashes, 8×8-bit pigeonhole bands
@@ -604,6 +630,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_pairs": _MINHASH,
         "simhash_pairs": _SIMHASH,
+        "simhash_values": (
+            f"WITH {_SIMHASH_CORE} "
+            "SELECT doc_id, simhash FROM sh ORDER BY doc_id"
+        ),
+        "dedup_exact_keep": (
+            "WITH fp AS (SELECT doc_id, md5(array_to_string("
+            "regexp_extract_all(lower(text), '\\w+'), ' ')) AS fp FROM documents) "
+            "SELECT doc_id FROM documents WHERE doc_id IN "
+            "(SELECT min(doc_id) FROM fp GROUP BY fp) ORDER BY doc_id"
+        ),
         "index_stats": (
             "SELECT 1::BIGINT AS n_segments, "
             "(SELECT count(*) FROM documents)::BIGINT AS n_docs, "

@@ -19,6 +19,21 @@ from inverted_index_spark.operators import wand as _wand
 from inverted_index_spark.operators.query import _decode_rows
 from inverted_index_spark.sources.store import SegmentStore
 
+# batched-query maps above this many entries ship via broadcast instead
+# of the task closure (a closure is re-serialized into EVERY task; a
+# broadcast lands once per executor)
+BROADCAST_QMAP_THRESHOLD = 512
+
+
+def _maybe_broadcast(spark: SparkSession, payload):
+    try:
+        n = sum(len(v) if hasattr(v, "__len__") else 1 for v in payload)
+    except TypeError:
+        n = 0
+    if n <= BROADCAST_QMAP_THRESHOLD:
+        return None
+    return spark.sparkContext.broadcast(payload)
+
 
 class Searcher:
     def __init__(self, spark: SparkSession, store: SegmentStore):
@@ -175,20 +190,31 @@ class Searcher:
             for t in ts:
                 term_qids.setdefault(t, []).append(qid)
 
+        # large batches ride a broadcast, not the task closure: a 100k-
+        # query map serialized into EVERY task would dominate task
+        # launch; a broadcast ships once per executor. `payload` is
+        # None'd when broadcasting so the closure doesn't ALSO pickle
+        # the raw dicts.
+        payload = (qmap, term_qids)
+        bc = _maybe_broadcast(self.spark, payload)
+        if bc is not None:
+            payload = None
+
         def run(batches):
+            _qmap, _term_qids = bc.value if bc is not None else payload
             for pdf in batches:
                 out_qid, out_doc = [], []
                 for term, p, t, l, blocks in zip(
                     pdf["term"], pdf["postings"], pdf["tfs"], pdf["dls"], pdf["blocks"]
                 ):
-                    qids = term_qids.get(term)
+                    qids = _term_qids.get(term)
                     if not qids:
                         continue
                     d, _, _ = decode_postings(p, t, l, blocks, g_lo, g_hi)
                     if not len(d):
                         continue
                     for qid in qids:
-                        _, lo, hi = qmap[qid]
+                        _, lo, hi = _qmap[qid]
                         a = 0 if lo is None else int(np.searchsorted(d, lo, "left"))
                         b = len(d) if hi is None else int(np.searchsorted(d, hi, "right"))
                         if a == b:
@@ -241,18 +267,26 @@ class Searcher:
             )
         live_terms = sorted({t for ts in qmap.values() for t in ts})
         rows = self._matching(live_terms)
+        # large batches ride a broadcast, not the task closure (one
+        # copy per executor instead of per task); payload None'd when
+        # broadcasting so the closure doesn't also pickle the dicts
+        payload = (qmap, idf_map)
+        bc = _maybe_broadcast(self.spark, payload)
+        if bc is not None:
+            payload = None
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            _qmap, _idf_map = bc.value if bc is not None else payload
             handles = {
                 t: _wand._term_handles(grp)
                 for t, grp in pdf.groupby("term", sort=True)
             }
             qids, docs, scores = [], [], []
-            for qid, ts in qmap.items():
+            for qid, ts in _qmap.items():
                 sub = {t: handles[t] for t in ts if t in handles}
                 if not sub:
                     continue
-                for d, s in _wand._wand_from_handles(sub, idf_map, avgdl, k):
+                for d, s in _wand._wand_from_handles(sub, _idf_map, avgdl, k):
                     qids.append(qid)
                     docs.append(d)
                     scores.append(s)
