@@ -52,10 +52,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _store_for(spark: SparkSession, sf_dir: str) -> SegmentStore:
-    """Build the inverted index over documents once per (process, sf_dir)."""
+    """Build the inverted index over documents once per (process, sf_dir).
+
+    positions=True: the store also carries the positional artifact so
+    the phrase_match entry runs over the same segments."""
     if sf_dir not in _STORES:
         store = SegmentStore(tempfile.mkdtemp(prefix="ii_entry_") + "/idx")
-        build_index(spark, _docs(spark, sf_dir), store, bucket_size=1 << 14)
+        build_index(
+            spark, _docs(spark, sf_dir), store, bucket_size=1 << 14, positions=True
+        )
         _STORES[sf_dir] = store
     return _STORES[sf_dir]
 
@@ -250,6 +255,96 @@ def _q_index_stats(spark, sf):
     )
 
 
+PHRASE = ["table", "hash"]
+STRATA_FRACTIONS = {"en": 0.5, "de": 1.0, "zh": 0.2}
+STRATA_DEFAULT = 0.05
+PACK_BLOCK = 512
+TS_TYPES = ["click", "view"]
+TS_RANGE = (1_704_412_800_000_000, 1_705_276_800_000_000)  # 2024-01-05..15 UTC µs
+
+
+def _q_phrase_match(spark, sf):
+    """Positional-index phrase query (operators.positions) — exact
+    adjacent-token match with per-doc occurrence counts."""
+    from inverted_index_spark.operators.positions import phrase_match
+
+    return phrase_match(spark, _store_for(spark, sf), PHRASE)
+
+
+def _q_terms_prefix(spark, sf):
+    return _query.read_terms_prefix(spark, _store_for(spark, sf), "s")
+
+
+def _q_values_prefix(spark, sf):
+    return _query.read_values_prefix(spark, _store_for(spark, sf), "sp", 50, 300)
+
+
+def _near_pairs(spark, sf):
+    return _dedup.minhash_lsh_pairs(_docs(spark, sf), threshold=0.3)
+
+
+def _q_dedup_clusters(spark, sf):
+    """Near-dup clusters: MinHash-LSH pairs → alternating-star
+    connected components (operators.clustering) — every clustered doc
+    labeled with its component's min doc_id."""
+    from inverted_index_spark.operators.clustering import connected_components
+
+    cc = connected_components(_near_pairs(spark, sf))
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def _q_dedup_cluster_survivors(spark, sf):
+    """Corpus minus non-minimum members of every near-dup cluster."""
+    from inverted_index_spark.operators.clustering import dedup_survivors
+
+    kept = dedup_survivors(_docs(spark, sf), _near_pairs(spark, sf))
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+def _q_sample_stratified(spark, sf):
+    """Deterministic md5-keyed stratified sampling (corpus mixing)."""
+    from inverted_index_spark.operators.corpus import stratified_sample
+
+    s = stratified_sample(
+        _docs(spark, sf), STRATA_FRACTIONS, "lang",
+        default_fraction=STRATA_DEFAULT,
+    )
+    return s.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _q_pack_sequences(spark, sf):
+    """Concat-then-chunk sequence packing over the pinned tokenizer's
+    token counts (distributed prefix sum, no single-partition window)."""
+    from inverted_index_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(_docs(spark, sf), block_size=PACK_BLOCK).orderBy("doc_id")
+
+
+_TS_STORES: dict[str, SegmentStore] = {}
+
+
+def _q_ts_index_range(spark, sf):
+    """Generic ordered-V indexing (reference README.md:7,28 — V as
+    timestamps): event types indexed by occurrence time; R10 range
+    read = time-window scan."""
+    from inverted_index_spark.operators.build import build_value_index
+
+    if sf not in _TS_STORES:
+        store = SegmentStore(tempfile.mkdtemp(prefix="ii_tsidx_") + "/idx")
+        # parquet ts is TIMESTAMP_NTZ; the session TZ is pinned UTC, so
+        # the cast interprets wall time exactly like DuckDB's epoch_us
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        build_value_index(spark, ev, store, "event_type", "ts_us", bucket_size=1 << 32)
+        _TS_STORES[sf] = store
+    vals = _query.read_values(spark, _TS_STORES[sf], TS_TYPES, *TS_RANGE)
+    return vals.select(F.col("doc_id").alias("ts_us"))
+
+
 # rows-only entries (no SQL oracle — non-SQL-expressible semantics)
 
 
@@ -337,6 +432,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": _q_index_stats,
         "winnow_fingerprints": _q_winnow_fps,
         "winnow_pairs": _q_winnow_pairs,
+        "phrase_match": _q_phrase_match,
+        "ii_read_terms_prefix": _q_terms_prefix,
+        "ii_read_values_prefix": _q_values_prefix,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
+        "sample_stratified": _q_sample_stratified,
+        "pack_sequences": _q_pack_sequences,
+        "ts_index_range": _q_ts_index_range,
         "ann_lsh_topk": _q_ann_lsh,
         "index_summary": _q_index_summary,
         "transcripts_bm25": _q_transcripts_bm25,
@@ -513,6 +616,35 @@ m AS (SELECT doc_id, CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
 SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m
 """
 
+# phrase twin: count token offsets i where toks[i:i+k-1] equals the
+# phrase, over the SAME capped token array the positional index uses
+_PHRASE_SQL = f"""
+SELECT doc_id, n_matches FROM (
+  SELECT doc_id,
+         len(list_filter(generate_series(1, greatest(len(t) - 1, 0)),
+             i -> t[i] = '{PHRASE[0]}' AND t[i+1] = '{PHRASE[1]}'))::BIGINT AS n_matches
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents))
+WHERE n_matches > 0 ORDER BY doc_id
+"""
+
+# clusters twin: recursive min-label propagation over the SAME minhash
+# pair set (the engine runs alternating large/small-star — same fixpoint)
+_CLUSTER_CTES = f"""mh AS ({_MINHASH}),
+edges AS (SELECT a AS u, b AS v FROM mh UNION SELECT b AS u, a AS v FROM mh),
+reach(n, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.n),
+cl AS (SELECT n, min(l) AS l FROM reach GROUP BY n)"""
+
+_STRATA_CASE = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{k}' THEN {int(v * (1 << 31))}" for k, v in sorted(STRATA_FRACTIONS.items())
+    )
+    + f" ELSE {int(STRATA_DEFAULT * (1 << 31))} END"
+)
+
 _COS = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
      qn AS (SELECT sqrt(sum(x * x)) AS n
@@ -645,6 +777,42 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM documents)::BIGINT AS n_docs, "
             f"(SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM ({_TOK})))::BIGINT AS n_postings, "
             f"(SELECT sum(len({_TOKS_SQL})) FROM documents)::BIGINT AS sum_dl"
+        ),
+        "phrase_match": _PHRASE_SQL,
+        "ii_read_terms_prefix": (
+            f"SELECT DISTINCT term FROM ({_TOK}) WHERE term LIKE 's%' ORDER BY term"
+        ),
+        "ii_read_values_prefix": (
+            f"SELECT DISTINCT doc_id FROM ({_TOK}) "
+            "WHERE term LIKE 'sp%' AND doc_id BETWEEN 50 AND 300 ORDER BY doc_id"
+        ),
+        "dedup_clusters": (
+            f"WITH RECURSIVE {_CLUSTER_CTES} "
+            "SELECT n AS doc_id, l AS cluster_id FROM cl ORDER BY doc_id"
+        ),
+        "dedup_cluster_survivors": (
+            f"WITH RECURSIVE {_CLUSTER_CTES} "
+            "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+            "(SELECT n FROM cl WHERE n <> l) ORDER BY doc_id"
+        ),
+        "sample_stratified": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE (md5_number_upper('42:' || doc_id::VARCHAR)::HUGEINT "
+            f"% 2147483648)::BIGINT < {_STRATA_CASE} ORDER BY doc_id"
+        ),
+        "pack_sequences": (
+            f"WITH d AS (SELECT doc_id, len({_TOKS_SQL})::BIGINT AS dl FROM documents), "
+            'o AS (SELECT doc_id, dl, coalesce(sum(dl) OVER (ORDER BY doc_id '
+            'ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset" FROM d) '
+            f'SELECT doc_id, dl, "offset", "offset" // {PACK_BLOCK} AS first_block, '
+            f'("offset" + greatest(dl, 1) - 1) // {PACK_BLOCK} AS last_block '
+            "FROM o ORDER BY doc_id"
+        ),
+        "ts_index_range": (
+            "SELECT DISTINCT epoch_us(ts) AS ts_us FROM events "
+            f"WHERE event_type IN ('{TS_TYPES[0]}', '{TS_TYPES[1]}') "
+            f"AND epoch_us(ts) BETWEEN {TS_RANGE[0]} AND {TS_RANGE[1]} "
+            "ORDER BY ts_us"
         ),
         "ngram_jaccard": (
             f"WITH sh AS ({_SHINGLES}) "

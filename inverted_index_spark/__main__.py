@@ -4,6 +4,7 @@
     python -m inverted_index_spark inspect <store_root>
     python -m inverted_index_spark build <transcripts_parquet> <store_root>
     python -m inverted_index_spark query <store_root> term1 term2 ... [-k 10]
+    python -m inverted_index_spark phrase <store_root> tok1 tok2 ...
 """
 
 from __future__ import annotations
@@ -25,6 +26,10 @@ def main(argv: list[str] | None = None) -> int:
         help="doc-bucket width; defaults to the store's pinned size, else 65536",
     )
     s_build.add_argument(
+        "--positions", action="store_true",
+        help="also write the positional artifact (enables `phrase` queries)",
+    )
+    s_build.add_argument(
         "--no-shuffle", action="store_true",
         help="fragment encode: no token-stream shuffle (multi-executor "
         "option; input partitions must hold disjoint doc sets; run "
@@ -34,6 +39,12 @@ def main(argv: list[str] | None = None) -> int:
     s_query.add_argument("store_root")
     s_query.add_argument("terms", nargs="+")
     s_query.add_argument("-k", type=int, default=10)
+    s_phrase = sub.add_parser(
+        "phrase", help="exact-phrase match over a positional index "
+        "(build with --positions)"
+    )
+    s_phrase.add_argument("store_root")
+    s_phrase.add_argument("tokens", nargs="+")
     s_compact = sub.add_parser(
         "compact", help="merge live segments (min_files=1 also consolidates "
         "a single fragmented segment) and delete tombstoned data"
@@ -76,9 +87,16 @@ def main(argv: list[str] | None = None) -> int:
             docs = mint_doc_ids(docs)
         bucket_size = args.bucket_size or store.pinned_bucket_size() or (1 << 16)
         sid = build_index(
-            spark, docs, store, bucket_size=bucket_size, shuffle=not args.no_shuffle
+            spark, docs, store, bucket_size=bucket_size,
+            shuffle=not args.no_shuffle, positions=args.positions,
         )
         print(f"committed segment {sid}")
+        return 0
+    if args.cmd == "phrase":
+        from inverted_index_spark.operators.positions import phrase_match
+
+        for row in phrase_match(spark, store, args.tokens).collect():
+            print(f"{row['doc_id']}\t{row['n_matches']}")
         return 0
     if args.cmd == "query":
         from inverted_index_spark.operators.search import Searcher

@@ -252,6 +252,7 @@ def build_index_from_tokens(
     replaces: list[str] | None = None,
     empty_terms: list[str] | None = None,
     shuffle: bool = True,
+    positions_df: DataFrame | None = None,
 ) -> str:
     """Encode + write + commit one immutable segment. Returns segment_id.
 
@@ -330,10 +331,27 @@ def build_index_from_tokens(
         args=(encoded.sortWithinPartitions("bucket", "term"), f"{seg_dir}/postings"),
     )
     t_doc = threading.Thread(target=_write, args=(docstats, f"{seg_dir}/docstats"))
-    t_post.start()
-    t_doc.start()
-    t_post.join()
-    t_doc.join()
+    writers = [t_post, t_doc]
+    if positions_df is not None:
+        # optional positional artifact (operators.positions): encoded
+        # occurrence streams land next to the postings, same bucket
+        # sharding, third concurrent write job
+        from inverted_index_spark.operators.positions import encode_positions_segment
+
+        writers.append(
+            threading.Thread(
+                target=_write,
+                args=(
+                    encode_positions_segment(positions_df, bucket_size)
+                    .sortWithinPartitions("bucket", "term"),
+                    f"{seg_dir}/positions",
+                ),
+            )
+        )
+    for t in writers:
+        t.start()
+    for t in writers:
+        t.join()
     if errs:
         raise errs[0]
     agg = obs.get
@@ -390,10 +408,13 @@ def build_index(
     chunk: int = -1,
     input_fingerprint: str = "",
     shuffle: bool = True,
+    positions: bool = False,
 ) -> str:
     """docs(doc_id, text) → one committed segment (entry point A,
     SURVEY.md §3.1). ``shuffle=False`` selects the fragment encode
     (zero token shuffle; input partitions must hold disjoint doc sets).
+    ``positions=True`` additionally writes the positional artifact
+    (operators.positions) enabling phrase_match over this store.
 
     Both the token stream and the doc lengths are pure JVM column
     expressions over the source scan (functions.tokenizer): two cheap
@@ -404,11 +425,50 @@ def build_index(
     """
     tokens = tokenize(docs, id_col=id_col, text_col=text_col)
     dstats = doc_lengths(docs, id_col=id_col, text_col=text_col)
+    pos_df = None
+    if positions:
+        from inverted_index_spark.operators.positions import position_tokens
+
+        pos_df = position_tokens(docs, id_col=id_col, text_col=text_col)
     return build_index_from_tokens(
         spark, tokens, dstats, store,
         bucket_size=bucket_size, block_size=block_size,
         build_id=build_id, chunk=chunk, input_fingerprint=input_fingerprint,
-        shuffle=shuffle,
+        shuffle=shuffle, positions_df=pos_df,
+    )
+
+
+def build_value_index(
+    spark: SparkSession,
+    rows: DataFrame,
+    store: SegmentStore,
+    term_col: str,
+    value_col: str,
+    *,
+    bucket_size: int = DEFAULT_BUCKET_SIZE,
+    block_size: int = DEFAULT_BLOCK,
+    build_id: str = "",
+) -> str:
+    """Generic ordered-V indexing: term → sorted unique VALUES, where
+    the value is any orderable long — the reference's headline use
+    case beyond doc ids is uint32/uint64 TIMESTAMPS
+    (/root/reference/README.md:7,28; codecs single/segment.go:38-84).
+    E.g. ``build_value_index(spark, events, store, "event_type",
+    unix_micros(ts))`` indexes event types by occurrence time;
+    ``read_values(types, t0, t1)`` is then a time-range scan with the
+    same block pruning as doc-id ranges. tf/dl are set to 1 (values
+    carry no BM25 semantics; R5/R10/R11 are the query surface).
+    """
+    tokens = rows.select(
+        F.col(term_col).cast("string").alias("term"),
+        F.col(value_col).cast("long").alias("doc_id"),
+        F.lit(1).alias("tf"),
+        F.lit(1).cast("long").alias("dl"),
+    ).where(F.col("term").isNotNull() & F.col("doc_id").isNotNull())
+    dstats = tokens.select("doc_id").distinct().withColumn("dl", F.lit(1).cast("long"))
+    return build_index_from_tokens(
+        spark, tokens, dstats, store,
+        bucket_size=bucket_size, block_size=block_size, build_id=build_id,
     )
 
 

@@ -1,0 +1,130 @@
+"""Connected components over near-duplicate pair graphs.
+
+Pair generation (minhash/simhash/winnowing, operators.dedup) yields
+EDGES; deduplication needs CLUSTERS — every doc labeled with its
+duplicate-group id so one survivor per group can be kept. At 100 TB
+the components must be computed without driver-side union-find, so
+this implements the alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014): O(log² n) rounds of pure groupBy/join dataflow, each
+round shrinking edges toward stars centered at each component's
+minimum node id.
+
+    large-star: each node points its LARGER neighbors at its local
+                minimum  (u's neighbors v > u  →  edge (v, m),
+                m = min(Γ(u) ∪ {u}))
+    small-star: each node folds its SMALLER neighbors onto its local
+                minimum  (neighbors v ≤ u  →  edges (v, m) ∪ (u, m))
+
+At the fixpoint every edge (hi → lo) points directly at its
+component's min id. Rounds are driver-driven but each is a bounded
+Spark job; ``localCheckpoint`` truncates lineage so plan size stays
+O(1) across rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalize(edges: DataFrame) -> DataFrame:
+    """(u, v) → distinct hi→lo orientation, self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", "u").alias("m"))
+    return _normalize(
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    d = _normalize(edges)  # hi → lo: every group key u has only smaller neighbors
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        d.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = mins.select("u", F.col("m").alias("v"))
+    return _normalize(moved.unionByName(self_edge))
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """pairs(a, b) → (node, component) with component = min node id of
+    the connected component. Deterministic; raises if the star
+    iteration hasn't converged within ``max_rounds`` (needs O(log² n)
+    — 64 covers any input that fits in this universe). Self-loop pairs
+    (a == b) carry no duplicate signal and are dropped; a node
+    appearing ONLY in self-loops is absent from the output (it forms
+    no cluster), matching what dedup_survivors needs.
+    """
+    edges = _normalize(
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"),
+            F.col(b_col).cast("long").alias("v"),
+        )
+    ).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        sig_row = edges.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.hash("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+    # fixpoint: stars — each u points at its component min; centers label themselves
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(
+            edges.select(F.col("v").alias("node"), F.col("v").alias("component"))
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """The corpus with near-duplicate clusters collapsed to one doc
+    each: cluster the pair graph, then anti-join every non-center
+    member (node != component). Docs not in any pair survive untouched.
+    """
+    cc = connected_components(pairs, a_col, b_col)
+    losers = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("_loser")
+    )
+    return docs.join(
+        losers,
+        on=docs[id_col].cast("long") == losers["_loser"],
+        how="left_anti",
+    )

@@ -1,0 +1,177 @@
+"""Corpus-level training-data operators: deterministic sampling and
+sequence packing (task rubric — "operations a large-scale
+training-data pipeline would need").
+
+``hash_sample``      deterministic md5-keyed Bernoulli sampling —
+                     reproducible across runs, partitionings, and
+                     engines (the DuckDB oracle draws the identical
+                     sample), unlike ``df.sample`` whose RNG is
+                     partition-dependent. Per-stratum rates give the
+                     corpus-mixing knob (e.g. downsample by language
+                     or source).
+``pack_sequences``   concat-then-chunk packing: lay every doc's
+                     tokens on one global stream (doc_id order) and
+                     cut fixed-size training blocks — the standard
+                     LLM pretraining batcher. The global offset is an
+                     exclusive prefix sum computed WITHOUT a
+                     single-partition window (range-repartition +
+                     per-partition sums + driver cumsum over the tiny
+                     per-partition totals — same scale pattern as
+                     operators.docids.mint_doc_ids).
+
+Sampling decisions use the low 31 bits of the pinned
+signed-little-endian md5 hash (functions shared with operators.dedup):
+bitwise AND with 2^31-1 is identical on Spark longs and DuckDB
+HUGEINTs regardless of sign, so thresholds compare exactly in both
+engines — no float rounding in the keep/drop decision.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inverted_index_spark.functions.tokenizer import doc_length_expr
+from inverted_index_spark.operators.dedup import h64_md5_le
+
+_SAMPLE_BITS = 31
+_SAMPLE_MOD = 1 << _SAMPLE_BITS
+
+
+def sample_key(id_col: Column, seed: int) -> Column:
+    """Deterministic per-row draw in [0, 2^31): low 31 bits of the
+    pinned md5 hash of "<seed>:<id>"."""
+    key = F.concat(F.lit(f"{seed}:"), id_col.cast("string"))
+    return h64_md5_le(key).bitwiseAND(F.lit(_SAMPLE_MOD - 1))
+
+
+def sample_threshold(fraction: float) -> int:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return int(fraction * _SAMPLE_MOD)
+
+
+def hash_sample(
+    docs: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Uniform deterministic sample: keep rows whose draw < fraction·2^31."""
+    return docs.where(
+        sample_key(F.col(id_col), seed) < F.lit(sample_threshold(fraction))
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (corpus mixing): each stratum
+    keeps its own fraction; strata absent from ``fractions`` keep
+    ``default_fraction``. The rate table rides the plan as a broadcast
+    join — no per-row Python, one codegen'd md5 per row."""
+    spark = docs.sparkSession
+    rates = spark.createDataFrame(
+        [(k, sample_threshold(v)) for k, v in sorted(fractions.items())],
+        f"{strata_col} string, _thr long",
+    )
+    joined = docs.join(F.broadcast(rates), on=strata_col, how="left")
+    thr = F.coalesce(F.col("_thr"), F.lit(sample_threshold(default_fraction)))
+    return joined.where(sample_key(F.col(id_col), seed) < thr).drop("_thr")
+
+
+# ------------------------------------------------------------------ packing ---
+
+
+def running_offsets(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    out_col: str = "offset",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` over a global ordering —
+    distributed: range-repartition on the order key, cumsum within
+    partitions, tiny driver-side cumsum over per-partition totals
+    (never a single-partition window; at 10^12 rows the per-partition
+    totals are the only thing the driver sees)."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    sorted_df = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    totals = {
+        r["_pid"]: r["s"]
+        for r in sorted_df.groupBy("_pid")
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("s"))
+        .collect()
+    }
+    bases: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        bases[pid] = acc
+        acc += int(totals[pid])
+    bc = spark.sparkContext.broadcast(bases)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in sorted_df.schema.fields
+        if f.name != "_pid"
+    ) + f", {out_col} long"
+
+    def add_offsets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        running = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if running is None:
+                running = int(bc.value[int(pdf["_pid"].iloc[0])])
+            vals = pdf[value_col].to_numpy(dtype=np.int64)
+            out = pdf.drop(columns=["_pid"]).copy()
+            csum = np.cumsum(vals)
+            out[out_col] = running + csum - vals  # exclusive
+            running += int(csum[-1])
+            yield out
+
+    return sorted_df.mapInPandas(add_offsets, schema=out_schema)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    block_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, dl, offset, first_block, last_block): where each doc's
+    tokens land when the whole corpus (doc_id order) is concatenated
+    and cut into fixed ``block_size``-token training blocks. Token
+    counts use the pinned index tokenizer, so packing, indexing, and
+    the DuckDB oracle all agree. Empty docs occupy zero tokens; their
+    (first_block == last_block) marks the cut point they sit at."""
+    if block_size < 1:
+        raise ValueError(f"block_size must be >= 1, got {block_size}")
+    measured = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        doc_length_expr(F.col(text_col)).alias("dl"),
+    )
+    with_off = running_offsets(measured, "dl", ["doc_id"])
+    b = int(block_size)
+    return with_off.select(
+        "doc_id",
+        "dl",
+        "offset",
+        F.expr(f"offset div {b}").alias("first_block"),
+        F.expr(f"(offset + greatest(dl, 1) - 1) div {b}").alias("last_block"),
+    )

@@ -116,6 +116,12 @@ def merge_segments(
     store.read_docstats(spark, victims).write.mode("overwrite").parquet(
         f"{seg_dir}/docstats"
     )
+    # positional artifact (operators.positions): carried through the
+    # compaction when the victims have it (raises on MIXED coverage —
+    # silently dropping positions would break phrase_match post-merge)
+    from inverted_index_spark.operators.positions import merge_positions
+
+    merge_positions(spark, store, victims, segment_id)
     out = spark.read.parquet(f"{seg_dir}/postings")
     agg = out.agg(
         F.countDistinct("term").alias("n_terms"),

@@ -1,0 +1,320 @@
+"""Positional index + phrase queries (capability extension).
+
+The reference stores bare posting values only — no positions, no
+phrase queries (its query surface is the three reads,
+/root/reference/single/single.go:155-228). Phrase search is the
+classic fulltext capability built ON TOP of that layout (Lucene's
+``.pos`` files next to ``.doc`` postings), so this module adds it the
+same way: an OPTIONAL per-segment ``positions`` dataset next to
+``postings``, sharing the doc-bucket sharding, the varint codec, and
+the manifest lifecycle (built with ``build_index(...,
+positions=True)``, compacted by ``merge_segments``, read across live
+segments like M3/M4).
+
+Layout — one row per (bucket, term), three varint streams:
+
+    docs      doc ids, delta-encoded (absolute first) — sorted unique
+    counts    occurrences per doc, aligned with ``docs``
+    positions token offsets, delta-encoded within each doc
+              (absolute at each doc's first occurrence)
+
+Phrase match is pure dataflow (no per-doc iteration): decode →
+``(doc_id, pos - phrase_offset, phrase_offset)`` rows → a doc/position
+where ALL k phrase offsets land is a phrase start:
+
+    groupBy(doc_id, adj).having(count(distinct off) == k)
+
+One shuffle, keyed on (doc_id, adj), sized by the matched terms'
+occurrence count only — the same cost shape as Lucene's positional
+intersection, embarrassingly parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from inverted_index_spark.functions.codec import decode_varint, encode_varint
+from inverted_index_spark.functions.tokenizer import tokens_expr
+from inverted_index_spark.sources.store import SegmentStore
+
+POSITIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("docs", T.BinaryType()),
+        T.StructField("counts", T.BinaryType()),
+        T.StructField("positions", T.BinaryType()),
+        T.StructField("min_doc", T.LongType()),
+        T.StructField("max_doc", T.LongType()),
+    ]
+)
+
+
+# ----------------------------------------------------------------- encode ---
+
+
+def encode_positions_arrays(
+    terms: np.ndarray, docs: np.ndarray, poss: np.ndarray, bucket: int
+) -> pd.DataFrame:
+    """Sorted (term, doc, pos) occurrence arrays → POSITIONS_SCHEMA rows.
+
+    Same vectorized shape as build.encode_bucket_arrays: one varint
+    pass per stream over the whole bucket, Python loops only over
+    terms (byte-slicing)."""
+    n = len(terms)
+    if n == 0:
+        return pd.DataFrame({k: [] for k in POSITIONS_SCHEMA.fieldNames()})
+    # (term, doc) group boundaries over occurrence rows
+    new_term = np.empty(n, dtype=bool)
+    new_term[0] = True
+    new_term[1:] = terms[1:] != terms[:-1]
+    new_doc = np.empty(n, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = new_term[1:] | (docs[1:] != docs[:-1])
+    td_starts = np.flatnonzero(new_doc)          # occurrence idx of each (term,doc)
+    td_ends = np.concatenate((td_starts[1:], [n]))
+    counts = td_ends - td_starts                  # occurrences per (term,doc)
+    # positions stream: delta within each (term,doc), absolute at its start
+    pdeltas = np.empty(n, dtype=np.uint64)
+    pu = poss.astype(np.uint64)
+    pdeltas[0] = pu[0]
+    pdeltas[1:] = pu[1:] - pu[:-1]
+    pdeltas[td_starts] = pu[td_starts]
+    # docs stream (one entry per (term,doc)): delta within term, absolute first
+    d_seq = docs[td_starts].astype(np.uint64)
+    t_first = new_term[td_starts]                 # group is first of its term
+    ddeltas = np.empty(len(d_seq), dtype=np.uint64)
+    ddeltas[0] = d_seq[0]
+    ddeltas[1:] = d_seq[1:] - d_seq[:-1]
+    ddeltas[t_first] = d_seq[t_first]
+    d_buf, d_len = encode_varint(ddeltas)
+    c_buf, c_len = encode_varint(counts.astype(np.uint64))
+    p_buf, p_len = encode_varint(pdeltas)
+    d_csum = np.concatenate(([0], np.cumsum(d_len)))
+    c_csum = np.concatenate(([0], np.cumsum(c_len)))
+    p_csum = np.concatenate(([0], np.cumsum(p_len)))
+    # per-term slicing: term starts within the (term,doc) group sequence
+    g_term_starts = np.flatnonzero(t_first)
+    g_term_ends = np.concatenate((g_term_starts[1:], [len(d_seq)]))
+    occ_term_starts = td_starts[g_term_starts]    # occurrence idx of term start
+    occ_term_ends = np.concatenate((occ_term_starts[1:], [n]))
+    dm, cm, pm = memoryview(d_buf), memoryview(c_buf), memoryview(p_buf)
+    out = {k: [] for k in POSITIONS_SCHEMA.fieldNames()}
+    for gi in range(len(g_term_starts)):
+        gs, ge = g_term_starts[gi], g_term_ends[gi]
+        os_, oe = occ_term_starts[gi], occ_term_ends[gi]
+        out["bucket"].append(bucket)
+        out["term"].append(terms[os_])
+        out["df"].append(int(ge - gs))
+        out["docs"].append(bytes(dm[d_csum[gs] : d_csum[ge]]))
+        out["counts"].append(bytes(cm[c_csum[gs] : c_csum[ge]]))
+        out["positions"].append(bytes(pm[p_csum[os_] : p_csum[oe]]))
+        out["min_doc"].append(int(d_seq[gs]))
+        out["max_doc"].append(int(d_seq[ge - 1]))
+    return pd.DataFrame(out)
+
+
+def _encode_positions_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["term", "doc_id", "pos"], kind="mergesort")
+    terms = pdf["term"].to_numpy()
+    docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+    poss = pdf["pos"].to_numpy(dtype=np.int64)
+    # dedup repeated (term, doc, pos) rows (merge unions can repeat them)
+    if len(pdf) > 1:
+        keep = np.ones(len(pdf), dtype=bool)
+        keep[1:] = ~(
+            (terms[1:] == terms[:-1]) & (docs[1:] == docs[:-1]) & (poss[1:] == poss[:-1])
+        )
+        terms, docs, poss = terms[keep], docs[keep], poss[keep]
+    return encode_positions_arrays(terms, docs, poss, int(pdf["bucket"].iloc[0]))
+
+
+def position_tokens(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, pos) occurrence rows — pure JVM (posexplode over
+    the pinned tokenizer's token array; pos is the 0-based token
+    offset, the unit phrase adjacency is defined in)."""
+    narrow = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens_expr(F.col(text_col)).alias("toks"),
+    ).where(F.size("toks") > 0)
+    return narrow.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+
+
+def encode_positions_segment(
+    pos_tokens: DataFrame, bucket_size: int
+) -> DataFrame:
+    """(doc_id, term, pos) → POSITIONS_SCHEMA rows, sharded by the same
+    doc-buckets as the postings (one groupBy(bucket) shuffle)."""
+    bucketed = pos_tokens.withColumn(
+        "bucket", F.expr(f"cast(doc_id div {int(bucket_size)} as long)")
+    )
+    return bucketed.groupBy("bucket").applyInPandas(
+        lambda pdf: _encode_positions_pdf(pdf), schema=POSITIONS_SCHEMA
+    )
+
+
+# ----------------------------------------------------------------- decode ---
+
+
+def decode_position_rows(
+    batches: Iterator[pd.DataFrame],
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> Iterator[pd.DataFrame]:
+    """POSITIONS_SCHEMA rows → exploded (term, doc_id, pos) occurrences."""
+    lo = -(1 << 62) if min_doc is None else int(min_doc)
+    hi = (1 << 62) if max_doc is None else int(max_doc)
+    for pdf in batches:
+        outs = []
+        for term, d_buf, c_buf, p_buf in zip(
+            pdf["term"], pdf["docs"], pdf["counts"], pdf["positions"]
+        ):
+            d = np.cumsum(decode_varint(d_buf), dtype=np.uint64).astype(np.int64)
+            if not len(d):
+                continue
+            c = decode_varint(c_buf).astype(np.int64)
+            pdeltas = decode_varint(p_buf)
+            # positions: global cumsum minus each doc-group's carried-in base
+            starts = np.concatenate(([0], np.cumsum(c[:-1])))
+            csum = np.cumsum(pdeltas, dtype=np.uint64)
+            base = csum[starts] - pdeltas[starts]
+            pos = (csum - np.repeat(base, c)).astype(np.int64)
+            doc_rep = np.repeat(d, c)
+            m = (doc_rep >= lo) & (doc_rep <= hi)
+            if not m.any():
+                continue
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "term": np.repeat(np.asarray(term, dtype=object), int(m.sum())),
+                        "doc_id": doc_rep[m],
+                        "pos": pos[m],
+                    }
+                )
+            )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+
+# ------------------------------------------------------------ store plumbing ---
+
+
+def positions_dir(store: SegmentStore, segment_id: str) -> str:
+    return os.path.join(store.seg_dir(segment_id), "positions")
+
+
+def read_positions(
+    spark: SparkSession, store: SegmentStore, segment_ids: list[str] | None = None
+) -> DataFrame:
+    """Multi-segment scan of the positions datasets (M3/M4 analog).
+
+    Every live segment must carry positions — a partial positional
+    index would silently return incomplete phrase matches, so missing
+    datasets raise instead."""
+    live = store.live_segments()
+    ids = list(segment_ids or live["segment_id"])
+    if not ids:
+        return spark.createDataFrame([], POSITIONS_SCHEMA)
+    missing = [s for s in ids if not os.path.isdir(positions_dir(store, s))]
+    if missing:
+        raise ValueError(
+            f"segments without positions: {missing} — rebuild with "
+            "build_index(..., positions=True) (phrase results would be "
+            "incomplete otherwise)"
+        )
+    return spark.read.parquet(*[positions_dir(store, s) for s in ids])
+
+
+def merge_positions(
+    spark: SparkSession,
+    store: SegmentStore,
+    victims: list[str],
+    dest_segment_id: str,
+) -> bool:
+    """Compaction side-path: union victims' positions → re-encode → write into
+    the merged segment. No-op (returns False) when no victim has
+    positions; raises on partial coverage (same contract as reads)."""
+    have = [s for s in victims if os.path.isdir(positions_dir(store, s))]
+    if not have:
+        return False
+    if len(have) != len(victims):
+        raise ValueError(
+            f"cannot merge mixed positional coverage: {sorted(set(victims) - set(have))} "
+            "lack positions"
+        )
+    rows = read_positions(spark, store, victims)
+    occurrences = rows.mapInPandas(
+        lambda b: decode_position_rows(b), schema="term string, doc_id long, pos long"
+    )
+    bucket_size = store.pinned_bucket_size() or 1 << 16
+    merged = encode_positions_segment(occurrences, bucket_size)
+    merged.sortWithinPartitions("bucket", "term").write.mode("overwrite").parquet(
+        positions_dir(store, dest_segment_id)
+    )
+    return True
+
+
+# ------------------------------------------------------------ phrase query ---
+
+
+def phrase_match(
+    spark: SparkSession,
+    store: SegmentStore,
+    phrase: list[str],
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_matches) for docs containing the exact token phrase.
+
+    A doc matches when some token offset p has phrase[i] at p+i for
+    all i; n_matches counts distinct phrase-start offsets. Duplicate
+    terms inside the phrase are handled (each occurrence row fans out
+    once per phrase offset that term occupies). Empty phrase → empty
+    result; any phrase term absent from the index → no matches.
+    """
+    if not phrase:
+        return spark.createDataFrame([], "doc_id long, n_matches long")
+    k = len(phrase)
+    uniq = sorted(set(phrase))
+    rows = read_positions(spark, store).where(F.col("term").isin(uniq))
+    if min_doc is not None:
+        rows = rows.where(F.col("max_doc") >= F.lit(int(min_doc)))
+    if max_doc is not None:
+        rows = rows.where(F.col("min_doc") <= F.lit(int(max_doc)))
+    occ = rows.mapInPandas(
+        lambda b: decode_position_rows(b, min_doc, max_doc),
+        schema="term string, doc_id long, pos long",
+    )
+    # term → its offsets within the phrase, as an in-plan literal map
+    offsets = [(t, [i for i, pt in enumerate(phrase) if pt == t]) for t in uniq]
+    off_df = spark.createDataFrame(offsets, "term string, offs array<int>")
+    fanned = (
+        occ.join(F.broadcast(off_df), "term")
+        .select(
+            "doc_id",
+            F.explode("offs").alias("off"),
+            F.col("pos"),
+        )
+        .select("doc_id", (F.col("pos") - F.col("off")).alias("adj"), "off")
+        .where(F.col("adj") >= 0)
+    )
+    starts = (
+        fanned.groupBy("doc_id", "adj")
+        .agg(F.countDistinct("off").alias("_n"))
+        .where(F.col("_n") == k)
+    )
+    return (
+        starts.groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+        .orderBy("doc_id")
+    )

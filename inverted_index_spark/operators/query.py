@@ -119,6 +119,50 @@ def read_all_values(spark: SparkSession, store: SegmentStore, terms: list[str]) 
     return read_values(spark, store, terms)
 
 
+def read_terms_prefix(
+    spark: SparkSession, store: SegmentStore, prefix: str
+) -> DataFrame:
+    """Sorted unique terms with a given prefix — the FST range-seek the
+    reference's vellum iterator supports (single/single.go:198-228 uses
+    the full range; vellum itself seeks any key range). StartsWith is a
+    pushable parquet predicate, so the sorted (bucket, term) layout
+    prunes row groups exactly like the FST prunes its key space."""
+    return (
+        store.read_postings(spark)
+        .where(F.col("term").startswith(prefix))
+        .select("term")
+        .distinct()
+        .orderBy("term")
+    )
+
+
+def read_values_prefix(
+    spark: SparkSession,
+    store: SegmentStore,
+    prefix: str,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """R10 semantics with a term-prefix predicate instead of a term
+    list: OR-union of every term matching the prefix, range-scoped,
+    sorted unique doc ids (wildcard queries à la Lucene PrefixQuery)."""
+    rows = store.read_postings(spark).where(F.col("term").startswith(prefix))
+    if min_doc is not None:
+        rows = rows.where(F.col("max_doc") >= F.lit(int(min_doc)))
+    if max_doc is not None:
+        rows = rows.where(F.col("min_doc") <= F.lit(int(max_doc)))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _decode_rows(batches, min_doc, max_doc, False)
+
+    return (
+        rows.mapInPandas(run, schema="term string, doc_id long")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
 def and_values(
     spark: SparkSession,
     store: SegmentStore,

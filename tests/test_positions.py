@@ -1,0 +1,142 @@
+"""Positional index + phrase queries (operators.positions).
+
+Semantics pinned against a brute-force Python oracle over the shared
+tokenizer contract: a doc matches phrase p iff some token offset i has
+toks[i + j] == p[j] for all j.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from inverted_index_spark.functions.tokenizer import tokenize_text
+from inverted_index_spark.operators.build import build_index
+from inverted_index_spark.operators.merge import merge_segments
+from inverted_index_spark.operators.positions import (
+    decode_position_rows,
+    encode_positions_arrays,
+    phrase_match,
+    read_positions,
+)
+from inverted_index_spark.sources.store import SegmentStore
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "quick brown foxes are quick brown"),
+    (2, "the dog sleeps"),
+    (3, "brown the quick"),              # words present, phrase absent
+    (4, "pad quick brown pad quick brown"),  # phrase twice
+    (5, ""),                              # token-less
+    (6, "the quick brown fox quick brown fox"),
+]
+
+
+def oracle_phrase(phrase: list[str]) -> dict[int, int]:
+    out = {}
+    for doc_id, text in DOCS:
+        toks = tokenize_text(text)
+        n = sum(
+            1
+            for i in range(len(toks) - len(phrase) + 1)
+            if toks[i : i + len(phrase)] == phrase
+        )
+        if n:
+            out[doc_id] = n
+    return out
+
+
+@pytest.fixture(scope="module")
+def pos_store(spark):
+    store = SegmentStore(tempfile.mkdtemp(prefix="ii_pos_") + "/idx")
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_index(spark, df, store, bucket_size=4, positions=True)
+    return store
+
+
+def _matches(spark, store, phrase):
+    return {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match(spark, store, phrase).collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    [
+        ["quick", "brown"],
+        ["quick", "brown", "fox"],
+        ["the", "quick"],
+        ["the"],
+        ["lazy", "dog"],
+        ["dog", "quick"],          # no doc has this adjacency
+        ["nosuchword", "quick"],   # missing term
+        ["quick", "brown", "fox", "jumps", "over", "the", "lazy", "dog"],
+    ],
+)
+def test_phrase_oracle_parity(spark, pos_store, phrase):
+    assert _matches(spark, pos_store, phrase) == oracle_phrase(phrase)
+
+
+def test_empty_phrase(spark, pos_store):
+    assert phrase_match(spark, pos_store, []).count() == 0
+
+
+def test_duplicate_term_phrase(spark, pos_store):
+    # 'quick brown quick'? none; 'brown quick brown'? none in DOCS —
+    # use 'quick brown' twice separated: 'quick brown pad quick'? no.
+    # doc 6: the quick brown fox quick brown fox → 'brown fox quick'
+    assert _matches(spark, pos_store, ["brown", "fox", "quick"]) == oracle_phrase(
+        ["brown", "fox", "quick"]
+    )
+
+
+def test_positions_roundtrip_exact():
+    terms = np.array(["a", "a", "a", "b", "b"], dtype=object)
+    docs = np.array([3, 3, 9, 3, 4], dtype=np.int64)
+    poss = np.array([0, 7, 2, 1, 0], dtype=np.int64)
+    import pandas as pd
+
+    enc = encode_positions_arrays(terms, docs, poss, bucket=0)
+    out = list(decode_position_rows(iter([enc])))[0]
+    got = sorted(zip(out["term"], out["doc_id"], out["pos"]))
+    assert got == [("a", 3, 0), ("a", 3, 7), ("a", 9, 2), ("b", 3, 1), ("b", 4, 0)]
+    assert isinstance(enc, pd.DataFrame)
+
+
+def test_phrase_range_scoped(spark, pos_store):
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match(
+            spark, pos_store, ["quick", "brown"], min_doc=1, max_doc=4
+        ).collect()
+    }
+    full = oracle_phrase(["quick", "brown"])
+    assert got == {d: n for d, n in full.items() if 1 <= d <= 4}
+
+
+def test_phrase_survives_compaction(spark):
+    """Two positional segments → merge → identical phrase results
+    (the merge-invariance contract extended to positions)."""
+    store = SegmentStore(tempfile.mkdtemp(prefix="ii_posm_") + "/idx")
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_index(spark, df.where(F.col("doc_id") < 3), store, bucket_size=4, positions=True)
+    build_index(spark, df.where(F.col("doc_id") >= 3), store, bucket_size=4, positions=True)
+    before = _matches(spark, store, ["quick", "brown"])
+    assert merge_segments(spark, store, min_files=2) is not None
+    store.cleanup()
+    after = _matches(spark, store, ["quick", "brown"])
+    assert before == after == oracle_phrase(["quick", "brown"])
+    # merged store has exactly one live positional segment
+    assert len(store.live_segments()) == 1
+
+
+def test_missing_positions_raises(spark):
+    store = SegmentStore(tempfile.mkdtemp(prefix="ii_posx_") + "/idx")
+    df = spark.createDataFrame(DOCS[:3], "doc_id long, text string")
+    build_index(spark, df, store, bucket_size=4)  # positions=False
+    with pytest.raises(ValueError, match="without positions"):
+        read_positions(spark, store)

@@ -1,0 +1,73 @@
+"""Prefix term reads (FST range-seek analog) + generic ordered-V
+indexing (timestamps as posting values — reference README.md:7,28)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from inverted_index_spark.operators.build import SegmentWriter, build_value_index
+from inverted_index_spark.operators.query import (
+    read_terms_prefix,
+    read_values,
+    read_values_prefix,
+)
+from inverted_index_spark.sources.store import SegmentStore
+
+
+@pytest.fixture(scope="module")
+def prefix_store(spark):
+    store = SegmentStore(tempfile.mkdtemp(prefix="ii_pfx_") + "/idx")
+    w = SegmentWriter(spark, store, bucket_size=8)
+    w.put("apple", [1, 5, 9])
+    w.put("applesauce", [2])
+    w.put("apply", [3, 5])
+    w.put("banana", [4])
+    w.put("app", [7])
+    w.put("zebra", [])
+    w.close()
+    return store
+
+
+def test_terms_prefix(spark, prefix_store):
+    got = [r["term"] for r in read_terms_prefix(spark, prefix_store, "app").collect()]
+    assert got == ["app", "apple", "applesauce", "apply"]
+    assert read_terms_prefix(spark, prefix_store, "zzz").count() == 0
+    # empty-postings registered term still enumerable by prefix
+    assert [r["term"] for r in read_terms_prefix(spark, prefix_store, "z").collect()] == ["zebra"]
+
+
+def test_values_prefix(spark, prefix_store):
+    got = [r["doc_id"] for r in read_values_prefix(spark, prefix_store, "appl").collect()]
+    assert got == [1, 2, 3, 5, 9]  # union of apple/applesauce/apply, sorted unique
+    scoped = [
+        r["doc_id"]
+        for r in read_values_prefix(spark, prefix_store, "appl", 2, 5).collect()
+    ]
+    assert scoped == [2, 3, 5]
+
+
+def test_value_index_timestamps(spark):
+    """Index event types by occurrence time; range-read = time window."""
+    store = SegmentStore(tempfile.mkdtemp(prefix="ii_ts_") + "/idx")
+    rows = [
+        ("click", 1_700_000_000_000_000),
+        ("click", 1_700_000_060_000_000),
+        ("view", 1_700_000_030_000_000),
+        ("click", 1_700_000_000_000_000),  # duplicate (term, value) → deduped
+        ("error", 1_700_009_999_000_000),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts_us long")
+    build_value_index(spark, df, store, "event_type", "ts_us", bucket_size=1 << 26)
+    all_clicks = [r["doc_id"] for r in read_values(spark, store, ["click"]).collect()]
+    assert all_clicks == [1_700_000_000_000_000, 1_700_000_060_000_000]
+    window = [
+        r["doc_id"]
+        for r in read_values(
+            spark, store, ["click", "view"],
+            1_700_000_010_000_000, 1_700_000_070_000_000,
+        ).collect()
+    ]
+    assert window == [1_700_000_030_000_000, 1_700_000_060_000_000]
