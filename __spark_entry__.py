@@ -283,6 +283,19 @@ def _near_pairs(spark, sf):
     return _dedup.minhash_lsh_pairs(_docs(spark, sf), threshold=0.3)
 
 
+def _q_phrase_bm25_topk(spark, sf):
+    """Two-stage phrase query: positional intersection filters, BM25
+    over the phrase terms ranks (Lucene PhraseQuery analog)."""
+    from inverted_index_spark.operators.positions import phrase_bm25_topk
+
+    t = phrase_bm25_topk(spark, _store_for(spark, sf), PHRASE, k=10)
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_terms_regex(spark, sf):
+    return _query.read_terms_regex(spark, _store_for(spark, sf), "[a-z]*ow")
+
+
 def _q_dedup_clusters(spark, sf):
     """Near-dup clusters: MinHash-LSH pairs → alternating-star
     connected components (operators.clustering) — every clustered doc
@@ -433,6 +446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fps,
         "winnow_pairs": _q_winnow_pairs,
         "phrase_match": _q_phrase_match,
+        "phrase_bm25_topk": _q_phrase_bm25_topk,
+        "ii_read_terms_regex": _q_terms_regex,
         "ii_read_terms_prefix": _q_terms_prefix,
         "ii_read_values_prefix": _q_values_prefix,
         "dedup_clusters": _q_dedup_clusters,
@@ -779,6 +794,16 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT sum(len({_TOKS_SQL})) FROM documents)::BIGINT AS sum_dl"
         ),
         "phrase_match": _PHRASE_SQL,
+        "phrase_bm25_topk": (
+            f"SELECT doc_id, round(raw_score, 4) AS score "
+            f"FROM ({_bm25_contrib_sql(PHRASE)}) "
+            f"WHERE doc_id IN (SELECT doc_id FROM ({_PHRASE_SQL})) "
+            "ORDER BY raw_score DESC, doc_id ASC LIMIT 10"
+        ),
+        "ii_read_terms_regex": (
+            f"SELECT DISTINCT term FROM ({_TOK}) "
+            "WHERE regexp_full_match(term, '[a-z]*ow') ORDER BY term"
+        ),
         "ii_read_terms_prefix": (
             f"SELECT DISTINCT term FROM ({_TOK}) WHERE term LIKE 's%' ORDER BY term"
         ),

@@ -136,6 +136,23 @@ def read_terms_prefix(
     )
 
 
+def read_terms_regex(
+    spark: SparkSession, store: SegmentStore, pattern: str
+) -> DataFrame:
+    """Sorted unique terms matching a regex (Lucene RegexpQuery analog,
+    anchored full-match like Java matches()). No pushdown is possible
+    for general regexes (same in the reference: an FST can only
+    range-seek) — the scan stays narrow because only the dictionary
+    column is read (ReadSchema: term), never the posting bytes."""
+    return (
+        store.read_postings(spark)
+        .select("term")
+        .where(F.col("term").rlike(f"^(?:{pattern})$"))
+        .distinct()
+        .orderBy("term")
+    )
+
+
 def read_values_prefix(
     spark: SparkSession,
     store: SegmentStore,

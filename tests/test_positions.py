@@ -134,6 +134,32 @@ def test_phrase_survives_compaction(spark):
     assert len(store.live_segments()) == 1
 
 
+def test_phrase_bm25_topk(spark, pos_store):
+    """Filter set = phrase matches; ranking = BM25 over phrase terms,
+    pinned against the pure-python oracle restricted to the match set."""
+    from inverted_index_spark.operators.positions import phrase_bm25_topk
+    from inverted_index_spark.oracle import OracleIndex
+
+    phrase = ["quick", "brown"]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in phrase_bm25_topk(spark, pos_store, phrase, k=10).collect()
+    ]
+    matching = set(oracle_phrase(phrase))
+    import pandas as pd
+
+    oracle = OracleIndex.from_docs(
+        pd.DataFrame(DOCS, columns=["doc_id", "text"])
+    )
+    want = [
+        (d, s)
+        for d, s in oracle.bm25_topk(sorted(set(phrase)), k=100)
+        if d in matching
+    ][:10]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert all(abs(g[1] - w[1]) < 1e-9 for g, w in zip(got, want))
+
+
 def test_missing_positions_raises(spark):
     store = SegmentStore(tempfile.mkdtemp(prefix="ii_posx_") + "/idx")
     df = spark.createDataFrame(DOCS[:3], "doc_id long, text string")

@@ -49,6 +49,16 @@ def test_values_prefix(spark, prefix_store):
     assert scoped == [2, 3, 5]
 
 
+def test_terms_regex(spark, prefix_store):
+    from inverted_index_spark.operators.query import read_terms_regex
+
+    got = [r["term"] for r in read_terms_regex(spark, prefix_store, "app.*e").collect()]
+    assert got == ["apple", "applesauce"]
+    assert read_terms_regex(spark, prefix_store, "x+").count() == 0
+    # full-match anchoring: 'app' alone must not match 'apple'
+    assert [r["term"] for r in read_terms_regex(spark, prefix_store, "app").collect()] == ["app"]
+
+
 def test_value_index_timestamps(spark):
     """Index event types by occurrence time; range-read = time window."""
     store = SegmentStore(tempfile.mkdtemp(prefix="ii_ts_") + "/idx")
