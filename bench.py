@@ -19,7 +19,10 @@ Workloads:
                       Searcher) → QPS = 20/sec
   bm25_wand_batch     same 20 queries through block-max WAND
   read_values_batch   20 OR+range reads (reference R10 semantics)
+  build_positions     documents build incl. the positional artifact
+  phrase_match        two exact-phrase queries over the positional index
   minhash_dedup       MinHash-LSH near-dup pairs over documents
+  dedup_clusters      connected components over the near-dup pair graph
   embed_knn           exact cosine top-20 over embeddings
 
 Burstable-host disclosure (round-3): this host throttles on CPU
@@ -147,8 +150,24 @@ def main() -> None:
             {f"r{i:03d}": (q, 1000 * i, 1000 * i + 50000) for i, q in enumerate(queries)}
         ).count()
 
+    # positional artifact + phrase queries (round-3 capability): build
+    # measured separately from the plain index so the positions cost is
+    # visible round over round
+    pos_store = SegmentStore(f"{tmp}/pos_idx")
+    with timed("build_positions"):
+        build_index(spark, docs, pos_store, bucket_size=128, positions=True)
+    from inverted_index_spark.operators.positions import phrase_match
+
+    with timed("phrase_match"):
+        phrase_match(spark, pos_store, ["table", "hash"]).count()
+        phrase_match(spark, pos_store, ["merge", "group"]).count()
+
     with timed("minhash_dedup"):
         minhash_lsh_pairs(docs, threshold=0.5).count()
+    with timed("dedup_clusters"):
+        from inverted_index_spark.operators.clustering import connected_components
+
+        connected_components(minhash_lsh_pairs(docs, threshold=0.5)).count()
     with timed("winnow_pairs"):
         from inverted_index_spark.operators.dedup import winnow_match_pairs
 

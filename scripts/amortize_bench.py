@@ -67,7 +67,7 @@ def worker(cores: int, n_turns: int, data_dir: str, repeats: int) -> None:
 def main(n_small: int = 2_000_000, n_big: int = 6_000_000, repeats: int = 3) -> None:
     import tempfile
 
-    results = {}
+    data_dirs = {}
     for n_turns in (n_small, n_big):
         data_dir = tempfile.mkdtemp(prefix=f"ii_amz_data_{n_turns}_")
         gen = subprocess.run(
@@ -78,20 +78,34 @@ def main(n_small: int = 2_000_000, n_big: int = 6_000_000, repeats: int = 3) -> 
         if "GENDONE" not in gen.stdout:
             print(gen.stdout[-1500:], gen.stderr[-1500:])
             raise SystemExit("gen failed")
-        for cores in (8, 32):
-            time.sleep(90)  # cooldown (burstable host credit refill)
-            out = subprocess.run(
-                [sys.executable, __file__, "--worker", str(cores), str(n_turns),
-                 data_dir, str(repeats)],
-                capture_output=True, text=True, cwd=str(REPO), timeout=3000,
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
-            if not line:
-                print(out.stdout[-2000:], out.stderr[-2000:])
-                raise SystemExit(f"worker {cores}/{n_turns} failed")
-            r = json.loads(line[-1][len("RESULT "):])
+        data_dirs[n_turns] = data_dir
+
+    results: dict[tuple[int, int], dict] = {}
+    # every cell visited TWICE, interleaved, best-of kept (the same
+    # weather-suppression protocol as scaling_bench: a single bad
+    # window otherwise poisons exactly one cell and fakes a trend)
+    cells = [(n, c) for n in (n_small, n_big) for c in (8, 32)]
+    for n_turns, cores in cells * 2:
+        time.sleep(90)  # cooldown (burstable host credit refill)
+        out = subprocess.run(
+            [sys.executable, __file__, "--worker", str(cores), str(n_turns),
+             data_dirs[n_turns], str(repeats)],
+            capture_output=True, text=True, cwd=str(REPO), timeout=3000,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            print(out.stdout[-2000:], out.stderr[-2000:])
+            raise SystemExit(f"worker {cores}/{n_turns} failed")
+        r = json.loads(line[-1][len("RESULT "):])
+        print(f"{n_turns} turns @ local[{cores}]: {r}")
+        best = results.get((n_turns, cores))
+        if best is None or r["best_sec"] < best["best_sec"]:
+            r["secs_all"] = (best["secs_all"] if best else []) + r["secs_all"]
+            r["steals_all"] = (best["steals_all"] if best else []) + r["steals_all"]
             results[(n_turns, cores)] = r
-            print(f"{n_turns} turns @ local[{cores}]: {r}")
+        else:
+            best["secs_all"] += r["secs_all"]
+            best["steals_all"] += r["steals_all"]
 
     rows = []
     for n in (n_small, n_big):
@@ -118,8 +132,9 @@ def main(n_small: int = 2_000_000, n_big: int = 6_000_000, repeats: int = 3) -> 
     (bench_dir / "amortize_raw.json").write_text(
         json.dumps({f"{k[0]}_{k[1]}": v for k, v in results.items()}, indent=2)
     )
-    with open(bench_dir / "BASELINE.md", "a") as f:
-        f.write(md)
+    # NOT auto-appended to BASELINE.md: a throttled window produces a
+    # host-weather table, not an engine table (it happened — see the
+    # BASELINE.md addendum); curate manually after checking steal.
     print(md)
 
 

@@ -32,3 +32,26 @@ def test_matching_rows_no_exchange(spark, store):
     # a pruned metadata read is scan+filter only — no shuffle
     m = matching_rows(spark, store, ["w00000"])
     assert count_exchanges(m) == 0
+
+
+def test_prefix_predicate_pushed_to_scan(spark, store):
+    # StartsWith is a pushable parquet predicate — the FST range-seek
+    # analog must prune at the scan, not post-filter
+    from pyspark.sql import functions as F
+
+    rows = store.read_postings(spark).where(F.col("term").startswith("w00"))
+    assert "StartsWith(term" in pushed_filters(rows)
+
+
+def test_regex_scan_reads_only_term_column(spark, store):
+    # the regex dictionary scan must never read posting bytes
+    import io
+    from contextlib import redirect_stdout
+
+    from inverted_index_spark.operators.query import read_terms_regex
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        read_terms_regex(spark, store, "w0+1").explain("formatted")
+    scan = [l for l in buf.getvalue().splitlines() if "ReadSchema" in l]
+    assert scan and all("postings" not in l and "tfs" not in l for l in scan), scan
