@@ -89,6 +89,17 @@ def main() -> None:
 
         return _T()
 
+    # UNTIMED warm-up: the first build in a fresh session pays ~8s of
+    # one-time cost (JVM JIT + codegen compile + Python worker spawn +
+    # parquet committer init) that is NOT engine throughput — measured:
+    # identical build_documents 9.5s cold vs 1.7s warm. Rounds 1-2
+    # timed it inside the first workload, which made build_documents
+    # look 5x slower than it is and drift with JIT weather.
+    warm_store = SegmentStore(f"{tmp}/warm_idx")
+    warm_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    build_index(spark, warm_docs, warm_store, bucket_size=128)
+    Searcher(spark, warm_store).open().topk(["the"], 3).collect()
+
     # bucket sizes sized for ≥2 groups per core at these corpus sizes
     # (real deployments: bucket_size ~= corpus/n_partitions_target)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
