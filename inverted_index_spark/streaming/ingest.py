@@ -31,12 +31,16 @@ def stream_to_segments(
     bucket_size: int = DEFAULT_BUCKET_SIZE,
     checkpoint_dir: str | None = None,
     trigger_once: bool = True,
+    positions: bool = False,
 ):
     """Attach a micro-segment sink to a streaming DataFrame.
 
     Returns the StreamingQuery. Each micro-batch commits one segment;
     a batch replay (restart from checkpoint) is a no-op because the
     (build_id, chunk=batch_id) manifest row already exists.
+    ``positions=True`` writes the positional artifact per micro-segment
+    so phrase queries work over streamed stores (read_positions raises
+    on mixed coverage, so pick one mode per store).
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -49,6 +53,7 @@ def stream_to_segments(
                 bucket_size=bucket_size,
                 build_id=build_id, chunk=int(batch_id),
                 input_fingerprint=f"{build_id}/batch-{batch_id}",
+                positions=positions,
             )
         except ErrEmptyIndex:
             pass  # empty micro-batch

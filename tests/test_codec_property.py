@@ -58,3 +58,37 @@ def test_postings_roundtrip_property(docs, block_size, data):
         pd_, _, _ = decode_postings(p, t, l, blocks, lo, hi)
         expect = d[(d >= lo) & (d <= hi)]
         np.testing.assert_array_equal(pd_, expect)
+
+
+# ---------------------------------------------------- positions codec ---
+
+_occurrence_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # term idx
+        st.integers(min_value=0, max_value=2**62),      # doc id
+        st.integers(min_value=0, max_value=1_000_000),  # token position
+    ),
+    min_size=1,
+    max_size=300,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_occurrence_lists)
+def test_positions_roundtrip_property(occ):
+    """encode_positions_arrays ∘ decode_position_rows == identity on any
+    sorted-unique (term, doc, pos) occurrence set, including huge doc
+    ids and repeated terms/docs."""
+    from inverted_index_spark.operators.positions import (
+        decode_position_rows,
+        encode_positions_arrays,
+    )
+
+    rows = sorted({(f"t{t}", d, p) for t, d, p in occ})
+    terms = np.array([r[0] for r in rows], dtype=object)
+    docs = np.array([r[1] for r in rows], dtype=np.int64)
+    poss = np.array([r[2] for r in rows], dtype=np.int64)
+    enc = encode_positions_arrays(terms, docs, poss, bucket=0)
+    out = list(decode_position_rows(iter([enc])))
+    got = sorted(zip(out[0]["term"], out[0]["doc_id"], out[0]["pos"])) if out else []
+    assert got == rows

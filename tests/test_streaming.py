@@ -113,3 +113,51 @@ def test_stream_ingest_with_concurrent_compaction(spark, tmp_path):
     s_vals = [r["doc_id"] for r in read_all_values(spark, store, sq).collect()]
     b_vals = [r["doc_id"] for r in read_all_values(spark, batch_store, sq).collect()]
     assert s_vals == b_vals
+
+
+def test_stream_ingest_with_positions_phrase(spark, tmp_path):
+    """Streamed micro-segments carrying the positional artifact answer
+    phrase queries identically to a batch positional build, before AND
+    after compacting the micro-segments."""
+    from inverted_index_spark.operators.positions import phrase_match
+
+    docs = generate_transcripts(spark, 200, include_doc_id=True).cache()
+    src = str(tmp_path / "psrc")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream_store = SegmentStore(str(tmp_path / "pstream_idx"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    q = stream_to_segments(
+        stream, stream_store,
+        build_id="p1", bucket_size=64,
+        checkpoint_dir=str(tmp_path / "pckpt"),
+        positions=True,
+    )
+    q.awaitTermination(120)
+
+    batch_store = SegmentStore(str(tmp_path / "pbatch_idx"))
+    build_index(spark, docs, batch_store, bucket_size=64, positions=True)
+
+    # pick a phrase that actually occurs: first two tokens of some doc
+    row = docs.limit(1).collect()[0]
+    phrase = row["text"].lower().split()[:2]
+    want = sorted(
+        (r["doc_id"], r["n_matches"])
+        for r in phrase_match(spark, batch_store, phrase).collect()
+    )
+    assert want, f"picked phrase {phrase} matches nothing — bad fixture"
+    got = sorted(
+        (r["doc_id"], r["n_matches"])
+        for r in phrase_match(spark, stream_store, phrase).collect()
+    )
+    assert got == want
+    merge_until_one(spark, stream_store)
+    after = sorted(
+        (r["doc_id"], r["n_matches"])
+        for r in phrase_match(spark, stream_store, phrase).collect()
+    )
+    assert after == want
