@@ -282,11 +282,26 @@ def phrase_match(
     once per phrase offset that term occupies). Empty phrase → empty
     result; any phrase term absent from the index → no matches.
     """
+    return phrase_match_rows(
+        spark, read_positions(spark, store) if phrase else None,
+        phrase, min_doc, max_doc,
+    )
+
+
+def phrase_match_rows(
+    spark: SparkSession,
+    positions_rows: DataFrame | None,
+    phrase: list[str],
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """phrase_match over an explicit POSITIONS_SCHEMA DataFrame — the
+    building block Searcher.phrase uses with its cached scan."""
     if not phrase:
         return spark.createDataFrame([], "doc_id long, n_matches long")
     k = len(phrase)
     uniq = sorted(set(phrase))
-    rows = read_positions(spark, store).where(F.col("term").isin(uniq))
+    rows = positions_rows.where(F.col("term").isin(uniq))
     if min_doc is not None:
         rows = rows.where(F.col("max_doc") >= F.lit(int(min_doc)))
     if max_doc is not None:

@@ -83,6 +83,9 @@ class Searcher:
         if self._postings is not None:
             self._postings.unpersist()
             self._postings = None
+        if getattr(self, "_positions", None) is not None:
+            self._positions.unpersist()
+            self._positions = None
 
     def refresh(self) -> "Searcher":
         """Re-open against the CURRENT manifest snapshot. A Searcher
@@ -103,6 +106,27 @@ class Searcher:
         if self._postings is None:
             self.open()
         return self._postings
+
+    # ------------------------------------------------------------ phrase ---
+    def phrase(
+        self,
+        phrase: list[str],
+        min_doc: int | None = None,
+        max_doc: int | None = None,
+    ) -> DataFrame:
+        """phrase_match over a LAZILY cached positions scan — open-once
+        query-many for phrase workloads, mirroring the postings cache
+        (the artifact is only read/cached on the first phrase query, so
+        non-phrase searchers pay nothing)."""
+        from inverted_index_spark.operators.positions import (
+            phrase_match_rows,
+            read_positions,
+        )
+
+        if getattr(self, "_positions", None) is None:
+            self._positions = read_positions(self.spark, self.store).cache()
+            self._positions.count()
+        return phrase_match_rows(self.spark, self._positions, phrase, min_doc, max_doc)
 
     @property
     def stats(self) -> tuple[int, float]:

@@ -166,3 +166,21 @@ def test_missing_positions_raises(spark):
     build_index(spark, df, store, bucket_size=4)  # positions=False
     with pytest.raises(ValueError, match="without positions"):
         read_positions(spark, store)
+
+
+def test_searcher_phrase_cached(spark, pos_store):
+    """Searcher.phrase (cached positions scan) ≡ phrase_match, and
+    repeat queries reuse the cache."""
+    from inverted_index_spark.operators.search import Searcher
+
+    s = Searcher(spark, pos_store).open()
+    try:
+        for phrase in (["quick", "brown"], ["the", "quick"], ["lazy", "dog"]):
+            got = {
+                r["doc_id"]: r["n_matches"] for r in s.phrase(phrase).collect()
+            }
+            assert got == oracle_phrase(phrase), phrase
+        assert s._positions is not None  # cache materialized once
+    finally:
+        s.close()
+    assert s._positions is None
