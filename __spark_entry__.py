@@ -296,6 +296,18 @@ def _q_terms_regex(spark, sf):
     return _query.read_terms_regex(spark, _store_for(spark, sf), "[a-z]*ow")
 
 
+def _q_except_values(spark, sf):
+    """Boolean NOT completing the OR/AND/NOT algebra."""
+    return _query.except_values(spark, _store_for(spark, sf), OR_TERMS, ["window"])
+
+
+def _q_terms_within_window(spark, sf):
+    """Proximity (SpanNear) search over the positional artifact."""
+    from inverted_index_spark.operators.positions import terms_within_window
+
+    return terms_within_window(spark, _store_for(spark, sf), PHRASE, 20)
+
+
 def _q_dedup_clusters(spark, sf):
     """Near-dup clusters: MinHash-LSH pairs → alternating-star
     connected components (operators.clustering) — every clustered doc
@@ -448,6 +460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
         "ii_read_terms_regex": _q_terms_regex,
+        "ii_except_values": _q_except_values,
+        "terms_within_window": _q_terms_within_window,
         "ii_read_terms_prefix": _q_terms_prefix,
         "ii_read_values_prefix": _q_values_prefix,
         "dedup_clusters": _q_dedup_clusters,
@@ -803,6 +817,20 @@ def oracle_sql() -> dict[str, str]:
         "ii_read_terms_regex": (
             f"SELECT DISTINCT term FROM ({_TOK}) "
             "WHERE regexp_full_match(term, '[a-z]*ow') ORDER BY term"
+        ),
+        "ii_except_values": (
+            f"SELECT doc_id FROM (SELECT DISTINCT doc_id FROM ({_TOK}) "
+            f"WHERE term IN {_ORTERMS}) WHERE doc_id NOT IN "
+            f"(SELECT doc_id FROM ({_TOK}) WHERE term = 'window') ORDER BY doc_id"
+        ),
+        "terms_within_window": (
+            f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), "
+            "p AS (SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM t), "
+            "s AS (SELECT a.doc_id, min(abs(a.pos - b.pos) + 1)::BIGINT AS min_span "
+            f"FROM (SELECT doc_id, pos FROM p WHERE term = '{PHRASE[0]}') a "
+            f"JOIN (SELECT doc_id, pos FROM p WHERE term = '{PHRASE[1]}') b USING (doc_id) "
+            "GROUP BY a.doc_id) "
+            "SELECT doc_id, min_span FROM s WHERE min_span <= 20 ORDER BY doc_id"
         ),
         "ii_read_terms_prefix": (
             f"SELECT DISTINCT term FROM ({_TOK}) WHERE term LIKE 's%' ORDER BY term"

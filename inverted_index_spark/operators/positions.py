@@ -335,6 +335,69 @@ def phrase_match_rows(
     )
 
 
+def terms_within_window(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    window: int,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """(doc_id, min_span) — proximity search (Lucene SpanNearQuery
+    shape): docs where ALL the distinct query terms co-occur within
+    ``window`` consecutive token positions; min_span is the tightest
+    such span (classic two-pointer minimum covering window per doc,
+    O(occurrences) after the positional scan). The scan is pruned to
+    the query terms, so the shuffle is sized by their occurrence
+    count — same cost envelope as phrase_match."""
+    uniq = sorted(set(terms))
+    if not uniq or window < 1:
+        return spark.createDataFrame([], "doc_id long, min_span long")
+    k = len(uniq)
+    rows = read_positions(spark, store).where(F.col("term").isin(uniq))
+    if min_doc is not None:
+        rows = rows.where(F.col("max_doc") >= F.lit(int(min_doc)))
+    if max_doc is not None:
+        rows = rows.where(F.col("min_doc") <= F.lit(int(max_doc)))
+    occ = rows.mapInPandas(
+        lambda b: decode_position_rows(b, min_doc, max_doc),
+        schema="term string, doc_id long, pos long",
+    )
+
+    def min_window(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["term"].nunique() < k:
+            return pd.DataFrame({"doc_id": [], "min_span": []}).astype(
+                {"doc_id": "int64", "min_span": "int64"}
+            )
+        order = np.argsort(pdf["pos"].to_numpy(), kind="mergesort")
+        poss = pdf["pos"].to_numpy()[order]
+        tids = pdf["term"].to_numpy()[order]
+        count: dict = {}
+        have, left, best = 0, 0, None
+        for right in range(len(poss)):
+            t = tids[right]
+            count[t] = count.get(t, 0) + 1
+            if count[t] == 1:
+                have += 1
+            while have == k:
+                span = int(poss[right] - poss[left] + 1)
+                if best is None or span < best:
+                    best = span
+                tl = tids[left]
+                count[tl] -= 1
+                if count[tl] == 0:
+                    have -= 1
+                left += 1
+        return pd.DataFrame(
+            {"doc_id": [int(pdf["doc_id"].iloc[0])], "min_span": [best]}
+        ).astype({"doc_id": "int64", "min_span": "int64"})
+
+    spans = occ.groupBy("doc_id").applyInPandas(
+        min_window, schema="doc_id long, min_span long"
+    )
+    return spans.where(F.col("min_span") <= int(window)).orderBy("doc_id")
+
+
 def phrase_bm25_topk(
     spark: SparkSession,
     store: SegmentStore,

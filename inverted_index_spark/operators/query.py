@@ -180,6 +180,28 @@ def read_values_prefix(
     )
 
 
+def except_values(
+    spark: SparkSession,
+    store: SegmentStore,
+    include_terms: list[str],
+    exclude_terms: list[str],
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """Boolean NOT — docs matching any include term but no exclude term
+    (Lucene MUST_NOT; absent from the reference, which stops at OR —
+    SURVEY.md §2.5 set-ops note). Anti-join of two pruned posting
+    streams, both sides term-IN-pushed; the exclude side never
+    explodes more than its own postings."""
+    inc = read_values(spark, store, include_terms, min_doc, max_doc)
+    if not exclude_terms:
+        return inc
+    exc = postings_df(
+        spark, store, sorted(set(exclude_terms)), min_doc, max_doc, with_tf=False
+    ).select("doc_id")
+    return inc.join(exc, "doc_id", "left_anti").orderBy("doc_id")
+
+
 def and_values(
     spark: SparkSession,
     store: SegmentStore,

@@ -184,3 +184,45 @@ def test_searcher_phrase_cached(spark, pos_store):
     finally:
         s.close()
     assert s._positions is None
+
+
+def oracle_min_span(terms: list[str]) -> dict[int, int]:
+    """Brute-force minimum covering span per doc (None → no match)."""
+    import itertools
+
+    out = {}
+    uniq = sorted(set(terms))
+    for doc_id, text in DOCS:
+        toks = tokenize_text(text)
+        positions = {t: [i for i, x in enumerate(toks) if x == t] for t in uniq}
+        if any(not v for v in positions.values()):
+            continue
+        best = min(
+            max(combo) - min(combo) + 1
+            for combo in itertools.product(*(positions[t] for t in uniq))
+        )
+        out[doc_id] = best
+    return out
+
+
+@pytest.mark.parametrize(
+    "terms,window",
+    [
+        (["quick", "dog"], 8),
+        (["quick", "dog"], 7),
+        (["the", "fox", "dog"], 9),
+        (["the", "fox", "dog"], 5),
+        (["quick", "brown"], 2),
+        (["quick"], 1),
+        (["nosuchword", "quick"], 50),
+    ],
+)
+def test_terms_within_window(spark, pos_store, terms, window):
+    from inverted_index_spark.operators.positions import terms_within_window
+
+    got = {
+        r["doc_id"]: r["min_span"]
+        for r in terms_within_window(spark, pos_store, terms, window).collect()
+    }
+    want = {d: s for d, s in oracle_min_span(terms).items() if s <= window}
+    assert got == want, (terms, window)

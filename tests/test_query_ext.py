@@ -81,3 +81,28 @@ def test_value_index_timestamps(spark):
         ).collect()
     ]
     assert window == [1_700_000_030_000_000, 1_700_000_060_000_000]
+
+
+def test_except_values(spark, prefix_store):
+    from inverted_index_spark.operators.query import except_values
+
+    got = [
+        r["doc_id"]
+        for r in except_values(
+            spark, prefix_store, ["apple", "banana"], ["apply"]
+        ).collect()
+    ]
+    # apple {1,5,9} ∪ banana {4} minus apply {3,5} = {1,4,9}
+    assert got == [1, 4, 9]
+    # empty exclude ≡ plain OR read
+    assert [
+        r["doc_id"]
+        for r in except_values(spark, prefix_store, ["banana"], []).collect()
+    ] == [4]
+    # range applies to both sides
+    assert [
+        r["doc_id"]
+        for r in except_values(
+            spark, prefix_store, ["apple", "banana"], ["apply"], 4, 9
+        ).collect()
+    ] == [4, 9]
