@@ -59,7 +59,8 @@ def _store_for(spark: SparkSession, sf_dir: str) -> SegmentStore:
     if sf_dir not in _STORES:
         store = SegmentStore(tempfile.mkdtemp(prefix="ii_entry_") + "/idx")
         build_index(
-            spark, _docs(spark, sf_dir), store, bucket_size=1 << 14, positions=True
+            spark, _docs(spark, sf_dir), store, bucket_size=1 << 14,
+            positions=True, store_text=True,
         )
         _STORES[sf_dir] = store
     return _STORES[sf_dir]
@@ -296,6 +297,17 @@ def _q_terms_regex(spark, sf):
     return _query.read_terms_regex(spark, _store_for(spark, sf), "[a-z]*ow")
 
 
+def _q_bm25_topk_text(spark, sf):
+    """Top-k hydrated with the stored turn text (doc-store artifact;
+    per-turn text byte-for-byte — the input_hint equality invariant
+    at the query surface)."""
+    t = _bm25.bm25_topk(spark, _store_for(spark, sf), Q_TERMS, k=10)
+    out = _searcher_for(spark, sf).fetch_text(
+        t.select("doc_id", F.round("score", 4).alias("score"))
+    )
+    return out.select("doc_id", "score", "text")
+
+
 def _q_except_values(spark, sf):
     """Boolean NOT completing the OR/AND/NOT algebra."""
     return _query.except_values(spark, _store_for(spark, sf), OR_TERMS, ["window"])
@@ -460,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
         "ii_read_terms_regex": _q_terms_regex,
+        "bm25_topk_text": _q_bm25_topk_text,
         "ii_except_values": _q_except_values,
         "terms_within_window": _q_terms_within_window,
         "ii_read_terms_prefix": _q_terms_prefix,
@@ -817,6 +830,11 @@ def oracle_sql() -> dict[str, str]:
         "ii_read_terms_regex": (
             f"SELECT DISTINCT term FROM ({_TOK}) "
             "WHERE regexp_full_match(term, '[a-z]*ow') ORDER BY term"
+        ),
+        "bm25_topk_text": (
+            f"SELECT s.doc_id, round(s.raw_score, 4) AS score, d.text "
+            f"FROM ({_BM25_CONTRIB}) s JOIN documents d USING (doc_id) "
+            "ORDER BY s.raw_score DESC, s.doc_id ASC LIMIT 10"
         ),
         "ii_except_values": (
             f"SELECT doc_id FROM (SELECT DISTINCT doc_id FROM ({_TOK}) "

@@ -253,6 +253,7 @@ def build_index_from_tokens(
     empty_terms: list[str] | None = None,
     shuffle: bool = True,
     positions_df: DataFrame | None = None,
+    texts_df: DataFrame | None = None,
 ) -> str:
     """Encode + write + commit one immutable segment. Returns segment_id.
 
@@ -348,6 +349,25 @@ def build_index_from_tokens(
                 ),
             )
         )
+    if texts_df is not None:
+        # optional doc store (doc_id, text): bucket-clustered like the
+        # postings so text fetch for a result page prunes to the
+        # buckets it touches; preserves per-turn text byte-for-byte
+        # (the input_hint equality invariant, surfaced at query time
+        # by Searcher.fetch_text)
+        writers.append(
+            threading.Thread(
+                target=_write,
+                args=(
+                    texts_df.select(
+                        F.col("doc_id").cast("long").alias("doc_id"),
+                        F.col("text"),
+                        F.expr(f"cast(doc_id div {int(bucket_size)} as long)").alias("bucket"),
+                    ).sortWithinPartitions("bucket", "doc_id"),
+                    f"{seg_dir}/docs",
+                ),
+            )
+        )
     for t in writers:
         t.start()
     for t in writers:
@@ -409,12 +429,15 @@ def build_index(
     input_fingerprint: str = "",
     shuffle: bool = True,
     positions: bool = False,
+    store_text: bool = False,
 ) -> str:
     """docs(doc_id, text) → one committed segment (entry point A,
     SURVEY.md §3.1). ``shuffle=False`` selects the fragment encode
     (zero token shuffle; input partitions must hold disjoint doc sets).
     ``positions=True`` additionally writes the positional artifact
     (operators.positions) enabling phrase_match over this store.
+    ``store_text=True`` additionally writes the (doc_id, text) doc
+    store so results can be hydrated back to text (Searcher.fetch_text).
 
     Both the token stream and the doc lengths are pure JVM column
     expressions over the source scan (functions.tokenizer): two cheap
@@ -430,11 +453,17 @@ def build_index(
         from inverted_index_spark.operators.positions import position_tokens
 
         pos_df = position_tokens(docs, id_col=id_col, text_col=text_col)
+    texts_df = None
+    if store_text:
+        texts_df = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
     return build_index_from_tokens(
         spark, tokens, dstats, store,
         bucket_size=bucket_size, block_size=block_size,
         build_id=build_id, chunk=chunk, input_fingerprint=input_fingerprint,
-        shuffle=shuffle, positions_df=pos_df,
+        shuffle=shuffle, positions_df=pos_df, texts_df=texts_df,
     )
 
 

@@ -122,6 +122,22 @@ def merge_segments(
     from inverted_index_spark.operators.positions import merge_positions
 
     merge_positions(spark, store, victims, segment_id)
+    # doc store (doc_id, text): union-dedup carried through like
+    # positions (all-or-nothing across victims)
+    import os
+
+    have_docs = [
+        s for s in victims if os.path.isdir(os.path.join(store.seg_dir(s), "docs"))
+    ]
+    if have_docs:
+        if len(have_docs) != len(victims):
+            raise ValueError(
+                f"cannot merge mixed doc-store coverage: "
+                f"{sorted(set(victims) - set(have_docs))} lack a doc store"
+            )
+        store.read_docs(spark, victims).sortWithinPartitions(
+            "bucket", "doc_id"
+        ).write.mode("overwrite").parquet(f"{seg_dir}/docs")
     out = spark.read.parquet(f"{seg_dir}/postings")
     agg = out.agg(
         F.countDistinct("term").alias("n_terms"),

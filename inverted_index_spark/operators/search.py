@@ -86,6 +86,9 @@ class Searcher:
         if getattr(self, "_positions", None) is not None:
             self._positions.unpersist()
             self._positions = None
+        if getattr(self, "_docs", None) is not None:
+            self._docs.unpersist()
+            self._docs = None
 
     def refresh(self) -> "Searcher":
         """Re-open against the CURRENT manifest snapshot. A Searcher
@@ -106,6 +109,20 @@ class Searcher:
         if self._postings is None:
             self.open()
         return self._postings
+
+    # ---------------------------------------------------------- doc store ---
+    def fetch_text(self, results: DataFrame) -> DataFrame:
+        """Hydrate a (doc_id, ...) result DataFrame with the stored turn
+        text (build_index(store_text=True)); per-turn text is preserved
+        byte-for-byte (input_hint equality invariant). The doc store is
+        lazily cached like the positions scan; a top-k page join is a
+        broadcast of the page against the cached store."""
+        if getattr(self, "_docs", None) is None:
+            self._docs = (
+                self.store.read_docs(self.spark).select("doc_id", "text").cache()
+            )
+            self._docs.count()
+        return results.join(self._docs, "doc_id", "left")
 
     # ------------------------------------------------------------ phrase ---
     def phrase(

@@ -393,6 +393,33 @@ class SegmentStore:
         # same doc may appear in several segments pre-compaction → dedup
         return spark.read.parquet(*paths).dropDuplicates(["doc_id"])
 
+    def read_docs(
+        self, spark: SparkSession, segment_ids: list[str] | None = None
+    ) -> DataFrame:
+        """Union of live segments' (doc_id, text) doc stores (written by
+        build_index(store_text=True)). Raises when any live segment
+        lacks the dataset — a partial doc store would silently hydrate
+        some results and drop others."""
+        live = self.live_segments()
+        ids = list(segment_ids or live["segment_id"])
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("bucket", T.LongType()),
+            ]
+        )
+        if not ids:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.seg_dir(s), "docs") for s in ids]
+        missing = [s for s, p in zip(ids, paths) if not os.path.isdir(p)]
+        if missing:
+            raise ValueError(
+                f"segments without a doc store: {missing} — rebuild with "
+                "build_index(..., store_text=True)"
+            )
+        return spark.read.parquet(*paths).dropDuplicates(["doc_id"])
+
     # ------------------------------------------------------------ merger
     def pick_merge_candidates(self, min_files: int = 2, max_files: int = 8) -> list[str]:
         """Size-tiered policy: up to max smallest live segments, or []
