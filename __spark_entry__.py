@@ -313,6 +313,16 @@ def _q_except_values(spark, sf):
     return _query.except_values(spark, _store_for(spark, sf), OR_TERMS, ["window"])
 
 
+def _q_fuzzy_terms(spark, sf):
+    """FuzzyQuery analog: dictionary terms within edit distance 1
+    (SymSpell deletion-neighborhood candidates, exact-verified)."""
+    return _query.fuzzy_terms(spark, _store_for(spark, sf), "tble")
+
+
+def _q_fuzzy_values(spark, sf):
+    return _query.fuzzy_values(spark, _store_for(spark, sf), "tble")
+
+
 def _q_terms_within_window(spark, sf):
     """Proximity (SpanNear) search over the positional artifact."""
     from inverted_index_spark.operators.positions import terms_within_window
@@ -474,6 +484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ii_read_terms_regex": _q_terms_regex,
         "bm25_topk_text": _q_bm25_topk_text,
         "ii_except_values": _q_except_values,
+        "ii_fuzzy_terms": _q_fuzzy_terms,
+        "ii_fuzzy_values": _q_fuzzy_values,
         "terms_within_window": _q_terms_within_window,
         "ii_read_terms_prefix": _q_terms_prefix,
         "ii_read_values_prefix": _q_values_prefix,
@@ -840,6 +852,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id FROM (SELECT DISTINCT doc_id FROM ({_TOK}) "
             f"WHERE term IN {_ORTERMS}) WHERE doc_id NOT IN "
             f"(SELECT doc_id FROM ({_TOK}) WHERE term = 'window') ORDER BY doc_id"
+        ),
+        "ii_fuzzy_terms": (
+            f"SELECT DISTINCT term FROM ({_TOK}) "
+            "WHERE levenshtein(term, 'tble') <= 1 ORDER BY term"
+        ),
+        "ii_fuzzy_values": (
+            f"SELECT DISTINCT doc_id FROM ({_TOK}) WHERE term IN "
+            f"(SELECT term FROM ({_TOK}) WHERE levenshtein(term, 'tble') <= 1) "
+            "ORDER BY doc_id"
         ),
         "terms_within_window": (
             f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), "

@@ -153,6 +153,62 @@ def read_terms_regex(
     )
 
 
+def _deletion_variants(term: str) -> list[str]:
+    """term + every single-character deletion (SymSpell d=1
+    neighborhood). Two strings are within edit distance 1 (insert /
+    delete / substitute) iff their d=1 deletion neighborhoods
+    intersect — so an isin() filter over dictionary-side variants
+    finds ALL candidates without a join."""
+    return [term] + [term[:i] + term[i + 1 :] for i in range(len(term))]
+
+
+def fuzzy_terms(
+    spark: SparkSession, store: SegmentStore, term: str, max_edits: int = 1
+) -> DataFrame:
+    """Sorted unique dictionary terms within Levenshtein distance
+    ``max_edits`` of ``term`` (Lucene FuzzyQuery analog). Scale path
+    for d=1: the dictionary side explodes into deletion variants in
+    pure codegen and filters them against the query's ≤ len+1 variants
+    (no join, no UDF); survivors are verified with the built-in
+    levenshtein. d=1 candidates are provably complete (shared-deletion
+    property), so the result is EXACT."""
+    if max_edits != 1:
+        raise NotImplementedError("fuzzy_terms supports max_edits=1")
+    qvars = _deletion_variants(term)
+    terms = store.read_postings(spark).select("term").distinct()
+    variants = F.array_union(
+        F.array(F.col("term")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("term")),
+            lambda i: F.concat(
+                F.substring(F.col("term"), 1, i - 1),
+                F.col("term").substr(i + 1, F.length("term")),
+            ),
+        ),
+    )
+    cand = terms.where(F.arrays_overlap(variants, F.array(*[F.lit(v) for v in qvars])))
+    return (
+        cand.where(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+        .orderBy("term")
+    )
+
+
+def fuzzy_values(
+    spark: SparkSession,
+    store: SegmentStore,
+    term: str,
+    max_edits: int = 1,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """R10 OR-union over every term within edit distance of the probe
+    (fuzzy retrieval): fuzzy_terms drives a term-IN-pushed posting
+    read. The matched-term list is collected to the driver — bounded
+    by the d=1 neighborhood, which is tiny for any realistic vocab."""
+    matched = [r["term"] for r in fuzzy_terms(spark, store, term, max_edits).collect()]
+    return read_values(spark, store, matched, min_doc, max_doc)
+
+
 def read_values_prefix(
     spark: SparkSession,
     store: SegmentStore,

@@ -106,3 +106,20 @@ def test_except_values(spark, prefix_store):
             spark, prefix_store, ["apple", "banana"], ["apply"], 4, 9
         ).collect()
     ] == [4, 9]
+
+
+def test_fuzzy_terms(spark, prefix_store):
+    from inverted_index_spark.operators.query import fuzzy_terms, fuzzy_values
+
+    def fz(probe):
+        return [r["term"] for r in fuzzy_terms(spark, prefix_store, probe).collect()]
+
+    assert fz("aple") == ["apple"]          # insertion fixes it
+    assert fz("aplly") == ["apply"]         # substitution
+    assert fz("app") == ["app"]             # exact (apple/apply are d=2)
+    assert fz("banana") == ["banana"]
+    assert fz("bananaz") == ["banana"]      # trailing insert
+    assert fz("qqqq") == []
+    # fuzzy retrieval unions the matched terms' postings
+    got = [r["doc_id"] for r in fuzzy_values(spark, prefix_store, "aple").collect()]
+    assert got == [1, 5, 9]  # apple's postings
