@@ -30,6 +30,10 @@ def main(argv: list[str] | None = None) -> int:
         help="also write the positional artifact (enables `phrase` queries)",
     )
     s_build.add_argument(
+        "--store-text", action="store_true",
+        help="also write the (doc_id, text) doc store (enables text hydration)",
+    )
+    s_build.add_argument(
         "--no-shuffle", action="store_true",
         help="fragment encode: no token-stream shuffle (multi-executor "
         "option; input partitions must hold disjoint doc sets; run "
@@ -89,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
         sid = build_index(
             spark, docs, store, bucket_size=bucket_size,
             shuffle=not args.no_shuffle, positions=args.positions,
+            store_text=args.store_text,
         )
         print(f"committed segment {sid}")
         return 0

@@ -555,11 +555,15 @@ def build_index_resumable(
     bucket_size: int = DEFAULT_BUCKET_SIZE,
     block_size: int = DEFAULT_BLOCK,
     build_id: str | None = None,
+    positions: bool = False,
+    store_text: bool = False,
 ) -> list[str]:
     """Checkpointed build: the corpus is split into n_chunks disjoint
     doc-bucket classes (bucket % n_chunks); each chunk commits its own
     segment + manifest row idempotently, so a restarted build skips
     chunks whose rows already exist (north-rule resumability).
+    ``positions`` / ``store_text`` propagate to every chunk (artifact
+    coverage must be uniform across a store).
 
     Returns the segment ids covering the corpus (pre-existing + new).
     """
@@ -584,6 +588,7 @@ def build_index_resumable(
                     id_col=id_col, text_col=text_col,
                     bucket_size=bucket_size, block_size=block_size,
                     build_id=build_id, chunk=chunk, input_fingerprint=fp,
+                    positions=positions, store_text=store_text,
                 )
             )
         except ErrEmptyIndex:
