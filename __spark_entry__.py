@@ -361,6 +361,24 @@ def _q_sample_stratified(spark, sf):
     return s.select("doc_id", "lang").orderBy("doc_id")
 
 
+def _q_corpus_pipeline(spark, sf):
+    """The composed training-data pipeline (length filter → lang
+    filter → exact dedup → minhash-CC near-dedup → stratified sample)
+    as ONE declarative plan — the composition itself is oracle-gated."""
+    from inverted_index_spark.operators.corpus import prepare_corpus
+
+    out = prepare_corpus(
+        _docs(spark, sf),
+        langs=("en", "de"),
+        min_tokens=5,
+        minhash_threshold=0.6,
+        fractions={"src0": 1.0, "src1": 0.5, "src2": 0.0},
+        strata_col="source",
+        default_fraction=0.8,
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 def _q_pack_sequences(spark, sf):
     """Concat-then-chunk sequence packing over the pinned tokenizer's
     token counts (distributed prefix sum, no single-partition window)."""
@@ -493,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_survivors": _q_dedup_cluster_survivors,
         "sample_stratified": _q_sample_stratified,
         "pack_sequences": _q_pack_sequences,
+        "corpus_pipeline": _q_corpus_pipeline,
         "ts_index_range": _q_ts_index_range,
         "ann_lsh_topk": _q_ann_lsh,
         "index_summary": _q_index_summary,
@@ -598,12 +617,20 @@ def _minhash_params_sql(num_hashes: int = 64, seed: int = 42) -> str:
     )
 
 
-# bit-exact DuckDB twin of minhash_lsh_pairs(threshold=0.3): same shingle
-# hash (md5_number_upper = little-endian first 8 md5 bytes), same exact
-# (a·x+b) mod 2^61-1 (HUGEINT math), same md5 band keys, same banding
-_MINHASH = f"""
+# bit-exact DuckDB twin of minhash_lsh_pairs: same shingle hash
+# (md5_number_upper = little-endian first 8 md5 bytes), same exact
+# (a·x+b) mod 2^61-1 (HUGEINT math), same md5 band keys, same banding.
+# Parameterized over the base relation + threshold so the composed
+# corpus_pipeline oracle can run it over a filtered CTE.
+
+
+def _minhash_sql(base: str = "documents", threshold: float = 0.3) -> str:
+    return _MINHASH_TMPL.format(base=base, threshold=threshold)
+
+
+_MINHASH_TMPL = f"""
 WITH params(i, pa, pb) AS (VALUES {_minhash_params_sql()}),
-toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents),
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM {{base}}),
 shg AS (SELECT doc_id, unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
         WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
         ELSE list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')) END) AS s
@@ -621,8 +648,10 @@ cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sig AS sig_a, r.sig AS 
 est AS (SELECT a, b, list_sum(list_transform(generate_series(1, 64),
           k -> CASE WHEN sig_a[k] = sig_b[k] THEN 1 ELSE 0 END))::DOUBLE / 64 AS ej
         FROM cand)
-SELECT a, b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.3
+SELECT a, b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= {{threshold}}
 """
+
+_MINHASH = _minhash_sql("documents", 0.3)
 
 # shared simhash core: tf-weighted bit votes over md5_number_upper
 # token hashes → per-doc signed 64-bit simhash (CTE `sh`)
@@ -683,13 +712,71 @@ WHERE n_matches > 0 ORDER BY doc_id
 
 # clusters twin: recursive min-label propagation over the SAME minhash
 # pair set (the engine runs alternating large/small-star — same fixpoint)
-_CLUSTER_CTES = f"""mh AS ({_MINHASH}),
+
+
+def _cluster_ctes(mh_sql: str) -> str:
+    return f"""mh AS ({mh_sql}),
 edges AS (SELECT a AS u, b AS v FROM mh UNION SELECT b AS u, a AS v FROM mh),
 reach(n, l) AS (
   SELECT u, u FROM (SELECT DISTINCT u FROM edges)
   UNION
   SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.n),
 cl AS (SELECT n, min(l) AS l FROM reach GROUP BY n)"""
+
+
+_CLUSTER_CTES = _cluster_ctes(_MINHASH)
+
+# lang-id CTEs parameterized over the base relation (mirrors
+# functions/textstats.lang_id exactly — the already-green lang_id twin)
+
+
+def _langsel_ctes(base: str, langs: tuple[str, ...]) -> str:
+    lang_list = "'" + "','".join(langs) + "'"
+    return (
+        f"lt AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks FROM {base}), "
+        "ls AS (SELECT doc_id, "
+        "len(list_intersect(toks, ['der','die','das','und','ist','nicht'])) AS s_de, "
+        "len(list_intersect(toks, ['the','a','and','of','is','to'])) AS s_en, "
+        "len(list_intersect(toks, ['el','la','los','las','es','y'])) AS s_es, "
+        "len(list_intersect(toks, ['le','la','les','est','et','une'])) AS s_fr FROM lt), "
+        "lpred AS (SELECT doc_id, CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' "
+        "WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
+        "WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
+        "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
+        "ELSE 'fr' END AS pred_lang FROM ls), "
+        f"langsel AS (SELECT doc_id FROM lpred WHERE pred_lang IN ({lang_list}))"
+    )
+
+
+# the composed training-corpus pipeline twin: every stage is the
+# already-verified per-operator SQL, chained over CTEs in the same
+# order the engine's prepare_corpus declares
+PIPE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+PIPE_DEFAULT_FRACTION = 0.8
+_PIPE_CASE = (
+    "CASE source "
+    + " ".join(
+        f"WHEN '{k}' THEN {int(v * (1 << 31))}"
+        for k, v in sorted(PIPE_FRACTIONS.items())
+    )
+    + f" ELSE {int(PIPE_DEFAULT_FRACTION * (1 << 31))} END"
+)
+_PIPELINE_SQL = (
+    "WITH RECURSIVE "
+    f"sized AS (SELECT * FROM documents WHERE len({_TOKS_SQL}) BETWEEN 5 AND 1048576), "
+    + _langsel_ctes("sized", ("en", "de"))
+    + ", lfilt AS (SELECT s.* FROM sized s JOIN langsel USING (doc_id))"
+    ", xfp AS (SELECT doc_id, md5(array_to_string("
+    "regexp_extract_all(lower(text), '\\w+'), ' ')) AS fp FROM lfilt)"
+    ", exact AS (SELECT * FROM lfilt WHERE doc_id IN "
+    "(SELECT min(doc_id) FROM xfp GROUP BY fp)), "
+    + _cluster_ctes(_minhash_sql("exact", 0.6))
+    + ", surv AS (SELECT * FROM exact WHERE doc_id NOT IN "
+    "(SELECT n FROM cl WHERE n <> l)) "
+    "SELECT doc_id, source FROM surv WHERE "
+    "(md5_number_upper('42:' || doc_id::VARCHAR)::HUGEINT % 2147483648)::BIGINT "
+    f"< {_PIPE_CASE} ORDER BY doc_id"
+)
 
 _STRATA_CASE = (
     "CASE lang "
@@ -900,6 +987,7 @@ def oracle_sql() -> dict[str, str]:
             f'("offset" + greatest(dl, 1) - 1) // {PACK_BLOCK} AS last_block '
             "FROM o ORDER BY doc_id"
         ),
+        "corpus_pipeline": _PIPELINE_SQL,
         "ts_index_range": (
             "SELECT DISTINCT epoch_us(ts) AS ts_us FROM events "
             f"WHERE event_type IN ('{TS_TYPES[0]}', '{TS_TYPES[1]}') "

@@ -148,6 +148,61 @@ def running_offsets(
     return sorted_df.mapInPandas(add_offsets, schema=out_schema)
 
 
+def prepare_corpus(
+    docs: DataFrame,
+    *,
+    langs: tuple[str, ...] = ("en", "de"),
+    min_tokens: int = 5,
+    max_tokens: int = 1 << 20,
+    minhash_threshold: float = 0.6,
+    fractions: dict[str, float] | None = None,
+    strata_col: str = "source",
+    default_fraction: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """The composed training-data pipeline, one declarative plan:
+
+        1. length filter      (pinned-tokenizer token count in range)
+        2. language filter    (n-gram-heuristic lang_id ∈ langs)
+        3. exact dedup        (md5 fingerprint, keep min doc_id)
+        4. near-dedup         (MinHash-LSH pairs → connected components
+                               → keep each cluster's min doc_id)
+        5. stratified sample  (deterministic md5 draw per stratum)
+
+    Every stage is the already-oracle-backed operator, so the WHOLE
+    composition has a bit-exact DuckDB twin (the `corpus_pipeline`
+    driver entry). Stage order matters and is part of the contract:
+    near-dup pairs are computed on the exact-deduped survivor set.
+    """
+    from inverted_index_spark.functions.textstats import lang_id
+    from inverted_index_spark.operators.clustering import dedup_survivors
+    from inverted_index_spark.operators.dedup import dedup_exact, minhash_lsh_pairs
+
+    from inverted_index_spark.functions.tokenizer import doc_length_expr
+
+    sized = docs.withColumn("_nt", doc_length_expr(F.col(text_col))).where(
+        (F.col("_nt") >= int(min_tokens)) & (F.col("_nt") <= int(max_tokens))
+    ).drop("_nt")
+    lid = lang_id(sized, id_col=id_col, text_col=text_col)
+    kept_ids = lid.where(F.col("pred_lang").isin(list(langs))).select("doc_id")
+    filtered = sized.join(
+        kept_ids, on=sized[id_col].cast("long") == kept_ids["doc_id"], how="leftsemi"
+    )
+    exact = dedup_exact(filtered, id_col=id_col, text_col=text_col)
+    pairs = minhash_lsh_pairs(
+        exact, id_col=id_col, text_col=text_col, threshold=minhash_threshold
+    )
+    survivors = dedup_survivors(exact, pairs, id_col=id_col)
+    if fractions is None:
+        return survivors
+    return stratified_sample(
+        survivors, fractions, strata_col,
+        id_col=id_col, seed=seed, default_fraction=default_fraction,
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     block_size: int,

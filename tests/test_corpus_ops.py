@@ -90,3 +90,33 @@ def test_pack_sequences_oracle(spark, docs):
         lb = (acc + max(dl, 1) - 1) // 32
         assert out[i] == (dl, acc, fb, lb), f"doc {i}"
         acc += dl
+
+
+def test_prepare_corpus_stages(spark):
+    from inverted_index_spark.operators.corpus import prepare_corpus
+
+    rows = [
+        # doc 0/1: exact duplicates (keep 0)
+        (0, "the cat sat on the mat and it is a fine day today", "sA"),
+        (1, "the cat sat on the mat and it is a fine day today", "sA"),
+        # doc 2: near-duplicate of 0 (one word changed) → clustered out
+        (2, "the cat sat on the mat and it is a fine day tomorrow", "sB"),
+        # doc 3: distinct english text
+        (3, "a completely different story about the sea and the wind is told", "sB"),
+        # doc 4: german
+        (4, "der hund und die katze sind nicht das problem und das ist gut", "sC"),
+        # doc 5: spanish → filtered by langs=(en, de)
+        (5, "el perro y la casa es los campos y las flores", "sC"),
+        # doc 6: too short (< 5 tokens)
+        (6, "too short text", "sA"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sorted(
+        r["doc_id"]
+        for r in prepare_corpus(
+            docs, langs=("en", "de"), min_tokens=5,
+            minhash_threshold=0.5, fractions=None,
+        ).collect()
+    )
+    # 1 exact-dup loser, 2 near-dup loser, 5 wrong lang, 6 too short
+    assert out == [0, 3, 4]
