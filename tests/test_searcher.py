@@ -92,3 +92,18 @@ def test_searcher_read_values_matches(spark, setup):
     a = [r["doc_id"] for r in read_values(spark, store, terms, 50, 400).collect()]
     b = [r["doc_id"] for r in searcher.read_values(terms, 50, 400).collect()]
     assert a == b and len(a) > 0
+
+
+def test_topk_batch_wand_equals_exhaustive(spark, setup):
+    """Both batched scorers are exact: WAND pruning vs the vectorized
+    exhaustive default must agree row-for-row."""
+    _, searcher = setup
+    qs = {
+        "a": ["w00000"],
+        "b": ["w00001", "w00002"],
+        "c": ["w00010", "w00500", "w05000"],
+        "d": ["nosuchterm"],
+    }
+    wand = sorted(map(tuple, searcher.topk_batch(qs, k=7, use_wand=True).collect()))
+    ex = sorted(map(tuple, searcher.topk_batch(qs, k=7, use_wand=False).collect()))
+    assert wand == ex
