@@ -136,8 +136,9 @@ def _exhaustive_from_handles(
     d = np.concatenate(doc_parts)
     c = np.concatenate(contrib_parts)
     uniq, inv = np.unique(d, return_inverse=True)
-    scores = np.zeros(len(uniq))
-    np.add.at(scores, inv, c)
+    # bincount is the vectorized scatter-add (np.add.at is an order of
+    # magnitude slower on repeated indices — measured on this kernel)
+    scores = np.bincount(inv, weights=c, minlength=len(uniq))
     order = np.argsort(-scores, kind="stable")[:k]  # ties → doc_id asc
     return [(int(uniq[i]), float(scores[i])) for i in order]
 
