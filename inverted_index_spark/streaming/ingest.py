@@ -32,6 +32,7 @@ def stream_to_segments(
     checkpoint_dir: str | None = None,
     trigger_once: bool = True,
     positions: bool = False,
+    store_text: bool = False,
 ):
     """Attach a micro-segment sink to a streaming DataFrame.
 
@@ -53,7 +54,7 @@ def stream_to_segments(
                 bucket_size=bucket_size,
                 build_id=build_id, chunk=int(batch_id),
                 input_fingerprint=f"{build_id}/batch-{batch_id}",
-                positions=positions,
+                positions=positions, store_text=store_text,
             )
         except ErrEmptyIndex:
             pass  # empty micro-batch

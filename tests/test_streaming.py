@@ -135,7 +135,7 @@ def test_stream_ingest_with_positions_phrase(spark, tmp_path):
         stream, stream_store,
         build_id="p1", bucket_size=64,
         checkpoint_dir=str(tmp_path / "pckpt"),
-        positions=True,
+        positions=True, store_text=True,
     )
     q.awaitTermination(120)
 
@@ -161,3 +161,9 @@ def test_stream_ingest_with_positions_phrase(spark, tmp_path):
         for r in phrase_match(spark, stream_store, phrase).collect()
     )
     assert after == want
+    # streamed doc store hydrates text byte-for-byte across micro-segments
+    got_text = {
+        r["doc_id"]: r["text"] for r in stream_store.read_docs(spark).collect()
+    }
+    want_text = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert got_text == want_text
