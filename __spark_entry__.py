@@ -297,6 +297,14 @@ def _q_terms_regex(spark, sf):
     return _query.read_terms_regex(spark, _store_for(spark, sf), "[a-z]*ow")
 
 
+def _q_phrase_snippets(spark, sf):
+    """Search-result highlighting: token-window snippet around the
+    first phrase occurrence (positions + doc store combined)."""
+    from inverted_index_spark.operators.positions import phrase_snippets
+
+    return phrase_snippets(spark, _store_for(spark, sf), PHRASE, context=3)
+
+
 def _q_bm25_topk_text(spark, sf):
     """Top-k hydrated with the stored turn text (doc-store artifact;
     per-turn text byte-for-byte — the input_hint equality invariant
@@ -499,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _q_winnow_pairs,
         "phrase_match": _q_phrase_match,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
+        "phrase_snippets": _q_phrase_snippets,
         "ii_read_terms_regex": _q_terms_regex,
         "bm25_topk_text": _q_bm25_topk_text,
         "ii_except_values": _q_except_values,
@@ -920,6 +929,15 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT sum(len({_TOKS_SQL})) FROM documents)::BIGINT AS sum_dl"
         ),
         "phrase_match": _PHRASE_SQL,
+        "phrase_snippets": (
+            f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), "
+            "m AS (SELECT doc_id, t, list_filter(generate_series(1, greatest(len(t) - 1, 0)), "
+            f"i -> t[i] = '{PHRASE[0]}' AND t[i+1] = '{PHRASE[1]}') AS hits FROM t), "
+            "f AS (SELECT doc_id, t, len(hits)::BIGINT AS n_matches, "
+            "greatest(hits[1] - 3, 1) AS a FROM m WHERE len(hits) > 0) "
+            "SELECT doc_id, n_matches, array_to_string(t[a : a + 7], ' ') AS snippet "
+            "FROM f ORDER BY doc_id"
+        ),
         "phrase_bm25_topk": (
             f"SELECT doc_id, round(raw_score, 4) AS score "
             f"FROM ({_bm25_contrib_sql(PHRASE)}) "

@@ -335,6 +335,73 @@ def phrase_match_rows(
     )
 
 
+def phrase_starts(
+    spark: SparkSession,
+    store: SegmentStore,
+    phrase: list[str],
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """(doc_id, pos) — every token offset where the phrase starts
+    (the pre-aggregation stream phrase_match counts). Exposed for
+    snippet extraction and custom ranking."""
+    if not phrase:
+        return spark.createDataFrame([], "doc_id long, pos long")
+    k = len(phrase)
+    uniq = sorted(set(phrase))
+    rows = read_positions(spark, store).where(F.col("term").isin(uniq))
+    if min_doc is not None:
+        rows = rows.where(F.col("max_doc") >= F.lit(int(min_doc)))
+    if max_doc is not None:
+        rows = rows.where(F.col("min_doc") <= F.lit(int(max_doc)))
+    occ = rows.mapInPandas(
+        lambda b: decode_position_rows(b, min_doc, max_doc),
+        schema="term string, doc_id long, pos long",
+    )
+    offsets = [(t, [i for i, pt in enumerate(phrase) if pt == t]) for t in uniq]
+    off_df = spark.createDataFrame(offsets, "term string, offs array<int>")
+    fanned = (
+        occ.join(F.broadcast(off_df), "term")
+        .select("doc_id", F.explode("offs").alias("off"), "pos")
+        .select("doc_id", (F.col("pos") - F.col("off")).alias("adj"), "off")
+        .where(F.col("adj") >= 0)
+    )
+    return (
+        fanned.groupBy("doc_id", "adj")
+        .agg(F.countDistinct("off").alias("_n"))
+        .where(F.col("_n") == k)
+        .select("doc_id", F.col("adj").alias("pos"))
+    )
+
+
+def phrase_snippets(
+    spark: SparkSession,
+    store: SegmentStore,
+    phrase: list[str],
+    context: int = 3,
+) -> DataFrame:
+    """(doc_id, n_matches, snippet) — matching docs with a token-window
+    snippet around the FIRST phrase occurrence (``context`` tokens each
+    side), the search-result highlighting surface. Needs both optional
+    artifacts: positions (match offsets) and the doc store (text);
+    tokenization and slicing are pure JVM expressions over the stored
+    text, so the snippet is exact under the pinned tokenizer."""
+    starts = phrase_starts(spark, store, phrase)
+    agg = starts.groupBy("doc_id").agg(
+        F.min("pos").alias("_first"), F.count("*").alias("n_matches")
+    )
+    texts = store.read_docs(spark).select("doc_id", "text")
+    joined = agg.join(texts, "doc_id")
+    toks = tokens_expr(F.col("text"))
+    start_1b = F.greatest(F.col("_first") + 1 - context, F.lit(1))
+    length = F.lit(len(phrase) + 2 * context)
+    snippet = F.concat_ws(" ", F.slice(toks, start_1b, length))
+    return (
+        joined.select("doc_id", "n_matches", snippet.alias("snippet"))
+        .orderBy("doc_id")
+    )
+
+
 def terms_within_window(
     spark: SparkSession,
     store: SegmentStore,

@@ -53,7 +53,7 @@ def oracle_phrase(phrase: list[str]) -> dict[int, int]:
 def pos_store(spark):
     store = SegmentStore(tempfile.mkdtemp(prefix="ii_pos_") + "/idx")
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
-    build_index(spark, df, store, bucket_size=4, positions=True)
+    build_index(spark, df, store, bucket_size=4, positions=True, store_text=True)
     return store
 
 
@@ -226,3 +226,23 @@ def test_terms_within_window(spark, pos_store, terms, window):
     }
     want = {d: s for d, s in oracle_min_span(terms).items() if s <= window}
     assert got == want, (terms, window)
+
+
+def test_phrase_snippets(spark, pos_store):
+    from inverted_index_spark.operators.positions import phrase_snippets
+
+    got = {
+        r["doc_id"]: (r["n_matches"], r["snippet"])
+        for r in phrase_snippets(spark, pos_store, ["quick", "brown"], context=2).collect()
+    }
+    want_counts = oracle_phrase(["quick", "brown"])
+    assert set(got) == set(want_counts)
+    for d, (n, snip) in got.items():
+        assert n == want_counts[d]
+        toks = tokenize_text(dict(DOCS)[d])
+        first = next(
+            i for i in range(len(toks) - 1)
+            if toks[i] == "quick" and toks[i + 1] == "brown"
+        )
+        lo = max(first - 2, 0)
+        assert snip == " ".join(toks[lo : lo + 6]), d
