@@ -86,9 +86,6 @@ class Searcher:
         if getattr(self, "_positions", None) is not None:
             self._positions.unpersist()
             self._positions = None
-        if getattr(self, "_docs", None) is not None:
-            self._docs.unpersist()
-            self._docs = None
 
     def refresh(self) -> "Searcher":
         """Re-open against the CURRENT manifest snapshot. A Searcher
@@ -111,18 +108,34 @@ class Searcher:
         return self._postings
 
     # ---------------------------------------------------------- doc store ---
-    def fetch_text(self, results: DataFrame) -> DataFrame:
+    def fetch_text(self, results: DataFrame, max_pruned_buckets: int = 10_000) -> DataFrame:
         """Hydrate a (doc_id, ...) result DataFrame with the stored turn
         text (build_index(store_text=True)); per-turn text is preserved
-        byte-for-byte (input_hint equality invariant). The doc store is
-        lazily cached like the positions scan; a top-k page join is a
-        broadcast of the page against the cached store."""
-        if getattr(self, "_docs", None) is None:
-            self._docs = (
-                self.store.read_docs(self.spark).select("doc_id", "text").cache()
+        byte-for-byte (input_hint equality invariant).
+
+        Scale shape: the doc store is NEVER cached or scanned whole — a
+        result page touches few doc-buckets, so the page's distinct
+        buckets (a bounded collect: pages are top-k-sized) become a
+        ``bucket IN (...)`` predicate pushed into the doc-store scan,
+        and the row-group stats skip everything else. Pages touching
+        more than ``max_pruned_buckets`` buckets fall back to a plain
+        join (at that size the scan is no longer sparse anyway)."""
+        bs = self.store.pinned_bucket_size() or 1
+        page_buckets = (
+            results.select(
+                F.expr(f"cast(doc_id div {int(bs)} as long)").alias("b")
             )
-            self._docs.count()
-        return results.join(self._docs, "doc_id", "left")
+            .distinct()
+            .limit(max_pruned_buckets + 1)
+            .collect()
+        )
+        buckets = (
+            [int(r["b"]) for r in page_buckets]
+            if len(page_buckets) <= max_pruned_buckets
+            else None
+        )
+        docs = self.store.read_docs(self.spark, buckets=buckets)
+        return results.join(docs.select("doc_id", "text"), "doc_id", "left")
 
     # ------------------------------------------------------------ phrase ---
     def phrase(

@@ -394,12 +394,18 @@ class SegmentStore:
         return spark.read.parquet(*paths).dropDuplicates(["doc_id"])
 
     def read_docs(
-        self, spark: SparkSession, segment_ids: list[str] | None = None
+        self,
+        spark: SparkSession,
+        segment_ids: list[str] | None = None,
+        buckets: list[int] | None = None,
     ) -> DataFrame:
         """Union of live segments' (doc_id, text) doc stores (written by
         build_index(store_text=True)). Raises when any live segment
         lacks the dataset — a partial doc store would silently hydrate
-        some results and drop others."""
+        some results and drop others. ``buckets`` applies a pushable
+        IN-filter BELOW the cross-segment dedup (the dedup is an
+        aggregation, so a filter added above it could never reach the
+        scan) — the pruning Searcher.fetch_text relies on."""
         live = self.live_segments()
         ids = list(segment_ids or live["segment_id"])
         schema = T.StructType(
@@ -418,7 +424,10 @@ class SegmentStore:
                 f"segments without a doc store: {missing} — rebuild with "
                 "build_index(..., store_text=True)"
             )
-        return spark.read.parquet(*paths).dropDuplicates(["doc_id"])
+        raw = spark.read.parquet(*paths)
+        if buckets is not None:
+            raw = raw.where(F.col("bucket").isin([int(b) for b in buckets]))
+        return raw.dropDuplicates(["doc_id"])
 
     # ------------------------------------------------------------ merger
     def pick_merge_candidates(self, min_files: int = 2, max_files: int = 8) -> list[str]:

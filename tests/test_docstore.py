@@ -30,8 +30,14 @@ def test_fetch_text_roundtrip(spark):
     page = spark.createDataFrame([(i,) for i, _ in DOCS], "doc_id long")
     got = {r["doc_id"]: r["text"] for r in s.fetch_text(page).collect()}
     assert got == dict(DOCS)  # byte-for-byte, incl. unicode + spacing
+    # the doc-store scan must be bucket-pruned for a small page, not
+    # cached or scanned whole (100 TB shape)
+    from inverted_index_spark.plans import pushed_filters
+
+    docs_scan = store.read_docs(spark, buckets=[0, 1])
+    pf = pushed_filters(docs_scan)
+    assert "In(bucket" in pf or "bucket" in pf, pf
     s.close()
-    assert s._docs is None
 
 
 def test_docstore_survives_merge(spark):
