@@ -321,6 +321,17 @@ def _q_except_values(spark, sf):
     return _query.except_values(spark, _store_for(spark, sf), OR_TERMS, ["window"])
 
 
+def _q_boolean_query(spark, sf):
+    """Composed boolean algebra: Or(And(spark, NOT window),
+    Phrase('table hash')) — one Catalyst plan over the shared scan."""
+    from inverted_index_spark.operators.boolean import (
+        And, Not, Or, Phrase, Term, evaluate,
+    )
+
+    q = Or(And(Term("spark"), Not(Term("window"))), Phrase(PHRASE))
+    return evaluate(spark, _store_for(spark, sf), q)
+
+
 def _q_fuzzy_terms(spark, sf):
     """FuzzyQuery analog: dictionary terms within edit distance 1
     (SymSpell deletion-neighborhood candidates, exact-verified)."""
@@ -511,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ii_read_terms_regex": _q_terms_regex,
         "bm25_topk_text": _q_bm25_topk_text,
         "ii_except_values": _q_except_values,
+        "boolean_query": _q_boolean_query,
         "ii_fuzzy_terms": _q_fuzzy_terms,
         "ii_fuzzy_values": _q_fuzzy_values,
         "terms_within_window": _q_terms_within_window,
@@ -957,6 +969,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id FROM (SELECT DISTINCT doc_id FROM ({_TOK}) "
             f"WHERE term IN {_ORTERMS}) WHERE doc_id NOT IN "
             f"(SELECT doc_id FROM ({_TOK}) WHERE term = 'window') ORDER BY doc_id"
+        ),
+        "boolean_query": (
+            "SELECT DISTINCT doc_id FROM ("
+            f"SELECT doc_id FROM ({_TOK}) WHERE term = 'spark' "
+            f"EXCEPT SELECT doc_id FROM ({_TOK}) WHERE term = 'window' "
+            f"UNION SELECT doc_id FROM ({_PHRASE_SQL})"
+            ") ORDER BY doc_id"
         ),
         "ii_fuzzy_terms": (
             f"SELECT DISTINCT term FROM ({_TOK}) "
