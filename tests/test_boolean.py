@@ -103,3 +103,41 @@ def test_boolean_contract_errors(spark, bstore):
         evaluate(spark, bstore, Or(Term("x"), Not(Term("y"))))
     with pytest.raises(ValueError):
         evaluate(spark, bstore, And(Not(Term("y"))))
+
+
+# ------------------------------------------------- random-tree property ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_VOCAB = ["quick", "brown", "fox", "dog", "the", "lazy", "rivers", "zzz"]
+
+_leaf = st.one_of(
+    st.sampled_from(_VOCAB).map(Term),
+    st.sampled_from(["qu", "fo", "riv", "x"]).map(Prefix),
+    st.sampled_from([["quick", "brown"], ["lazy", "dog"], ["the", "dog"]]).map(Phrase),
+)
+
+
+def _tree(depth):
+    if depth == 0:
+        return _leaf
+    sub = _tree(depth - 1)
+    return st.one_of(
+        _leaf,
+        st.lists(sub, min_size=1, max_size=3).map(lambda cs: Or(*cs)),
+        st.tuples(
+            st.lists(sub, min_size=1, max_size=2),
+            st.lists(sub, min_size=0, max_size=2),
+        ).map(lambda t: And(*t[0], *[Not(c) for c in t[1]])),
+    )
+
+
+@settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_tree(2))
+def test_boolean_random_trees(spark, bstore, q):
+    got = {r["doc_id"] for r in evaluate(spark, bstore, q).collect()}
+    assert got == py_eval(q), q
