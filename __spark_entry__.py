@@ -488,6 +488,40 @@ def _q_transcripts_bm25(spark, sf):
     return out
 
 
+def _q_media_stats(spark, sf):
+    """Native multimodal decode (WAV via stdlib, PPM/BMP via numpy
+    header math — no external media libs). SELF-CHECKING rows-only
+    entry: synthesizes payloads with known exact stats and asserts the
+    decoded values before returning (DuckDB cannot parse WAV/BMP)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from inverted_index_spark.operators.multimodal import MEDIA_SCHEMA, media_stats
+
+    rate, n = 8000, 4000
+    tone = (np.where((np.arange(n) // 20) % 2 == 0, 16384, -16384)).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(rate)
+        w.writeframes(tone.tobytes())
+    ppm = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 0, 255])
+    media = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(buf.getvalue()), ("audio/wav", 0, 0, 0)),
+            (1, "image", bytearray(ppm), ("image/ppm", 2, 1, 0)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = media_stats(media)
+    rows = {r["media_id"]: r.asDict() for r in out.collect()}
+    assert rows[0]["fmt"] == "wav" and abs(rows[0]["duration_ms"] - 500.0) < 1e-9
+    assert abs(rows[0]["rms"] - 16384 / 32768) < 1e-9
+    assert rows[1]["fmt"] == "ppm" and rows[1]["mean_r"] == 127.5
+    return out.select("media_id", "kind", "fmt", "width", "height").orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ii_read_terms": _q_read_terms,
@@ -535,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": _q_corpus_pipeline,
         "ts_index_range": _q_ts_index_range,
         "ann_lsh_topk": _q_ann_lsh,
+        "media_stats": _q_media_stats,
         "index_summary": _q_index_summary,
         "transcripts_bm25": _q_transcripts_bm25,
     }

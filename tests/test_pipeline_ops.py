@@ -370,3 +370,66 @@ def test_mint_doc_ids(spark):
     got = sorted((r["conv_id"], r["turn_idx"], r["doc_id"]) for r in out)
     expect_ids = list(range(30))
     assert [g[2] for g in got] == expect_ids  # dense rank in (conv, turn) order
+
+
+def test_media_stats_native_decode(spark):
+    """WAV/PPM/BMP decode natively (stdlib + numpy) with exact stats;
+    unknown formats come back fmt='unknown' with null stats."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from inverted_index_spark.operators.multimodal import MEDIA_SCHEMA, media_stats
+
+    # 16-bit mono WAV: 1 second of a full-scale square wave at 100 Hz
+    rate, n = 8000, 8000
+    t = np.arange(n)
+    sq = (np.where((t // 40) % 2 == 0, 30000, -30000)).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(rate)
+        w.writeframes(sq.tobytes())
+    wav_bytes = buf.getvalue()
+
+    # 2x2 PPM: red, green / blue, white
+    ppm_bytes = b"P6\n2 2\n255\n" + bytes(
+        [255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255]
+    )
+
+    # 2x1 24-bit BMP (bottom-up): pixels (BGR) blue then red, row padded to 8
+    px_row = bytes([255, 0, 0,  0, 0, 255]) + b"\x00\x00"
+    bmp_bytes = (
+        b"BM" + struct.pack("<IHHI", 54 + len(px_row), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(px_row), 0, 0, 0, 0)
+        + px_row
+    )
+
+    media = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(wav_bytes), ("audio/wav", 0, 0, 0)),
+            (1, "image", bytearray(ppm_bytes), ("image/ppm", 2, 2, 0)),
+            (2, "image", bytearray(bmp_bytes), ("image/bmp", 2, 1, 0)),
+            (3, "video", bytearray(b"\x00\x01garbage"), ("video/mp4", 0, 0, 0)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r.asDict() for r in media_stats(media).collect()}
+
+    wav = got[0]
+    assert wav["fmt"] == "wav" and wav["sample_rate"] == 8000
+    assert abs(wav["duration_ms"] - 1000.0) < 1e-9
+    assert abs(wav["rms"] - 30000 / 32768) < 1e-9  # full-scale square
+    # square at 100 Hz: 200 sign flips over 7999 transitions
+    assert abs(wav["zero_cross_rate"] - 199 / 7999) < 1e-9
+
+    ppm = got[1]
+    assert (ppm["fmt"], ppm["width"], ppm["height"]) == ("ppm", 2, 2)
+    assert (ppm["mean_r"], ppm["mean_g"], ppm["mean_b"]) == (127.5, 127.5, 127.5)
+
+    bmp = got[2]
+    assert (bmp["fmt"], bmp["width"], bmp["height"]) == ("bmp", 2, 1)
+    assert (bmp["mean_r"], bmp["mean_g"], bmp["mean_b"]) == (127.5, 0.0, 127.5)
+
+    assert got[3]["fmt"] == "unknown" and got[3]["width"] is None
