@@ -49,6 +49,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     s_phrase.add_argument("store_root")
     s_phrase.add_argument("tokens", nargs="+")
+    s_search = sub.add_parser(
+        "search", help='boolean search: AND of clauses; -not, "a phrase", '
+        "pre*, fuzzy~ (build with --positions for phrases)"
+    )
+    s_search.add_argument("store_root")
+    s_search.add_argument("query", help='e.g. \'spark -window "table hash" riv*\'')
     s_compact = sub.add_parser(
         "compact", help="merge live segments (min_files=1 also consolidates "
         "a single fragmented segment) and delete tombstoned data"
@@ -96,6 +102,12 @@ def main(argv: list[str] | None = None) -> int:
             store_text=args.store_text,
         )
         print(f"committed segment {sid}")
+        return 0
+    if args.cmd == "search":
+        from inverted_index_spark.operators.boolean import evaluate, parse_query
+
+        for row in evaluate(spark, store, parse_query(args.query)).collect():
+            print(row["doc_id"])
         return 0
     if args.cmd == "phrase":
         from inverted_index_spark.operators.positions import phrase_match

@@ -75,6 +75,44 @@ class Not:
     clause: object
 
 
+def parse_query(s: str):
+    """Minimal Lucene-ish query-string syntax → query tree:
+
+        spark merge          AND of clauses (google-style default)
+        -window              MUST_NOT (Not inside the top-level And)
+        "table hash"         exact phrase
+        riv*                 prefix
+        tble~                fuzzy (edit distance 1)
+
+    Tokens are lowercased through the pinned tokenizer alphabet; an
+    empty or all-negative query raises (unanswerable from an index).
+    """
+    import re
+
+    clauses = []
+    for neg, phrase, word in re.findall(
+        r'(-?)(?:"([^"]+)"|(\S+))', s.strip()
+    ):
+        if phrase:
+            node = Phrase([w.lower() for w in phrase.split()])
+        else:
+            w = word.lower()
+            if w.endswith("*") and len(w) > 1:
+                node = Prefix(w[:-1])
+            elif w.endswith("~") and len(w) > 1:
+                node = Fuzzy(w[:-1])
+            else:
+                node = Term(w)
+        clauses.append(Not(node) if neg else node)
+    if not clauses:
+        raise ValueError("empty query")
+    if all(isinstance(c, Not) for c in clauses):
+        raise ValueError("all-negative query is unanswerable from an index")
+    if len(clauses) == 1:
+        return clauses[0]
+    return And(*clauses)
+
+
 def evaluate(
     spark: SparkSession,
     store: SegmentStore,

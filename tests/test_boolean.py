@@ -141,3 +141,24 @@ def _tree(depth):
 def test_boolean_random_trees(spark, bstore, q):
     got = {r["doc_id"] for r in evaluate(spark, bstore, q).collect()}
     assert got == py_eval(q), q
+
+
+def test_parse_query(spark, bstore):
+    from inverted_index_spark.operators.boolean import parse_query
+
+    q = parse_query('quick -fox "lazy dog" riv* quik~')
+    assert q == And(
+        Term("quick"), Not(Term("fox")), Phrase(["lazy", "dog"]),
+        Prefix("riv"), Fuzzy("quik"),
+    )
+    assert parse_query("dog") == Term("dog")
+    with pytest.raises(ValueError):
+        parse_query("")
+    with pytest.raises(ValueError):
+        parse_query("-only -negatives")
+    # parsed trees evaluate like hand-built ones
+    got = {
+        r["doc_id"]
+        for r in evaluate(spark, bstore, parse_query('quick -"lazy dog"')).collect()
+    }
+    assert got == py_eval(And(Term("quick"), Not(Phrase(["lazy", "dog"]))))
