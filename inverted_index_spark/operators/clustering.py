@@ -84,17 +84,28 @@ def connected_components(
             F.col(b_col).cast("long").alias("v"),
         )
     ).localCheckpoint()
-    prev_sig = None
-    for _ in range(max_rounds):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
-        sig_row = edges.agg(
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum(F.hash("u", "v")), F.lit(0)).alias("h"),
         ).collect()[0]
-        sig = (sig_row["n"], sig_row["h"])
-        if sig == prev_sig:
+        return (row["n"], row["h"])
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        sig = _sig(new_edges)
+        # the (count, hash-sum) signature is only a cheap PRE-FILTER: a
+        # hash-sum collision between different edge sets would declare
+        # convergence early and emit wrong components, so an exact check
+        # confirms it. Edge sets are distinct (normalize), so equal
+        # counts + empty one-sided difference ⇒ set equality; cheap at
+        # the near-fixpoint sizes where the signature first matches.
+        if sig == prev_sig and new_edges.exceptAll(edges).isEmpty():
+            edges = new_edges
             break
-        prev_sig = sig
+        edges, prev_sig = new_edges, sig
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
     # fixpoint: stars — each u points at its component min; centers label themselves

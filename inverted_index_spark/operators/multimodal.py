@@ -170,6 +170,10 @@ def _parse_ppm(b: bytes) -> dict | None:
         w, h, maxval = (int(f) for f in fields)
     except ValueError:
         return None
+    # 16-bit samples (maxval > 255) use two bytes per channel — a uint8
+    # parse would be silently wrong, so reject anything outside 1..255
+    if w <= 0 or h <= 0 or not (1 <= maxval <= 255):
+        return None
     pos += 1  # single whitespace after maxval
     px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
     rgb = px.reshape(-1, 3).astype(np.float64)
@@ -207,10 +211,20 @@ def _parse_bmp(b: bytes) -> dict | None:
     }
 
 
-def decode_payload(b: bytes) -> dict:
-    """Magic-byte dispatch to the native decoders; unknown → null stats."""
+def decode_payload(b: bytes | None) -> dict:
+    """Magic-byte dispatch to the native decoders; unknown OR malformed
+    → null stats. A single corrupt payload must never fail the whole
+    job (truncated rasters make np.frombuffer raise, short headers make
+    struct raise), so every parser runs under a guard — the 'unknown →
+    null' contract covers malformed-but-recognized-magic too."""
+    if b is None:
+        return dict(_NULL_STATS)
+    b = bytes(b)
     for parse in (_parse_wav, _parse_ppm, _parse_bmp):
-        out = parse(b)
+        try:
+            out = parse(b)
+        except Exception:
+            out = None  # malformed payload for this format → not parsed
         if out is not None:
             return out
     return dict(_NULL_STATS)
@@ -225,7 +239,7 @@ def media_stats(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            stats = [decode_payload(bytes(p)) for p in pdf["payload"]]
+            stats = [decode_payload(p) for p in pdf["payload"]]
             out = pd.DataFrame(stats)
             out.insert(0, "kind", pdf["kind"].to_numpy())
             out.insert(0, "media_id", pdf["media_id"].to_numpy())

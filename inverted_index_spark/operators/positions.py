@@ -256,7 +256,16 @@ def merge_positions(
     occurrences = rows.mapInPandas(
         lambda b: decode_position_rows(b), schema="term string, doc_id long, pos long"
     )
-    bucket_size = store.pinned_bucket_size() or 1 << 16
+    bucket_size = store.pinned_bucket_size()
+    if bucket_size is None:
+        # a guessed width would re-encode positions into buckets
+        # misaligned with the postings, breaking the store-wide
+        # disjoint-bucket invariant — mirror pinned_bucket_size()'s
+        # mixed-width guard and refuse instead
+        raise ValueError(
+            "store does not pin a bucket_size (pre-versioned manifest); "
+            "cannot merge positions without the postings' bucket width"
+        )
     merged = encode_positions_segment(occurrences, bucket_size)
     merged.sortWithinPartitions("bucket", "term").write.mode("overwrite").parquet(
         positions_dir(store, dest_segment_id)

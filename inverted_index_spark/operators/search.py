@@ -119,8 +119,17 @@ class Searcher:
         ``bucket IN (...)`` predicate pushed into the doc-store scan,
         and the row-group stats skip everything else. Pages touching
         more than ``max_pruned_buckets`` buckets fall back to a plain
-        join (at that size the scan is no longer sparse anyway)."""
-        bs = self.store.pinned_bucket_size() or 1
+        join (at that size the scan is no longer sparse anyway).
+
+        Pre-versioned manifests don't record bucket_size — computing
+        page buckets with a guessed width would produce bucket keys
+        that match NO stored rows, so the pushed IN-filter would
+        silently hydrate every result with null text. Those stores take
+        the plain-join path (no bucket pruning) instead."""
+        bs = self.store.pinned_bucket_size()
+        if bs is None:
+            docs = self.store.read_docs(self.spark)
+            return results.join(docs.select("doc_id", "text"), "doc_id", "left")
         page_buckets = (
             results.select(
                 F.expr(f"cast(doc_id div {int(bs)} as long)").alias("b")

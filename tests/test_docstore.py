@@ -60,3 +60,19 @@ def test_missing_docstore_raises(spark):
     build_index(spark, df, store, bucket_size=2)  # no store_text
     with pytest.raises(ValueError, match="doc store"):
         store.read_docs(spark)
+
+
+def test_fetch_text_unpinned_bucket_size_plain_join(spark, monkeypatch):
+    """Pre-versioned manifests (pinned_bucket_size() is None) must take
+    the plain-join path: a guessed bucket width would compute page
+    buckets matching NO stored rows and hydrate every result with null
+    text (ADVICE r3)."""
+    store = SegmentStore(tempfile.mkdtemp(prefix="ii_dsn_") + "/idx")
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_index(spark, df, store, bucket_size=2, store_text=True)
+    monkeypatch.setattr(store, "pinned_bucket_size", lambda: None)
+    s = Searcher(spark, store).open()
+    page = spark.createDataFrame([(i,) for i, _ in DOCS], "doc_id long")
+    got = {r["doc_id"]: r["text"] for r in s.fetch_text(page).collect()}
+    assert got == dict(DOCS)
+    s.close()

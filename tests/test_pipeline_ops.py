@@ -433,3 +433,40 @@ def test_media_stats_native_decode(spark):
     assert (bmp["mean_r"], bmp["mean_g"], bmp["mean_b"]) == (127.5, 0.0, 127.5)
 
     assert got[3]["fmt"] == "unknown" and got[3]["width"] is None
+
+
+def test_media_stats_malformed_payloads(spark):
+    """Malformed payloads must yield null stats, never crash the job
+    (ADVICE r3): truncated PPM/BMP rasters, NULL payload, PPM maxval=0
+    (division by zero) and maxval>255 (16-bit misparse as uint8)."""
+    import struct
+
+    from inverted_index_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_payload, media_stats,
+    )
+
+    truncated_ppm = b"P6\n100 100\n255\n" + b"\x01" * 10  # raster too short
+    zero_maxval_ppm = b"P6\n2 2\n0\n" + b"\x00" * 12
+    wide_maxval_ppm = b"P6\n1 1\n65535\n" + b"\x00" * 6  # 16-bit samples
+    truncated_bmp = (
+        b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 50, 50, 1, 24, 0, 0, 0, 0, 0, 0)
+    )  # header claims 50x50 but no pixel data follows
+    bad_wav = b"RIFF\x00\x00\x00\x00WAVEjunk"
+    rows = [
+        (0, "image", bytearray(truncated_ppm), (None, 0, 0, 0)),
+        (1, "image", bytearray(zero_maxval_ppm), (None, 0, 0, 0)),
+        (2, "image", bytearray(wide_maxval_ppm), (None, 0, 0, 0)),
+        (3, "image", bytearray(truncated_bmp), (None, 0, 0, 0)),
+        (4, "audio", bytearray(bad_wav), (None, 0, 0, 0)),
+        (5, "image", None, (None, 0, 0, 0)),
+        (6, "image", bytearray(b""), (None, 0, 0, 0)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r.asDict() for r in media_stats(media).collect()}
+    assert len(got) == 7
+    for r in got.values():
+        assert r["fmt"] == "unknown" and r["width"] is None and r["rms"] is None
+    # scalar path agrees
+    assert decode_payload(None)["fmt"] == "unknown"
+    assert decode_payload(truncated_ppm)["fmt"] == "unknown"
