@@ -332,6 +332,17 @@ def _q_boolean_query(spark, sf):
     return evaluate(spark, _store_for(spark, sf), q)
 
 
+def _q_boolean_query_parsed(spark, sf):
+    """The SAME composed algebra, but the tree comes from the round-4
+    Lucene-classic string grammar (parse_query: OR keyword, parens,
+    MUST_NOT, quoted phrase) — proves the CLI search surface can
+    express the reference's own term-set OR read plus grouping."""
+    from inverted_index_spark.operators.boolean import evaluate, parse_query
+
+    q = parse_query(f'(spark -window) OR "{PHRASE[0]} {PHRASE[1]}"')
+    return evaluate(spark, _store_for(spark, sf), q)
+
+
 def _q_fuzzy_terms(spark, sf):
     """FuzzyQuery analog: dictionary terms within edit distance 1
     (SymSpell deletion-neighborhood candidates, exact-verified)."""
@@ -557,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_text": _q_bm25_topk_text,
         "ii_except_values": _q_except_values,
         "boolean_query": _q_boolean_query,
+        "boolean_query_parsed": _q_boolean_query_parsed,
         "ii_fuzzy_terms": _q_fuzzy_terms,
         "ii_fuzzy_values": _q_fuzzy_values,
         "terms_within_window": _q_terms_within_window,
@@ -1006,6 +1018,13 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT doc_id FROM ({_TOK}) WHERE term = 'window') ORDER BY doc_id"
         ),
         "boolean_query": (
+            "SELECT DISTINCT doc_id FROM ("
+            f"SELECT doc_id FROM ({_TOK}) WHERE term = 'spark' "
+            f"EXCEPT SELECT doc_id FROM ({_TOK}) WHERE term = 'window' "
+            f"UNION SELECT doc_id FROM ({_PHRASE_SQL})"
+            ") ORDER BY doc_id"
+        ),
+        "boolean_query_parsed": (
             "SELECT DISTINCT doc_id FROM ("
             f"SELECT doc_id FROM ({_TOK}) WHERE term = 'spark' "
             f"EXCEPT SELECT doc_id FROM ({_TOK}) WHERE term = 'window' "

@@ -50,11 +50,14 @@ def main(argv: list[str] | None = None) -> int:
     s_phrase.add_argument("store_root")
     s_phrase.add_argument("tokens", nargs="+")
     s_search = sub.add_parser(
-        "search", help='boolean search: AND of clauses; -not, "a phrase", '
-        "pre*, fuzzy~ (build with --positions for phrases)"
+        "search", help="boolean search, Lucene-classic grammar: adjacency=AND, "
+        'OR keyword, (grouping), -not/NOT, "a phrase", pre*, fuzzy~ or fuzzy~2 '
+        "(build with --positions for phrases)"
     )
     s_search.add_argument("store_root")
-    s_search.add_argument("query", help='e.g. \'spark -window "table hash" riv*\'')
+    s_search.add_argument(
+        "query", help='e.g. \'(spark OR merge) -window "table hash" riv*\''
+    )
     s_compact = sub.add_parser(
         "compact", help="merge live segments (min_files=1 also consolidates "
         "a single fragmented segment) and delete tombstoned data"

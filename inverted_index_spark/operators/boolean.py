@@ -75,42 +75,185 @@ class Not:
     clause: object
 
 
-def parse_query(s: str):
-    """Minimal Lucene-ish query-string syntax → query tree:
+def _lex(s: str) -> list:
+    """Query string → tokens: '(' ')' '-' ('"', text) ('w', word).
 
-        spark merge          AND of clauses (google-style default)
-        -window              MUST_NOT (Not inside the top-level And)
-        "table hash"         exact phrase
-        riv*                 prefix
-        tble~                fuzzy (edit distance 1)
+    A '-' is the MUST_NOT marker only at the start of a clause (after
+    whitespace/'('); inside a word (foo-bar) it stays part of the word
+    and the pinned tokenizer splits it later."""
+    out: list = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+        elif c in "()":
+            out.append(c)
+            i += 1
+        elif c == '"':
+            j = s.find('"', i + 1)
+            if j < 0:
+                raise ValueError(f"unterminated phrase quote in query: {s!r}")
+            out.append(('"', s[i + 1 : j]))
+            i = j + 1
+        elif c == "-" and i + 1 < n and not s[i + 1].isspace() and s[i + 1] != ")":
+            out.append("-")
+            i += 1
+        else:
+            j = i
+            while j < n and not s[j].isspace() and s[j] not in '()"':
+                j += 1
+            out.append(("w", s[i:j]))
+            i = j
+    return out
 
-    Tokens are lowercased through the pinned tokenizer alphabet; an
-    empty or all-negative query raises (unanswerable from an index).
-    """
+
+def _word_node(w: str):
+    """One bare word → leaf node, normalized through the PINNED
+    tokenizer (tokenize_text) so query-side tokens can actually match
+    index-side terms: `Don't` → and(don, t), `FOO-BAR` → and(foo, bar),
+    >64-char tokens dropped — exactly what the build did to the text.
+    Returns None when the word normalizes to nothing (punctuation-only)."""
     import re
 
-    clauses = []
-    for neg, phrase, word in re.findall(
-        r'(-?)(?:"([^"]+)"|(\S+))', s.strip()
-    ):
-        if phrase:
-            node = Phrase([w.lower() for w in phrase.split()])
-        else:
-            w = word.lower()
-            if w.endswith("*") and len(w) > 1:
-                node = Prefix(w[:-1])
-            elif w.endswith("~") and len(w) > 1:
-                node = Fuzzy(w[:-1])
-            else:
-                node = Term(w)
-        clauses.append(Not(node) if neg else node)
-    if not clauses:
+    from inverted_index_spark.functions.tokenizer import tokenize_text
+
+    stem, suffix, digits = w, None, None
+    if w.endswith("*") and len(w) > 1:
+        stem, suffix = w[:-1], "*"
+    else:
+        m = re.match(r"^(.+)~([0-9]+)?$", w)
+        if m:
+            stem, suffix, digits = m.group(1), "~", m.group(2)
+    if suffix:
+        toks = tokenize_text(stem)
+        if len(toks) != 1:
+            raise ValueError(
+                f"{'prefix' if suffix == '*' else 'fuzzy'} stem {stem!r} must "
+                f"normalize to exactly one token (got {toks})"
+            )
+        if suffix == "*":
+            return Prefix(toks[0])
+        return Fuzzy(toks[0], int(digits) if digits else 1)
+    toks = tokenize_text(w)
+    if not toks:
+        return None
+    if len(toks) == 1:
+        return Term(toks[0])
+    return And(*[Term(t) for t in toks])
+
+
+def parse_query(s: str):
+    """Lucene-classic query-string syntax → query tree:
+
+        spark merge          AND of clauses (google-style default)
+        a OR b               union (uppercase OR, like Lucene)
+        a AND b              explicit AND (same as adjacency)
+        (a OR b) -c          grouping with parentheses
+        -window, NOT window  MUST_NOT (Not inside the enclosing And)
+        "table hash"         exact phrase
+        riv*                 prefix
+        tble~  tble~2        fuzzy (edit distance 1 / 2)
+
+    Precedence: OR < AND < NOT (so `a OR b c` is `Or(a, And(b, c))`).
+    Every word/phrase is normalized through the PINNED tokenizer
+    (tokenize_text), so `Don't` matches the indexed terms `don t`;
+    words that normalize to nothing are dropped. Same-type nests
+    flatten (`a (b c)` → `And(a, b, c)`), which also lets a negation
+    group fold into its enclosing And. An empty or all-negative query
+    raises (unanswerable from an index).
+    """
+    toks = _lex(s)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = toks[pos[0]]
+        pos[0] += 1
+        return t
+
+    def is_word(t, w):
+        return isinstance(t, tuple) and t[0] == "w" and t[1] == w
+
+    def parse_or():
+        nodes = [parse_and()]
+        while is_word(peek(), "OR"):
+            take()
+            t = peek()
+            if t is None or t == ")" or is_word(t, "OR"):
+                raise ValueError(f"dangling OR in query: {s!r}")
+            nodes.append(parse_and())
+        nodes = [n for n in nodes if n is not None]
+        if not nodes:
+            return None
+        flat = []
+        for n in nodes:
+            flat.extend(n.clauses if isinstance(n, Or) else [n])
+        return flat[0] if len(flat) == 1 else Or(*flat)
+
+    def parse_and():
+        nodes = []
+        while True:
+            t = peek()
+            if t is None or t == ")" or is_word(t, "OR"):
+                break
+            if is_word(t, "AND"):
+                take()
+                continue
+            nodes.append(parse_unary())
+        nodes = [n for n in nodes if n is not None]
+        if not nodes:
+            return None
+        flat = []
+        for n in nodes:
+            flat.extend(n.clauses if isinstance(n, And) else [n])
+        return flat[0] if len(flat) == 1 else And(*flat)
+
+    def parse_unary():
+        t = peek()
+        if t == "-" or is_word(t, "NOT"):
+            take()
+            node = parse_primary()
+            return None if node is None else Not(node)
+        return parse_primary()
+
+    def parse_primary():
+        from inverted_index_spark.functions.tokenizer import tokenize_text
+
+        t = peek()
+        if t is None or t == ")":
+            raise ValueError(f"expected a term or group in query: {s!r}")
+        take()
+        if t == "(":
+            node = parse_or()
+            if peek() != ")":
+                raise ValueError(f"unbalanced parentheses in query: {s!r}")
+            take()
+            if node is None:
+                raise ValueError(f"empty group in query: {s!r}")
+            return node
+        if t == "-":
+            raise ValueError(f"expected a term after '-' in query: {s!r}")
+        kind, text = t
+        if kind == '"':
+            ptoks = tokenize_text(text)
+            if not ptoks:
+                return None
+            return Term(ptoks[0]) if len(ptoks) == 1 else Phrase(ptoks)
+        return _word_node(text)
+
+    node = parse_or()
+    if peek() is not None:
+        raise ValueError(f"unbalanced parentheses in query: {s!r}")
+    if node is None:
         raise ValueError("empty query")
-    if all(isinstance(c, Not) for c in clauses):
+    if isinstance(node, Not) or (
+        isinstance(node, And) and all(isinstance(c, Not) for c in node.clauses)
+    ):
         raise ValueError("all-negative query is unanswerable from an index")
-    if len(clauses) == 1:
-        return clauses[0]
-    return And(*clauses)
+    return node
 
 
 def evaluate(

@@ -162,3 +162,95 @@ def test_parse_query(spark, bstore):
         for r in evaluate(spark, bstore, parse_query('quick -"lazy dog"')).collect()
     }
     assert got == py_eval(And(Term("quick"), Not(Phrase(["lazy", "dog"]))))
+
+
+def test_parse_query_or_and_grouping():
+    """Round-4 grammar: OR keyword, parentheses, NOT, precedence,
+    same-type flattening — the reference's own term-set OR read
+    (single/single.go:155-176) is finally expressible as a string."""
+    from inverted_index_spark.operators.boolean import parse_query
+
+    assert parse_query("dog OR fox") == Or(Term("dog"), Term("fox"))
+    # precedence: OR binds loosest; adjacency/AND binds tighter
+    assert parse_query("dog OR quick brown") == Or(
+        Term("dog"), And(Term("quick"), Term("brown"))
+    )
+    assert parse_query("dog AND fox") == And(Term("dog"), Term("fox"))
+    assert parse_query("(dog OR fox) -lazy") == And(
+        Or(Term("dog"), Term("fox")), Not(Term("lazy"))
+    )
+    assert parse_query("quick NOT fox") == And(Term("quick"), Not(Term("fox")))
+    # lowercase or/and/not are ordinary terms (Lucene-classic)
+    assert parse_query("dog or fox") == And(Term("dog"), Term("or"), Term("fox"))
+    # same-type nests flatten; a parenthesized negation folds into the
+    # enclosing And
+    assert parse_query("quick (brown fox)") == And(
+        Term("quick"), Term("brown"), Term("fox")
+    )
+    assert parse_query("quick (-fox)") == And(Term("quick"), Not(Term("fox")))
+    assert parse_query("(dog OR fox) OR quick") == Or(
+        Term("dog"), Term("fox"), Term("quick")
+    )
+    # single-clause groups collapse
+    assert parse_query("(dog)") == Term("dog")
+    assert parse_query('quik~2') == Fuzzy("quik", 2)
+    for bad in ["(dog", "dog)", "()", "a OR", '"']:
+        with pytest.raises(ValueError):
+            parse_query(bad)
+    # a dangling '-' or punctuation-only word is dropped as noise
+    assert parse_query("dog -") == Term("dog")
+    # all-negative still unanswerable, even via OR/NOT spellings
+    with pytest.raises(ValueError):
+        parse_query("NOT dog")
+    with pytest.raises(ValueError):
+        parse_query("-a -b")
+
+
+def test_parse_query_pinned_tokenizer_normalization():
+    """Query words go through tokenize_text (ADVICE r3): punctuated
+    words split into And of their index-side tokens, case folds,
+    >64-char tokens drop — query-side tokenization == index-side."""
+    from inverted_index_spark.operators.boolean import parse_query
+
+    assert parse_query("Don't") == And(Term("don"), Term("t"))
+    assert parse_query("FOO-BAR") == And(Term("foo"), Term("bar"))
+    assert parse_query('"Lazy  DOG."') == Phrase(["lazy", "dog"])
+    # a single-token quoted string is just a term
+    assert parse_query('"dog"') == Term("dog")
+    # punctuation-only words are dropped like the tokenizer drops them
+    assert parse_query("dog !!!") == Term("dog")
+    with pytest.raises(ValueError):
+        parse_query("!!! ...")  # normalizes to nothing
+    long = "x" * 65
+    assert parse_query(f"dog {long}") == Term("dog")  # >64 chars dropped
+    # prefix/fuzzy stems must be single tokens after normalization
+    assert parse_query("RIV*") == Prefix("riv")
+    with pytest.raises(ValueError):
+        parse_query("foo-bar*")
+
+
+def _render(q) -> str:
+    if isinstance(q, Term):
+        return q.term
+    if isinstance(q, Prefix):
+        return q.prefix + "*"
+    if isinstance(q, Phrase):
+        return '"' + " ".join(q.tokens) + '"'
+    if isinstance(q, Or):
+        return "(" + " OR ".join(_render(c) for c in q.clauses) + ")"
+    if isinstance(q, And):
+        return "(" + " ".join(_render(c) for c in q.clauses) + ")"
+    if isinstance(q, Not):
+        return "-" + _render(q.clause)
+    raise TypeError(q)
+
+
+@settings(max_examples=60, deadline=None)
+@given(q=_tree(2))
+def test_parse_render_roundtrip_semantics(q):
+    """render(tree) → parse_query → same result set as the hand-built
+    tree under the brute-force oracle (parse may flatten/collapse the
+    tree, so equality is semantic, not structural)."""
+    from inverted_index_spark.operators.boolean import parse_query
+
+    assert py_eval(parse_query(_render(q))) == py_eval(q), _render(q)
