@@ -87,9 +87,13 @@ def bm25_scores(
             F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
         )
     posts = postings_df(spark, store, list(idf_map), min_doc, max_doc, with_tf=True)
-    # pre-compaction overlap: the same (term, doc) may arrive from two
-    # segments — keep one copy (text equality guarantees identical tf/dl)
-    posts = posts.dropDuplicates(["term", "doc_id"])
+    if len(store.live_segments()) > 1:
+        # pre-compaction overlap: the same (term, doc) may arrive from
+        # two segments — keep one copy (text equality guarantees
+        # identical tf/dl). A single segment has disjoint buckets, so
+        # duplicates are impossible and the dedup exchange is skipped
+        # on the most common (post-compaction) path.
+        posts = posts.dropDuplicates(["term", "doc_id"])
     idf_expr = F.create_map(
         *[x for t, w in idf_map.items() for x in (F.lit(t), F.lit(float(w)))]
     )

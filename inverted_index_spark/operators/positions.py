@@ -411,6 +411,50 @@ def phrase_snippets(
     )
 
 
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def min_cover_spans(
+    doc: np.ndarray, pos: np.ndarray, tid: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Segmented minimum covering span, fully vectorized (numpy).
+
+    Inputs are occurrence arrays SORTED by (doc, pos); ``tid`` maps
+    each occurrence to its query-term index in [0, k). For every row r
+    the tightest window ending at r is
+    ``pos[r] - min_t(latest occurrence of term t at or before r) + 1``,
+    so k masked ``maximum.accumulate`` passes (one per query term —
+    queries are few terms) + one ``minimum.reduceat`` over doc
+    boundaries replace the per-occurrence Python two-pointer. Doc
+    resets ride an offset key (doc_index * OFF + pos): a term whose
+    latest occurrence lies in an earlier doc keys below the current
+    doc's base and invalidates the row.
+
+    Returns (doc_ids, min_span) for docs containing ALL k terms.
+    """
+    n = len(doc)
+    if n == 0:
+        return doc[:0], pos[:0]
+    new_doc = np.empty(n, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = doc[1:] != doc[:-1]
+    di = (np.cumsum(new_doc) - 1).astype(np.int64)
+    off = np.int64(pos.max()) + 2
+    gkey = di * off + pos
+    doc_base = di * off
+    recent_min = np.full(n, _I64_MAX, dtype=np.int64)
+    for t in range(k):
+        arr = np.where(tid == t, gkey, np.int64(-1))
+        np.maximum.accumulate(arr, out=arr)
+        np.minimum(recent_min, arr, out=recent_min)
+    valid = recent_min >= doc_base
+    span = np.where(valid, gkey - recent_min + 1, _I64_MAX)
+    starts = np.flatnonzero(new_doc)
+    best = np.minimum.reduceat(span, starts)
+    has_all = best < _I64_MAX
+    return doc[starts][has_all], best[has_all]
+
+
 def terms_within_window(
     spark: SparkSession,
     store: SegmentStore,
@@ -422,14 +466,18 @@ def terms_within_window(
     """(doc_id, min_span) — proximity search (Lucene SpanNearQuery
     shape): docs where ALL the distinct query terms co-occur within
     ``window`` consecutive token positions; min_span is the tightest
-    such span (classic two-pointer minimum covering window per doc,
-    O(occurrences) after the positional scan). The scan is pruned to
-    the query terms, so the shuffle is sized by their occurrence
-    count — same cost envelope as phrase_match."""
+    such span. The scan is pruned to the query terms, so the shuffle is
+    sized by their occurrence count — same cost envelope as
+    phrase_match. The kernel (:func:`min_cover_spans`) is pure numpy
+    over MANY docs per Arrow batch — occurrences group by a coarse
+    doc-hash key, not per doc, so there is no per-doc Python call and
+    no row-at-a-time loop (round-4 fix; the brute-force itertools
+    oracle in tests/test_positions.py pins equality)."""
     uniq = sorted(set(terms))
     if not uniq or window < 1:
         return spark.createDataFrame([], "doc_id long, min_span long")
     k = len(uniq)
+    tmap = {t: i for i, t in enumerate(uniq)}
     rows = read_positions(spark, store).where(F.col("term").isin(uniq))
     if min_doc is not None:
         rows = rows.where(F.col("max_doc") >= F.lit(int(min_doc)))
@@ -439,37 +487,28 @@ def terms_within_window(
         lambda b: decode_position_rows(b, min_doc, max_doc),
         schema="term string, doc_id long, pos long",
     )
+    n_groups = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def min_window(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf["term"].nunique() < k:
-            return pd.DataFrame({"doc_id": [], "min_span": []}).astype(
-                {"doc_id": "int64", "min_span": "int64"}
+        if not len(pdf):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "min_span": pd.Series(dtype="int64")}
             )
-        order = np.argsort(pdf["pos"].to_numpy(), kind="mergesort")
-        poss = pdf["pos"].to_numpy()[order]
-        tids = pdf["term"].to_numpy()[order]
-        count: dict = {}
-        have, left, best = 0, 0, None
-        for right in range(len(poss)):
-            t = tids[right]
-            count[t] = count.get(t, 0) + 1
-            if count[t] == 1:
-                have += 1
-            while have == k:
-                span = int(poss[right] - poss[left] + 1)
-                if best is None or span < best:
-                    best = span
-                tl = tids[left]
-                count[tl] -= 1
-                if count[tl] == 0:
-                    have -= 1
-                left += 1
-        return pd.DataFrame(
-            {"doc_id": [int(pdf["doc_id"].iloc[0])], "min_span": [best]}
-        ).astype({"doc_id": "int64", "min_span": "int64"})
+        pdf = pdf.sort_values(["doc_id", "pos"], kind="mergesort")
+        d, s = min_cover_spans(
+            pdf["doc_id"].to_numpy(np.int64),
+            pdf["pos"].to_numpy(np.int64),
+            pdf["term"].map(tmap).to_numpy(np.int64),
+            k,
+        )
+        return pd.DataFrame({"doc_id": d, "min_span": s})
 
-    spans = occ.groupBy("doc_id").applyInPandas(
-        min_window, schema="doc_id long, min_span long"
+    spans = (
+        occ.withColumn("_g", F.pmod(F.hash("doc_id"), F.lit(n_groups)))
+        .groupBy("_g")
+        .applyInPandas(
+            lambda _key, pdf: min_window(pdf), schema="doc_id long, min_span long"
+        )
     )
     return spans.where(F.col("min_span") <= int(window)).orderBy("doc_id")
 

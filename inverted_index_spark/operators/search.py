@@ -436,8 +436,9 @@ class Searcher:
                 dd = np.concatenate(doc_parts)
                 cc = np.concatenate(contrib_parts)
                 uniq, inv = np.unique(dd, return_inverse=True)
-                sums = np.zeros(len(uniq))
-                np.add.at(sums, inv, cc)
+                # bincount, not add.at: ~10x faster on repeated indices
+                # (measured for the batch kernel, wand.py)
+                sums = np.bincount(inv, weights=cc, minlength=len(uniq))
                 yield pd.DataFrame({"doc_id": uniq, "score": sums})
 
         partial = rows.mapInPandas(score_batches, schema="doc_id long, score double")

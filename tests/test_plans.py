@@ -55,3 +55,40 @@ def test_regex_scan_reads_only_term_column(spark, store):
         read_terms_regex(spark, store, "w0+1").explain("formatted")
     scan = [l for l in buf.getvalue().splitlines() if "ReadSchema" in l]
     assert scan and all("postings" not in l and "tfs" not in l for l in scan), scan
+
+
+def test_bm25_scores_single_segment_skips_dedup_exchange(spark, store):
+    """Round-4: a single live segment has disjoint buckets, so the
+    (term, doc_id) dropDuplicates guard is pure waste there — the plan
+    must carry exactly ONE exchange (the groupBy(doc_id) sum), not two."""
+    from inverted_index_spark.operators.bm25 import bm25_scores
+
+    assert len(store.live_segments()) == 1
+    df = bm25_scores(spark, store, ["w00000", "w00001"])
+    # count_exchanges counts 2 lines per physical exchange (tree line +
+    # detail header) — one exchange = 2, the dedup would add 2 more
+    assert count_exchanges(df) == 2
+
+
+def test_bm25_scores_multi_segment_keeps_dedup(spark, tmp_path_factory):
+    """Pre-compaction overlap still dedups (and still scores right)."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.operators.bm25 import bm25_scores
+
+    s = SegmentStore(str(tmp_path_factory.mktemp("plans2") / "idx"))
+    docs = generate_transcripts(spark, 120, include_doc_id=True)
+    build_index(spark, docs, s, bucket_size=64)
+    # second segment REPEATS the same docs (worst-case overlap)
+    build_index(spark, docs, s, bucket_size=64)
+    assert len(s.live_segments()) == 2
+    df = bm25_scores(spark, s, ["w00000"])
+    assert count_exchanges(df) >= 4  # dedup + final agg (2 lines each)
+    # overlap must not double-score: every tf/dl pair identical, so the
+    # deduped score equals the single-segment score
+    single = SegmentStore(str(tmp_path_factory.mktemp("plans3") / "idx"))
+    build_index(spark, docs, single, bucket_size=64)
+    a = {r["doc_id"]: r["score"] for r in df.collect()}
+    b = {r["doc_id"]: r["score"] for r in bm25_scores(spark, single, ["w00000"]).collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[d] - b[d]) < 1e-12 for d in a)

@@ -246,3 +246,54 @@ def test_phrase_snippets(spark, pos_store):
         )
         lo = max(first - 2, 0)
         assert snip == " ".join(toks[lo : lo + 6]), d
+
+
+def test_min_cover_spans_kernel_random():
+    """The vectorized kernel (round-4: segmented maximum.accumulate +
+    minimum.reduceat, no per-occurrence Python) vs the classic
+    two-pointer on random multi-doc occurrence sets."""
+    import random
+
+    import numpy as np
+
+    from inverted_index_spark.operators.positions import min_cover_spans
+
+    rng = random.Random(7)
+    for trial in range(30):
+        k = rng.randint(1, 4)
+        rows = []
+        for d in range(rng.randint(1, 12)):
+            n_occ = rng.randint(0, 25)
+            poss = rng.sample(range(60), min(n_occ, 60))
+            for p in poss:
+                rows.append((d, p, rng.randrange(k)))
+        rows.sort()
+        if not rows:
+            continue
+        doc = np.array([r[0] for r in rows], dtype=np.int64)
+        pos = np.array([r[1] for r in rows], dtype=np.int64)
+        tid = np.array([r[2] for r in rows], dtype=np.int64)
+        got_d, got_s = min_cover_spans(doc, pos, tid, k)
+        got = dict(zip(got_d.tolist(), got_s.tolist()))
+        # brute-force two-pointer per doc
+        want = {}
+        for d in sorted(set(doc.tolist())):
+            m = doc == d
+            pp, tt = pos[m], tid[m]
+            if len(set(tt.tolist())) < k:
+                continue
+            count: dict = {}
+            have, left, best = 0, 0, None
+            for right in range(len(pp)):
+                count[tt[right]] = count.get(tt[right], 0) + 1
+                if count[tt[right]] == 1:
+                    have += 1
+                while have == k:
+                    span = int(pp[right] - pp[left] + 1)
+                    best = span if best is None or span < best else best
+                    count[tt[left]] -= 1
+                    if count[tt[left]] == 0:
+                        have -= 1
+                    left += 1
+            want[d] = best
+        assert got == want, (trial, got, want)
