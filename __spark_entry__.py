@@ -353,6 +353,13 @@ def _q_fuzzy_values(spark, sf):
     return _query.fuzzy_values(spark, _store_for(spark, sf), "tble")
 
 
+def _q_fuzzy_terms_d2(spark, sf):
+    """Round-4: edit distance 2 (Lucene FuzzyQuery's full d<=2
+    surface) — depth-2 SymSpell deletion neighborhoods in codegen,
+    levenshtein-verified exact."""
+    return _query.fuzzy_terms(spark, _store_for(spark, sf), "tble", max_edits=2)
+
+
 def _q_terms_within_window(spark, sf):
     """Proximity (SpanNear) search over the positional artifact."""
     from inverted_index_spark.operators.positions import terms_within_window
@@ -570,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_query": _q_boolean_query,
         "boolean_query_parsed": _q_boolean_query_parsed,
         "ii_fuzzy_terms": _q_fuzzy_terms,
+        "ii_fuzzy_terms_d2": _q_fuzzy_terms_d2,
         "ii_fuzzy_values": _q_fuzzy_values,
         "terms_within_window": _q_terms_within_window,
         "ii_read_terms_prefix": _q_terms_prefix,
@@ -1034,6 +1042,10 @@ def oracle_sql() -> dict[str, str]:
         "ii_fuzzy_terms": (
             f"SELECT DISTINCT term FROM ({_TOK}) "
             "WHERE levenshtein(term, 'tble') <= 1 ORDER BY term"
+        ),
+        "ii_fuzzy_terms_d2": (
+            f"SELECT DISTINCT term FROM ({_TOK}) "
+            "WHERE levenshtein(term, 'tble') <= 2 ORDER BY term"
         ),
         "ii_fuzzy_values": (
             f"SELECT DISTINCT doc_id FROM ({_TOK}) WHERE term IN "

@@ -153,39 +153,73 @@ def read_terms_regex(
     )
 
 
-def _deletion_variants(term: str) -> list[str]:
-    """term + every single-character deletion (SymSpell d=1
-    neighborhood). Two strings are within edit distance 1 (insert /
-    delete / substitute) iff their d=1 deletion neighborhoods
-    intersect — so an isin() filter over dictionary-side variants
-    finds ALL candidates without a join."""
-    return [term] + [term[:i] + term[i + 1 :] for i in range(len(term))]
+def _deletion_variants(term: str, depth: int = 1) -> list[str]:
+    """term + every string reachable by deleting up to ``depth`` chars
+    (the SymSpell deletion neighborhood). Two strings are within edit
+    distance d (insert / delete / substitute) iff their depth-d
+    deletion neighborhoods intersect — so a membership filter over
+    dictionary-side variants finds ALL candidates without a join.
+    Size is O(L^depth): ≤ L+1 for d=1, ≤ 1+L+L(L-1)/2 for d=2."""
+    out, frontier = {term}, {term}
+    for _ in range(depth):
+        frontier = {w[:i] + w[i + 1 :] for w in frontier for i in range(len(w))}
+        out |= frontier
+    return sorted(out)
+
+
+def _del1_expr(c: F.Column) -> F.Column:
+    """All single-character deletions of a string column — codegen."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.concat(F.substring(c, 1, i - 1), c.substr(i + 1, F.length(c))),
+    )
+
+
+def _del2_expr(c: F.Column) -> F.Column:
+    """All two-character deletions (positions i<j of the ORIGINAL
+    string) — still pure codegen: a nested transform over index pairs.
+    Empty for strings shorter than 2 (guarded; sequence(1, 0) would
+    count DOWN in Spark)."""
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.length(c)),
+                lambda j: F.concat(
+                    F.substring(c, 1, i - 1),
+                    F.substring(c, i + 1, j - i - 1),
+                    c.substr(j + 1, F.length(c)),
+                ),
+            ),
+        )
+    )
+    return F.when(F.length(c) >= 2, pairs).otherwise(F.array().cast("array<string>"))
 
 
 def fuzzy_terms(
     spark: SparkSession, store: SegmentStore, term: str, max_edits: int = 1
 ) -> DataFrame:
     """Sorted unique dictionary terms within Levenshtein distance
-    ``max_edits`` of ``term`` (Lucene FuzzyQuery analog). Scale path
-    for d=1: the dictionary side explodes into deletion variants in
-    pure codegen and filters them against the query's ≤ len+1 variants
-    (no join, no UDF); survivors are verified with the built-in
-    levenshtein. d=1 candidates are provably complete (shared-deletion
-    property), so the result is EXACT."""
-    if max_edits != 1:
-        raise NotImplementedError("fuzzy_terms supports max_edits=1")
-    qvars = _deletion_variants(term)
+    ``max_edits`` (1 or 2 — Lucene FuzzyQuery's surface) of ``term``.
+    Scale path: the dictionary side explodes into deletion variants in
+    pure codegen and filters them against the query's neighborhood (no
+    join, no UDF — arrays_overlap builds a hash set of one side);
+    survivors are verified with the built-in levenshtein, so the
+    result is EXACT. Candidates are provably complete (shared-deletion
+    property at depth d). A length band |len(term) - len(q)| <= d
+    prunes before the variant expansion; at d=2 the dictionary-side
+    arrays are O(L²) — bounded by the tokenizer's 64-char cap."""
+    if max_edits not in (1, 2):
+        raise NotImplementedError("fuzzy_terms supports max_edits in {1, 2}")
+    qvars = _deletion_variants(term, max_edits)
     terms = store.read_postings(spark).select("term").distinct()
-    variants = F.array_union(
-        F.array(F.col("term")),
-        F.transform(
-            F.sequence(F.lit(1), F.length("term")),
-            lambda i: F.concat(
-                F.substring(F.col("term"), 1, i - 1),
-                F.col("term").substr(i + 1, F.length("term")),
-            ),
-        ),
+    terms = terms.where(
+        (F.length("term") >= len(term) - max_edits)
+        & (F.length("term") <= len(term) + max_edits)
     )
+    variants = F.array_union(F.array(F.col("term")), _del1_expr(F.col("term")))
+    if max_edits == 2:
+        variants = F.array_union(variants, _del2_expr(F.col("term")))
     cand = terms.where(F.arrays_overlap(variants, F.array(*[F.lit(v) for v in qvars])))
     return (
         cand.where(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
@@ -204,7 +238,7 @@ def fuzzy_values(
     """R10 OR-union over every term within edit distance of the probe
     (fuzzy retrieval): fuzzy_terms drives a term-IN-pushed posting
     read. The matched-term list is collected to the driver — bounded
-    by the d=1 neighborhood, which is tiny for any realistic vocab."""
+    by the d<=2 neighborhood, which is tiny for any realistic vocab."""
     matched = [r["term"] for r in fuzzy_terms(spark, store, term, max_edits).collect()]
     return read_values(spark, store, matched, min_doc, max_doc)
 

@@ -123,3 +123,71 @@ def test_fuzzy_terms(spark, prefix_store):
     # fuzzy retrieval unions the matched terms' postings
     got = [r["doc_id"] for r in fuzzy_values(spark, prefix_store, "aple").collect()]
     assert got == [1, 5, 9]  # apple's postings
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain Levenshtein DP (test oracle)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_terms_d2(spark, prefix_store):
+    """Round-4: d=2 (Lucene FuzzyQuery's full surface) via depth-2
+    SymSpell deletion neighborhoods in codegen, vs brute-force
+    levenshtein over the whole dictionary."""
+    from inverted_index_spark.operators.query import fuzzy_terms, fuzzy_values
+
+    vocab = ["app", "apple", "applesauce", "apply", "banana", "zebra"]
+
+    def fz(probe, d):
+        return [r["term"] for r in fuzzy_terms(spark, prefix_store, probe, d).collect()]
+
+    for probe in ["aple", "app", "aply", "bananas", "zbr", "qqqq", "applesauce",
+                  "pple", "apx", "ba"]:
+        for d in (1, 2):
+            want = sorted(t for t in vocab if _lev(t, probe) <= d)
+            assert fz(probe, d) == want, (probe, d)
+    # d=2 retrieval unions the wider neighborhood's postings
+    got = [r["doc_id"] for r in fuzzy_values(spark, prefix_store, "aply", 2).collect()]
+    # d=2 matches app{7}, apple{1,5,9}, apply{3,5}
+    assert got == [1, 3, 5, 7, 9]
+    with pytest.raises(NotImplementedError):
+        fuzzy_terms(spark, prefix_store, "x", 3)
+
+
+def test_deletion_neighborhood_completeness():
+    """Property behind the candidate filter: lev(a,b) <= d implies the
+    depth-d deletion neighborhoods intersect (SymSpell), exercised over
+    random edit chains so the codegen filter can never lose a match."""
+    import random
+
+    from inverted_index_spark.operators.query import _deletion_variants
+
+    rng = random.Random(11)
+    alphabet = "abcde"
+    for _ in range(300):
+        base = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+        other = base
+        for _ in range(rng.randint(0, 2)):  # apply <=2 random edits
+            op = "ins" if not other else rng.choice(["ins", "del", "sub"])
+            i = rng.randrange(len(other) + (op == "ins"))
+            if op == "ins":
+                other = other[:i] + rng.choice(alphabet) + other[i:]
+            elif op == "del" and other:
+                other = other[:i] + other[i + 1 :]
+            elif other:
+                other = other[:i] + rng.choice(alphabet) + other[i + 1 :]
+        d = _lev(base, other)
+        if d > 2 or not other:
+            continue
+        dd = max(d, 1)
+        assert set(_deletion_variants(base, dd)) & set(_deletion_variants(other, dd)), (
+            base, other, d,
+        )
