@@ -305,6 +305,15 @@ def _q_phrase_snippets(spark, sf):
     return phrase_snippets(spark, _store_for(spark, sf), PHRASE, context=3)
 
 
+def _q_phrase_slop(spark, sf):
+    """Round-4 sloppy phrase (ordered, each word may lag <= slop
+    tokens behind its exact slot) — the Lucene PhraseQuery slop
+    surface over the positional artifact."""
+    from inverted_index_spark.operators.positions import phrase_match
+
+    return phrase_match(spark, _store_for(spark, sf), PHRASE, slop=2)
+
+
 def _q_bm25_topk_text(spark, sf):
     """Top-k hydrated with the stored turn text (doc-store artifact;
     per-turn text byte-for-byte — the input_hint equality invariant
@@ -576,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ii_except_values": _q_except_values,
         "boolean_query": _q_boolean_query,
         "boolean_query_parsed": _q_boolean_query_parsed,
+        "phrase_slop": _q_phrase_slop,
         "ii_fuzzy_terms": _q_fuzzy_terms,
         "ii_fuzzy_terms_d2": _q_fuzzy_terms_d2,
         "ii_fuzzy_values": _q_fuzzy_values,
@@ -1031,6 +1041,15 @@ def oracle_sql() -> dict[str, str]:
             f"EXCEPT SELECT doc_id FROM ({_TOK}) WHERE term = 'window' "
             f"UNION SELECT doc_id FROM ({_PHRASE_SQL})"
             ") ORDER BY doc_id"
+        ),
+        "phrase_slop": (
+            "SELECT doc_id, n_matches FROM ("
+            "SELECT doc_id, len(list_filter(generate_series(1, len(t)), "
+            f"i -> t[i] = '{PHRASE[0]}' AND len(list_filter("
+            "generate_series(i + 1, least(i + 3, len(t))), "
+            f"j -> t[j] = '{PHRASE[1]}')) > 0))::BIGINT AS n_matches "
+            f"FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)) "
+            "WHERE n_matches > 0 ORDER BY doc_id"
         ),
         "boolean_query_parsed": (
             "SELECT DISTINCT doc_id FROM ("

@@ -282,19 +282,64 @@ def phrase_match(
     phrase: list[str],
     min_doc: int | None = None,
     max_doc: int | None = None,
+    slop: int = 0,
 ) -> DataFrame:
-    """(doc_id, n_matches) for docs containing the exact token phrase.
+    """(doc_id, n_matches) for docs containing the token phrase.
 
-    A doc matches when some token offset p has phrase[i] at p+i for
-    all i; n_matches counts distinct phrase-start offsets. Duplicate
-    terms inside the phrase are handled (each occurrence row fans out
-    once per phrase offset that term occupies). Empty phrase → empty
-    result; any phrase term absent from the index → no matches.
+    slop=0 (default): exact adjacency — some token offset p has
+    phrase[i] at p+i for all i; n_matches counts distinct phrase-start
+    offsets. slop=s: ordered sloppy phrase (Lucene in-order SpanNear
+    shape): a start at position p matches when every phrase[i] occurs
+    somewhere in [p+i, p+i+s] — each later word may lag up to s tokens
+    behind its exact slot, never lead. slop=0 under this definition is
+    exactly the adjacency semantics (property-tested). Stated-semantics
+    caveat: the per-offset condition is an EXISTS, so with slop>0 a
+    phrase REPEATING a term can satisfy two offsets with the same
+    occurrence ("a b b" sloppily matches "a x b"); at slop=0 offsets
+    pin distinct positions and this cannot happen.
+
+    Duplicate terms inside the phrase are handled (each occurrence row
+    fans out once per phrase offset that term occupies). Empty phrase →
+    empty result; any phrase term absent from the index → no matches.
     """
     return phrase_match_rows(
         spark, read_positions(spark, store) if phrase else None,
-        phrase, min_doc, max_doc,
+        phrase, min_doc, max_doc, slop,
     )
+
+
+def sloppy_start_counts(
+    doc: np.ndarray, off: np.ndarray, adj: np.ndarray, k: int, slop: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized sloppy-phrase start counting over MANY docs at once.
+
+    Inputs are fanned occurrence rows (doc, phrase-offset, adjusted
+    position = pos - offset) SORTED by (doc, adj). An anchor a (an
+    offset-0 adjusted position) matches when every other offset has an
+    adjusted position in [a, a+slop]. Doc resets ride the same offset
+    key as :func:`min_cover_spans`: keys of different docs are >slop
+    apart, so ONE global searchsorted per offset answers every doc —
+    no per-doc Python."""
+    n = len(doc)
+    if n == 0:
+        return doc[:0], off[:0]
+    new_doc = np.empty(n, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = doc[1:] != doc[:-1]
+    di = (np.cumsum(new_doc) - 1).astype(np.int64)
+    width = np.int64(adj.max()) + np.int64(slop) + 2
+    gkey = di * width + adj
+    a_mask = off == 0
+    akey, adoc = gkey[a_mask], doc[a_mask]
+    ok = np.ones(len(akey), dtype=bool)
+    for i in range(1, k):
+        b = gkey[off == i]  # sorted: (doc, adj) sort order is key order
+        idx = np.searchsorted(b, akey, side="left")
+        hit = idx < len(b)
+        ok &= hit
+        ok[hit] &= b[idx[hit]] <= akey[hit] + slop
+    docs, counts = np.unique(adoc[ok], return_counts=True)
+    return docs, counts
 
 
 def phrase_match_rows(
@@ -303,11 +348,14 @@ def phrase_match_rows(
     phrase: list[str],
     min_doc: int | None = None,
     max_doc: int | None = None,
+    slop: int = 0,
 ) -> DataFrame:
     """phrase_match over an explicit POSITIONS_SCHEMA DataFrame — the
     building block Searcher.phrase uses with its cached scan."""
     if not phrase:
         return spark.createDataFrame([], "doc_id long, n_matches long")
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
     k = len(phrase)
     uniq = sorted(set(phrase))
     rows = positions_rows.where(F.col("term").isin(uniq))
@@ -332,14 +380,40 @@ def phrase_match_rows(
         .select("doc_id", (F.col("pos") - F.col("off")).alias("adj"), "off")
         .where(F.col("adj") >= 0)
     )
-    starts = (
-        fanned.groupBy("doc_id", "adj")
-        .agg(F.countDistinct("off").alias("_n"))
-        .where(F.col("_n") == k)
-    )
+    if slop == 0:
+        starts = (
+            fanned.groupBy("doc_id", "adj")
+            .agg(F.countDistinct("off").alias("_n"))
+            .where(F.col("_n") == k)
+        )
+        return (
+            starts.groupBy("doc_id")
+            .agg(F.count("*").alias("n_matches"))
+            .orderBy("doc_id")
+        )
+    # sloppy path: same shuffle size (matched occurrences), grouped by
+    # a coarse doc-hash key so the numpy kernel sees many docs per call
+    n_groups = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "n_matches": pd.Series(dtype="int64")}
+            )
+        pdf = pdf.sort_values(["doc_id", "adj"], kind="mergesort")
+        d, c = sloppy_start_counts(
+            pdf["doc_id"].to_numpy(np.int64),
+            pdf["off"].to_numpy(np.int64),
+            pdf["adj"].to_numpy(np.int64),
+            k,
+            slop,
+        )
+        return pd.DataFrame({"doc_id": d, "n_matches": c})
+
     return (
-        starts.groupBy("doc_id")
-        .agg(F.count("*").alias("n_matches"))
+        fanned.withColumn("_g", F.pmod(F.hash("doc_id"), F.lit(n_groups)))
+        .groupBy("_g")
+        .applyInPandas(lambda _key, pdf: run(pdf), schema="doc_id long, n_matches long")
         .orderBy("doc_id")
     )
 

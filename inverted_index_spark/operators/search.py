@@ -152,6 +152,7 @@ class Searcher:
         phrase: list[str],
         min_doc: int | None = None,
         max_doc: int | None = None,
+        slop: int = 0,
     ) -> DataFrame:
         """phrase_match over a LAZILY cached positions scan — open-once
         query-many for phrase workloads, mirroring the postings cache
@@ -165,7 +166,9 @@ class Searcher:
         if getattr(self, "_positions", None) is None:
             self._positions = read_positions(self.spark, self.store).cache()
             self._positions.count()
-        return phrase_match_rows(self.spark, self._positions, phrase, min_doc, max_doc)
+        return phrase_match_rows(
+            self.spark, self._positions, phrase, min_doc, max_doc, slop
+        )
 
     @property
     def stats(self) -> tuple[int, float]:

@@ -297,3 +297,117 @@ def test_min_cover_spans_kernel_random():
                     left += 1
             want[d] = best
         assert got == want, (trial, got, want)
+
+
+# ------------------------------------------------------------ phrase slop ---
+
+
+def oracle_sloppy(phrase: list[str], slop: int) -> dict[int, int]:
+    """Brute-force of the documented semantics: a start at position p
+    matches when every phrase[i] occurs somewhere in [p+i, p+i+slop]."""
+    out = {}
+    for doc_id, text in DOCS:
+        toks = tokenize_text(text)
+        occ: dict[str, list[int]] = {}
+        for i, t in enumerate(toks):
+            occ.setdefault(t, []).append(i)
+        n = 0
+        for p in occ.get(phrase[0], []):
+            if all(
+                any(p + i <= q <= p + i + slop for q in occ.get(w, []))
+                for i, w in enumerate(phrase)
+            ):
+                n += 1
+        if n:
+            out[doc_id] = n
+    return out
+
+
+@pytest.mark.parametrize(
+    "phrase,slop",
+    [
+        (["quick", "brown"], 1),
+        (["quick", "fox"], 2),          # lag: quick brown fox
+        (["the", "dog"], 7),
+        (["fox", "quick"], 2),          # order still required
+        (["quick", "brown", "fox"], 1),
+        (["the", "lazy", "dog"], 0),
+    ],
+)
+def test_phrase_slop_oracle_parity(spark, pos_store, phrase, slop):
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match(spark, pos_store, phrase, slop=slop).collect()
+    }
+    assert got == oracle_sloppy(phrase, slop), (phrase, slop)
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    [["quick", "brown"], ["quick", "brown", "fox"], ["the", "quick"], ["the"]],
+)
+def test_phrase_slop_zero_equals_exact(spark, pos_store, phrase):
+    """slop=0 ≡ the exact-adjacency path (different physical plans)."""
+    exact = _matches(spark, pos_store, phrase)
+    sloppy = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match(spark, pos_store, phrase, slop=0).collect()
+    }
+    assert exact == sloppy
+    # and ≡ the brute-force sloppy oracle at s=0
+    assert sloppy == oracle_sloppy(phrase, 0)
+
+
+def test_phrase_slop_orders_and_errors(spark, pos_store):
+    # "fox ... jumps" within slop 0 fails, slop>=0 lag matches
+    assert _matches(spark, pos_store, ["fox", "jumps"]) == {0: 1}
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match(spark, pos_store, ["brown", "jumps"], slop=1).collect()
+    }
+    assert got == oracle_sloppy(["brown", "jumps"], 1) == {0: 1}
+    with pytest.raises(ValueError):
+        phrase_match(spark, pos_store, ["a", "b"], slop=-1)
+
+
+def test_sloppy_kernel_random():
+    """sloppy_start_counts (vectorized, multi-doc) vs brute force."""
+    import random
+
+    from inverted_index_spark.operators.positions import sloppy_start_counts
+
+    rng = random.Random(23)
+    for trial in range(30):
+        k = rng.randint(1, 4)
+        slop = rng.randint(0, 4)
+        rows = []
+        anchors: dict[int, list[int]] = {}
+        occs: dict[tuple[int, int], list[int]] = {}
+        for d in range(rng.randint(1, 10)):
+            for off in range(k):
+                for a in rng.sample(range(30), rng.randint(0, 8)):
+                    rows.append((d, a, off))
+                    occs.setdefault((d, off), []).append(a)
+                    if off == 0:
+                        anchors.setdefault(d, []).append(a)
+        rows = sorted(set(rows))
+        if not rows:
+            continue
+        doc = np.array([r[0] for r in rows], dtype=np.int64)
+        adj = np.array([r[1] for r in rows], dtype=np.int64)
+        off = np.array([r[2] for r in rows], dtype=np.int64)
+        got_d, got_c = sloppy_start_counts(doc, off, adj, k, slop)
+        got = dict(zip(got_d.tolist(), got_c.tolist()))
+        want = {}
+        for d, al in anchors.items():
+            n = sum(
+                1
+                for a in sorted(set(al))
+                if all(
+                    any(a <= q <= a + slop for q in occs.get((d, i), []))
+                    for i in range(1, k)
+                )
+            )
+            if n:
+                want[d] = n
+        assert got == want, (trial, got, want)
