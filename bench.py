@@ -25,10 +25,23 @@ Workloads:
   dedup_clusters      connected components over the near-dup pair graph
   embed_knn           exact cosine top-20 over embeddings
 
-Burstable-host disclosure (round-3): this host throttles on CPU
-credit; per-workload STEAL seconds are measured from /proc/stat and
-emitted as "steal" next to the timings, so round-over-round drifts can
-be attributed (a regression with high steal is host noise, not code).
+Burstable-host measurement discipline (round-4, ports the
+scripts/scaling_bench.py protocol): this host throttles on CPU credit,
+so EVERY workload is steal-screened — per-attempt /proc/stat steal is
+measured, and an attempt counts as CLEAN when its steal is <= max(5%
+of wall, 0.3 s). A dirty attempt is retried (up to 3 attempts); the
+fastest attempt is reported with its steal, and "throttled": true
+marks workloads where NO attempt came back clean (those numbers are
+upper bounds, not measurements). Builds/compactions re-run against
+fresh stores via untimed per-attempt setup so retries measure
+identical work.
+
+A second, larger corpus leg (the "xl" block, $SPARK_GRAFT_TURNS2
+turns, default 5x the main corpus; 0 disables) re-measures
+build/fragment-build/compact/batched-QPS at a size where fixed
+per-job costs stop dominating — the amortization direction the
+10^12-turn regime cares about (BENCH/BASELINE.md shows the same
+trend across 2M-6M turns).
 
 Scaling evidence (local[8] vs local[32]) is produced by
 scripts/scaling_bench.py → BENCH/BASELINE.md, not here (one bench run
@@ -50,44 +63,149 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_TURNS = int(os.environ.get("SPARK_GRAFT_TURNS", "120000"))
+N_TURNS_XL = int(os.environ.get("SPARK_GRAFT_TURNS2", str(N_TURNS * 5)))
+MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+STEAL_FRAC = 0.05  # clean attempt: steal <= max(5% of wall, 0.3 s)
+STEAL_ABS = 0.3
+
+
+def _steal() -> float:
+    """Cumulative CPU-steal seconds (burstable-host disclosure)."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8]) / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return 0.0
+
+
+class Bench:
+    """Steal-screened workload runner (one per result block)."""
+
+    def __init__(self) -> None:
+        self.timings: dict[str, float] = {}
+        self.steals: dict[str, float] = {}
+        self.attempts: dict[str, int] = {}
+        self.throttled: list[str] = []
+
+    def run(self, name: str, fn, setup=None) -> None:
+        """Time ``fn`` (``fn(setup())`` when ``setup`` is given — setup
+        runs UNTIMED before each attempt so retries of stateful work
+        measure identical inputs). Retry while the attempt is dirty
+        (steal above threshold), up to MAX_ATTEMPTS; keep the fastest
+        attempt and flag the workload when none came back clean."""
+        best = None  # (wall, steal)
+        clean_seen = False
+        for attempt in range(1, MAX_ATTEMPTS + 1):
+            ctx = setup() if setup is not None else None
+            s0, t0 = _steal(), time.time()
+            fn(ctx) if setup is not None else fn()
+            wall, st = time.time() - t0, _steal() - s0
+            if best is None or wall < best[0]:
+                best = (wall, st)
+            if st <= max(STEAL_FRAC * wall, STEAL_ABS):
+                clean_seen = True
+                break
+        self.timings[name] = round(best[0], 3)
+        self.steals[name] = round(best[1], 2)
+        self.attempts[name] = attempt
+        if not clean_seen:
+            self.throttled.append(name)
+
+
+def _bench_corpus(spark, bench: Bench, tmp: str, tag: str, n_turns: int, queries):
+    """The corpus-scaling workload set: shuffled build, fragment build,
+    compaction, and the two one-job batched query paths — run for the
+    main corpus ('' tag) and the xl leg ('_xl')."""
+    from inverted_index_spark.operators.build import build_index
+    from inverted_index_spark.operators.merge import merge_segments
+    from inverted_index_spark.operators.search import Searcher
+    from inverted_index_spark.sources.store import SegmentStore
+    from inverted_index_spark.sources.transcripts import generate_transcripts
+
+    bucket = max(n_turns // (CPUS * 2), 512)
+    tx_path = f"{tmp}/transcripts{tag}"
+    # the north-rule input is a STORED transcript table — materialize
+    # first, measure the build reading from parquet (not generation)
+    generate_transcripts(spark, n_turns, include_doc_id=True).write.mode(
+        "overwrite"
+    ).parquet(tx_path)
+    tx = spark.read.parquet(tx_path)
+
+    stores = {"n": 0}
+
+    def fresh_store(kind: str) -> "SegmentStore":
+        stores["n"] += 1
+        return SegmentStore(f"{tmp}/{kind}{tag}_{stores['n']}")
+
+    last: dict[str, object] = {}
+
+    def build_setup():
+        last["tx"] = fresh_store("tx_idx")
+        return last["tx"]
+
+    bench.run(
+        f"build_transcripts{tag}",
+        lambda store: build_index(spark, tx, store, bucket_size=bucket),
+        setup=build_setup,
+    )
+
+    # the flagship scale feature: shuffle-free fragment encode + one
+    # compaction pass back to the compact layout (slower than the
+    # shuffled build on local[32] — a local shuffle has no network —
+    # but the shape that wins when the token shuffle crosses machines)
+    def frag_setup():
+        store = fresh_store("frag_idx")
+        build_index(spark, tx, store, bucket_size=bucket, shuffle=False)
+        return store
+
+    bench.run(
+        f"build_fragments{tag}",
+        lambda store: build_index(
+            spark, tx, store, bucket_size=bucket, shuffle=False
+        ),
+        setup=lambda: fresh_store("frag_idx"),
+    )
+    # min_files=1: rewrite the single fragmented segment into the
+    # compact one-row-per-(bucket, term) layout — the deferred shuffle
+    # the fragment build trades for. Setup builds a FRESH fragment
+    # store per attempt so a retry compacts identical input.
+    bench.run(
+        f"compact{tag}",
+        lambda store: merge_segments(spark, store, min_files=1),
+        setup=frag_setup,
+    )
+
+    searcher = Searcher(spark, last["tx"]).open()
+    bench.run(
+        f"bm25_batch_one_job{tag}",
+        lambda: searcher.topk_batch(
+            {f"q{i:03d}": q for i, q in enumerate(queries)}, k=10
+        ).collect(),
+    )
+    bench.run(
+        f"read_values_one_job{tag}",
+        lambda: searcher.read_values_batch(
+            {
+                f"r{i:03d}": (q, 1000 * i, 1000 * i + 50000)
+                for i, q in enumerate(queries)
+            }
+        ).count(),
+    )
+    return searcher
 
 
 def main() -> None:
-    from pyspark.sql import functions as F
-
     from inverted_index_spark import get_spark
     from inverted_index_spark.operators.build import build_index
     from inverted_index_spark.operators.dedup import minhash_lsh_pairs
     from inverted_index_spark.operators.search import Searcher
     from inverted_index_spark.operators.similarity import cosine_topk
     from inverted_index_spark.sources.store import SegmentStore
-    from inverted_index_spark.sources.transcripts import generate_transcripts
 
     spark = get_spark("ii-bench", cores=CPUS, shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="ii_bench_")
-    timings: dict[str, float] = {}
-    steals: dict[str, float] = {}
-
-    def _steal() -> float:
-        """Cumulative CPU-steal seconds (burstable-host disclosure)."""
-        try:
-            with open("/proc/stat") as f:
-                return int(f.readline().split()[8]) / os.sysconf("SC_CLK_TCK")
-        except Exception:
-            return 0.0
-
-    def timed(name):
-        class _T:
-            def __enter__(self):
-                self.s0 = _steal()
-                self.t0 = time.time()
-
-            def __exit__(self, *a):
-                timings[name] = round(time.time() - self.t0, 3)
-                steals[name] = round(_steal() - self.s0, 2)
-
-        return _T()
+    bench = Bench()
 
     # UNTIMED warm-up: the first build in a fresh session pays ~8s of
     # one-time cost (JVM JIT + codegen compile + Python worker spawn +
@@ -103,39 +221,18 @@ def main() -> None:
     # bucket sizes sized for ≥2 groups per core at these corpus sizes
     # (real deployments: bucket_size ~= corpus/n_partitions_target)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    doc_store = SegmentStore(f"{tmp}/docs_idx")
-    with timed("build_documents"):
-        build_index(spark, docs, doc_store, bucket_size=128)
+    doc_stores = {"n": 0}
 
-    tx_store = SegmentStore(f"{tmp}/tx_idx")
-    # the north-rule input is a STORED transcript table — materialize
-    # first, measure the build reading from parquet (not generation)
-    generate_transcripts(spark, N_TURNS, include_doc_id=True).write.mode(
-        "overwrite"
-    ).parquet(f"{tmp}/transcripts")
-    tx = spark.read.parquet(f"{tmp}/transcripts")
-    with timed("build_transcripts"):
-        build_index(spark, tx, tx_store, bucket_size=max(N_TURNS // (CPUS * 2), 512))
+    def fresh_doc_store():
+        doc_stores["n"] += 1
+        return SegmentStore(f"{tmp}/docs_idx_{doc_stores['n']}")
 
-    # the flagship scale feature: shuffle-free fragment encode + one
-    # compaction pass back to the compact layout (slower than the
-    # shuffled build on local[32] — a local shuffle has no network —
-    # but the shape that wins when the token shuffle crosses machines)
-    from inverted_index_spark.operators.merge import merge_segments
+    bench.run(
+        "build_documents",
+        lambda store: build_index(spark, docs, store, bucket_size=128),
+        setup=fresh_doc_store,
+    )
 
-    frag_store = SegmentStore(f"{tmp}/frag_idx")
-    with timed("build_fragments"):
-        build_index(
-            spark, tx, frag_store,
-            bucket_size=max(N_TURNS // (CPUS * 2), 512), shuffle=False,
-        )
-    # min_files=1: rewrite the single fragmented segment into the
-    # compact one-row-per-(bucket, term) layout — the deferred shuffle
-    # the fragment build trades for
-    with timed("compact"):
-        merge_segments(spark, frag_store, min_files=1)
-
-    searcher = Searcher(spark, tx_store).open()
     queries = [
         ["w00000"], ["w00001", "w00002"], ["w00010", "w00500", "w05000"],
         ["w00042", "w00007", "w00123", "w00999", "w05000"], ["бесплатно"],
@@ -143,58 +240,93 @@ def main() -> None:
         ["w01000", "w02000", "w03000"], ["w00005", "w00006", "w00007"],
     ] * 2
 
-    with timed("bm25_naive_batch"):
-        for q in queries:
-            searcher.topk(q, 10, use_wand=False).collect()
-    with timed("bm25_wand_batch"):
-        for q in queries:
-            searcher.topk(q, 10, use_wand=True).collect()
-    with timed("bm25_wand_one_job"):
-        searcher.topk_batch(
-            {f"q{i:03d}": q for i, q in enumerate(queries)}, k=10, use_wand=True
-        ).collect()
-    with timed("bm25_batch_one_job"):
-        # the batched default: vectorized exhaustive over shared decoded
-        # blocks (see Searcher.topk_batch docstring for the trade)
-        searcher.topk_batch(
-            {f"q{i:03d}": q for i, q in enumerate(queries)}, k=10
-        ).collect()
-    with timed("read_values_batch"):
-        for i, q in enumerate(queries):
-            searcher.read_values(q, 1000 * i, 1000 * i + 50000).collect()
-    with timed("read_values_one_job"):
-        searcher.read_values_batch(
-            {f"r{i:03d}": (q, 1000 * i, 1000 * i + 50000) for i, q in enumerate(queries)}
-        ).count()
+    searcher = _bench_corpus(spark, bench, tmp, "", N_TURNS, queries)
 
-    # positional artifact + phrase queries (round-3 capability): build
-    # measured separately from the plain index so the positions cost is
-    # visible round over round
-    pos_store = SegmentStore(f"{tmp}/pos_idx")
-    with timed("build_positions"):
-        build_index(spark, docs, pos_store, bucket_size=128, positions=True)
+    bench.run(
+        "bm25_naive_batch",
+        lambda: [searcher.topk(q, 10, use_wand=False).collect() for q in queries],
+    )
+    bench.run(
+        "bm25_wand_batch",
+        lambda: [searcher.topk(q, 10, use_wand=True).collect() for q in queries],
+    )
+    bench.run(
+        "bm25_wand_one_job",
+        lambda: searcher.topk_batch(
+            {f"q{i:03d}": q for i, q in enumerate(queries)}, k=10, use_wand=True
+        ).collect(),
+    )
+    bench.run(
+        "read_values_batch",
+        lambda: [
+            searcher.read_values(q, 1000 * i, 1000 * i + 50000).collect()
+            for i, q in enumerate(queries)
+        ],
+    )
+
+    # positional artifact + phrase queries: build measured separately
+    # from the plain index so the positions cost is visible per round
     from inverted_index_spark.operators.positions import phrase_match
 
-    with timed("phrase_match"):
+    pos_stores = {"n": 0, "last": None}
+
+    def fresh_pos_store():
+        pos_stores["n"] += 1
+        pos_stores["last"] = SegmentStore(f"{tmp}/pos_idx_{pos_stores['n']}")
+        return pos_stores["last"]
+
+    bench.run(
+        "build_positions",
+        lambda store: build_index(
+            spark, docs, store, bucket_size=128, positions=True
+        ),
+        setup=fresh_pos_store,
+    )
+    pos_store = pos_stores["last"]
+
+    def _phrases():
         phrase_match(spark, pos_store, ["table", "hash"]).count()
         phrase_match(spark, pos_store, ["merge", "group"]).count()
 
-    with timed("minhash_dedup"):
-        minhash_lsh_pairs(docs, threshold=0.5).count()
-    with timed("dedup_clusters"):
-        from inverted_index_spark.operators.clustering import connected_components
+    bench.run("phrase_match", _phrases)
 
-        connected_components(minhash_lsh_pairs(docs, threshold=0.5)).count()
-    with timed("winnow_pairs"):
-        from inverted_index_spark.operators.dedup import winnow_match_pairs
+    bench.run("minhash_dedup", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
 
-        winnow_match_pairs(docs, min_shared=2).count()
+    from inverted_index_spark.operators.clustering import connected_components
+    from inverted_index_spark.operators.dedup import winnow_match_pairs
+
+    bench.run(
+        "dedup_clusters",
+        lambda: connected_components(minhash_lsh_pairs(docs, threshold=0.5)).count(),
+    )
+    bench.run("winnow_pairs", lambda: winnow_match_pairs(docs, min_shared=2).count())
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
-    with timed("embed_knn"):
-        cosine_topk(emb, qv, k=20).collect()
+    bench.run("embed_knn", lambda: cosine_topk(emb, qv, k=20).collect())
 
+    # ----------------------------------------------------------- xl leg ---
+    xl = None
+    if N_TURNS_XL > 0:
+        xl_bench = Bench()
+        _bench_corpus(spark, xl_bench, tmp, "_xl", N_TURNS_XL, queries)
+        xl = {
+            "n_turns": N_TURNS_XL,
+            "queries": xl_bench.timings,
+            "steal": xl_bench.steals,
+            "attempts": xl_bench.attempts,
+            "throttled": xl_bench.throttled,
+            "derived": {
+                "build_turns_per_sec": round(
+                    N_TURNS_XL / xl_bench.timings["build_transcripts_xl"], 1
+                ),
+                "bm25_batched_qps": round(
+                    len(queries) / xl_bench.timings["bm25_batch_one_job_xl"], 2
+                ),
+            },
+        }
+
+    timings = bench.timings
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     derived = {
@@ -206,19 +338,20 @@ def main() -> None:
         "n_turns": N_TURNS,
         "cpus": CPUS,
     }
-    print(
-        json.dumps(
-            {
-                "metric": "ii_spark_headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "steal": steals,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "derived": derived,
-            }
-        )
-    )
+    out = {
+        "metric": "ii_spark_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "steal": bench.steals,
+        "attempts": bench.attempts,
+        "throttled": bench.throttled,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "derived": derived,
+    }
+    if xl is not None:
+        out["xl"] = xl
+    print(json.dumps(out))
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
 
