@@ -5,137 +5,22 @@ this exercises the adapter's commit logic — append + validated victim
 flip + compensation on conflict — against a pandas-backed fake that
 implements exactly the SQL surface the adapter issues. What's under
 test is OUR protocol (ordering, validation, compensation, row
-accounting), not Iceberg itself.
+accounting), not Iceberg itself. The fake lives in tests/iceberg_mock
+so the full store-contract suites (test_merge, test_store_concurrency,
+test_docstore) can parametrize over {parquet, iceberg-mock} too.
 """
 
 from __future__ import annotations
 
-import re
-
-import pandas as pd
 import pytest
 
-from inverted_index_spark.sources.iceberg import IcebergSegmentStore
-from inverted_index_spark.sources.store import (
-    LIVE,
-    MANIFEST_COLS,
-    MERGED,
-    ErrMergeConflict,
-)
-
-
-class _FakeConf:
-    def get(self, key, default=None):
-        return "org.apache.iceberg.spark.SparkCatalog"  # catalog "configured"
-
-
-class _Name:  # _jvm.java.lang.Class.forName(...) chain
-    def __getattr__(self, _):
-        return self
-
-    def __call__(self, *a, **k):
-        return self
-
-
-class _FakeWriteTo:
-    def __init__(self, spark, pdf):
-        self.spark, self.pdf = spark, pdf
-
-    def writeTo(self, tbl):
-        return self
-
-    def append(self):
-        base = self.spark.manifest
-        self.spark.manifest = (
-            self.pdf.copy()
-            if not len(base)
-            else pd.concat([base, self.pdf], ignore_index=True)
-        )
-        self.spark.n_snapshots += 1
-
-    def toPandas(self):
-        return self.pdf.copy()
-
-
-class FakeIcebergSpark:
-    """Implements the exact statement shapes IcebergSegmentStore issues."""
-
-    def __init__(self):
-        self.manifest = pd.DataFrame(columns=MANIFEST_COLS)
-        self.n_snapshots = 0
-        self.conf = _FakeConf()
-        self._jvm = _Name()
-        self.log: list[str] = []
-
-    def sql(self, stmt: str):
-        self.log.append(stmt)
-        s = " ".join(stmt.split())
-        if s.startswith("CREATE "):
-            return _FakeWriteTo(self, pd.DataFrame())
-        m = re.match(r"SELECT count\(\*\) AS n FROM \S+\.snapshots", s)
-        if m:
-            return _Rows([{"n": self.n_snapshots}])
-        m = re.match(r"SELECT count\(\*\) AS n FROM \S+ WHERE tombstone_ts = (\S+)", s)
-        if m:
-            mark = float(m.group(1))
-            return _Rows([{"n": int((self.manifest["tombstone_ts"] == mark).sum())}])
-        m = re.match(
-            r"UPDATE \S+ SET status = '(\w+)', tombstone_ts = (\S+) "
-            r"WHERE segment_id IN \(([^)]*)\) AND status = '(\w+)'",
-            s,
-        )
-        if m:
-            to_status, mark, ids, from_status = m.groups()
-            idset = {x.strip().strip("'") for x in ids.split(",")}
-            hit = self.manifest["segment_id"].isin(idset) & (
-                self.manifest["status"] == from_status
-            )
-            self.manifest.loc[hit, "status"] = to_status
-            self.manifest.loc[hit, "tombstone_ts"] = float(mark)
-            self.n_snapshots += 1
-            return _Rows([])
-        m = re.match(
-            r"UPDATE \S+ SET status = '(\w+)', tombstone_ts = (\S+) "
-            r"WHERE tombstone_ts = (\S+)",
-            s,
-        )
-        if m:
-            to_status, new_ts, mark = m.groups()
-            hit = self.manifest["tombstone_ts"] == float(mark)
-            self.manifest.loc[hit, "status"] = to_status
-            self.manifest.loc[hit, "tombstone_ts"] = float(new_ts)
-            self.n_snapshots += 1
-            return _Rows([])
-        m = re.match(r"DELETE FROM \S+ WHERE segment_id IN \(([^)]*)\)", s)
-        if m:
-            idset = {x.strip().strip("'") for x in m.group(1).split(",")}
-            self.manifest = self.manifest[
-                ~self.manifest["segment_id"].isin(idset)
-            ].reset_index(drop=True)
-            self.n_snapshots += 1
-            return _Rows([])
-        raise AssertionError(f"mock got unexpected SQL: {stmt}")
-
-    def table(self, tbl):
-        return _FakeWriteTo(self, self.manifest.copy())
-
-    def createDataFrame(self, pdf):
-        return _FakeWriteTo(self, pdf.reset_index(drop=True))
-
-
-class _Rows:
-    def __init__(self, rows):
-        self._rows = rows
-
-    def collect(self):
-        return self._rows
+from inverted_index_spark.sources.store import LIVE, MERGED, ErrMergeConflict
+from tests.iceberg_mock import make_mock_iceberg_store
 
 
 @pytest.fixture()
 def istore(tmp_path):
-    return IcebergSegmentStore(
-        root=str(tmp_path / "iidx"), spark=FakeIcebergSpark()
-    )
+    return make_mock_iceberg_store(str(tmp_path / "iidx"))
 
 
 def test_append_then_merge_commit(istore):

@@ -21,8 +21,16 @@ from inverted_index_spark.sources.store import SegmentStore
 from inverted_index_spark.sources.transcripts import generate_transcripts
 
 
-@pytest.fixture()
-def store(tmp_path):
+@pytest.fixture(params=["parquet", "iceberg_mock"])
+def store(tmp_path, request):
+    """EVERY merge/cleanup/resumability contract runs against BOTH
+    manifest backends (round-4): the parquet gen-file CAS and the
+    Iceberg adapter over the mock catalog (tests/iceberg_mock) — the
+    adapter's semantics are pinned everywhere the parquet store's are."""
+    if request.param == "iceberg_mock":
+        from tests.iceberg_mock import make_mock_iceberg_store
+
+        return make_mock_iceberg_store(str(tmp_path / "idx"))
     return SegmentStore(str(tmp_path / "idx"))
 
 

@@ -28,9 +28,20 @@ from inverted_index_spark.sources.store import (
 )
 
 
-@pytest.fixture()
-def store(tmp_path):
+@pytest.fixture(params=["parquet", "iceberg_mock"])
+def store(tmp_path, request):
+    """The concurrency contracts run against BOTH manifest backends
+    (round-4): the parquet gen-file CAS and the Iceberg adapter over
+    the statement-serializable mock catalog (tests/iceberg_mock)."""
+    if request.param == "iceberg_mock":
+        from tests.iceberg_mock import make_mock_iceberg_store
+
+        return make_mock_iceberg_store(str(tmp_path / "idx"))
     return SegmentStore(str(tmp_path / "idx"))
+
+
+def _is_parquet(store: SegmentStore) -> bool:
+    return type(store) is SegmentStore
 
 
 def _fake_segment(store: SegmentStore, seg_id: str) -> None:
@@ -158,18 +169,23 @@ def test_concurrent_merge_and_ingest(store):
     )
     # all writer commits happened (32 = 4 writers × 8)
     assert len(committed) == 32
-    # the live set + everything ever tombstoned covers all commits:
-    # manifest history says how many rows were ever added
-    hist = pd.read_parquet(
-        os.path.join(store.root, "manifest", f"gen-{store.current_generation()}.parquet")
-    )
+    if _is_parquet(store):
+        # the live set + everything ever tombstoned covers all commits:
+        # manifest history says how many rows were ever added (gen
+        # snapshot files are the parquet backend's commit log; the
+        # Iceberg backend's history lives in catalog snapshots)
+        hist = pd.read_parquet(
+            os.path.join(
+                store.root, "manifest", f"gen-{store.current_generation()}.parquet"
+            )
+        )
+        del hist
     # live rows' data must exist after final cleanup
     for seg in live_ids:
         assert os.path.isdir(os.path.join(store.seg_dir(seg), "postings"))
     # no duplicate segment ids in the manifest
     assert m["segment_id"].is_unique
     assert n_merged_commits >= 1  # the merger actually ran
-    del hist
 
 
 def test_manifest_generations_expire(store):
@@ -178,6 +194,9 @@ def test_manifest_generations_expire(store):
     gen files while the newest snapshot stays complete (round-3;
     models Iceberg expire_snapshots / the reference's bounded in-RAM
     filesList)."""
+    if not _is_parquet(store):
+        pytest.skip("gen-file retention is parquet-backend-specific; "
+                    "Iceberg's own expire_snapshots owns it there")
     for i in range(220):
         seg = f"mb{i:04d}"
         _fake_segment(store, seg)
