@@ -40,6 +40,7 @@ class Searcher:
         self.spark = spark
         self.store = store
         self._postings: DataFrame | None = None
+        self._dfs: DataFrame | None = None
         self._stats: tuple[int, float] | None = None
         self._df_memo: dict[str, int] = {}
         self._df_complete = False
@@ -83,6 +84,9 @@ class Searcher:
         if self._postings is not None:
             self._postings.unpersist()
             self._postings = None
+        if self._dfs is not None:
+            self._dfs.unpersist()
+            self._dfs = None
         if getattr(self, "_positions", None) is not None:
             self._positions.unpersist()
             self._positions = None
@@ -185,6 +189,26 @@ class Searcher:
             out = out.where(F.col("min_doc") <= F.lit(int(max_doc)))
         return out
 
+    def _df_table(self) -> DataFrame:
+        """Cached (term, df) dictionary for multi-segment stores —
+        computed ONCE from the cached postings (decode + cross-segment
+        countDistinct, proportionate to what open() already cached),
+        then every term_dfs batch is a filter over cached columnar
+        batches instead of a fresh per-query decode (round-4; the
+        reference's eager bitmap cache has the same open-once shape)."""
+        if self._dfs is None:
+            decoded = self.postings.mapInPandas(
+                lambda it: _decode_rows(it, None, None, False),
+                schema="term string, doc_id long",
+            )
+            self._dfs = (
+                decoded.groupBy("term")
+                .agg(F.countDistinct("doc_id").alias("df"))
+                .cache()
+            )
+            self._dfs.count()
+        return self._dfs
+
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         if self._df_complete:
             return {
@@ -202,14 +226,9 @@ class Searcher:
                     .collect()
                 )
             else:
-                sub = self._matching(missing)
-                decoded = sub.mapInPandas(
-                    lambda it: _decode_rows(it, None, None, False),
-                    schema="term string, doc_id long",
-                )
                 rows = (
-                    decoded.groupBy("term")
-                    .agg(F.countDistinct("doc_id").alias("df"))
+                    self._df_table()
+                    .where(F.col("term").isin(missing))
                     .collect()
                 )
             found = {r["term"]: int(r["df"]) for r in rows}
