@@ -352,6 +352,30 @@ def _q_boolean_query_parsed(spark, sf):
     return evaluate(spark, _store_for(spark, sf), q)
 
 
+def _q_boolean_ranked_topk(spark, sf):
+    """Round-4: BM25-ranked boolean search (the tree filters, BM25 over
+    its positive scoring terms ranks; matches without a scoring term
+    keep score 0) — the Lucene BooleanQuery+similarity surface."""
+    from inverted_index_spark.operators.boolean import ranked_topk
+
+    t = ranked_topk(
+        spark, _store_for(spark, sf), f'(spark -window) OR "{PHRASE[0]} {PHRASE[1]}"',
+        k=10,
+    )
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_facet_counts(spark, sf):
+    """Round-4: search-result faceting — matching-doc counts per
+    metadata value (lang) for a parsed boolean query."""
+    from inverted_index_spark.operators.boolean import facet_counts
+
+    return facet_counts(
+        spark, _store_for(spark, sf), "spark OR merge -window",
+        _docs(spark, sf), "lang",
+    )
+
+
 def _q_fuzzy_terms(spark, sf):
     """FuzzyQuery analog: dictionary terms within edit distance 1
     (SymSpell deletion-neighborhood candidates, exact-verified)."""
@@ -585,6 +609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ii_except_values": _q_except_values,
         "boolean_query": _q_boolean_query,
         "boolean_query_parsed": _q_boolean_query_parsed,
+        "boolean_ranked_topk": _q_boolean_ranked_topk,
+        "facet_counts": _q_facet_counts,
         "phrase_slop": _q_phrase_slop,
         "ii_fuzzy_terms": _q_fuzzy_terms,
         "ii_fuzzy_terms_d2": _q_fuzzy_terms_d2,
@@ -1057,6 +1083,24 @@ def oracle_sql() -> dict[str, str]:
             f"EXCEPT SELECT doc_id FROM ({_TOK}) WHERE term = 'window' "
             f"UNION SELECT doc_id FROM ({_PHRASE_SQL})"
             ") ORDER BY doc_id"
+        ),
+        "boolean_ranked_topk": (
+            "SELECT m.doc_id, round(coalesce(s.raw_score, 0), 4) AS score "
+            "FROM (SELECT DISTINCT doc_id FROM ("
+            f"SELECT doc_id FROM ({_TOK}) WHERE term = 'spark' "
+            f"EXCEPT SELECT doc_id FROM ({_TOK}) WHERE term = 'window' "
+            f"UNION SELECT doc_id FROM ({_PHRASE_SQL})"
+            ")) m LEFT JOIN "
+            f"({_bm25_contrib_sql(['spark'] + PHRASE)}) s USING (doc_id) "
+            "ORDER BY coalesce(s.raw_score, 0) DESC, m.doc_id ASC LIMIT 10"
+        ),
+        "facet_counts": (
+            "SELECT lang, count(*) AS n_docs FROM documents WHERE doc_id IN ("
+            f"SELECT doc_id FROM ({_TOK}) WHERE term = 'spark' "
+            "UNION SELECT doc_id FROM ("
+            f"SELECT doc_id FROM ({_TOK}) WHERE term = 'merge' "
+            f"EXCEPT SELECT doc_id FROM ({_TOK}) WHERE term = 'window')"
+            ") GROUP BY lang ORDER BY lang"
         ),
         "ii_fuzzy_terms": (
             f"SELECT DISTINCT term FROM ({_TOK}) "

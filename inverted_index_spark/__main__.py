@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     s_phrase.add_argument("store_root")
     s_phrase.add_argument("tokens", nargs="+")
+    s_phrase.add_argument(
+        "--slop", type=int, default=0,
+        help="each word may lag up to SLOP tokens behind its exact slot",
+    )
     s_search = sub.add_parser(
         "search", help="boolean search, Lucene-classic grammar: adjacency=AND, "
         'OR keyword, (grouping), -not/NOT, "a phrase", pre*, fuzzy~ or fuzzy~2 '
@@ -56,8 +60,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     s_search.add_argument("store_root")
     s_search.add_argument(
-        "query", help='e.g. \'(spark OR merge) -window "table hash" riv*\''
+        "query", help='e.g. \'(spark OR merge) -window "table hash"~2 riv*\''
     )
+    s_search.add_argument(
+        "--rank", action="store_true",
+        help="BM25-rank the matches by the query's positive terms "
+        "(prints doc_id<TAB>score, best first)",
+    )
+    s_search.add_argument("-k", type=int, default=10, help="top-k with --rank")
     s_compact = sub.add_parser(
         "compact", help="merge live segments (min_files=1 also consolidates "
         "a single fragmented segment) and delete tombstoned data"
@@ -107,15 +117,21 @@ def main(argv: list[str] | None = None) -> int:
         print(f"committed segment {sid}")
         return 0
     if args.cmd == "search":
-        from inverted_index_spark.operators.boolean import evaluate, parse_query
+        from inverted_index_spark.operators.boolean import (
+            evaluate, parse_query, ranked_topk,
+        )
 
+        if args.rank:
+            for row in ranked_topk(spark, store, args.query, k=args.k).collect():
+                print(f"{row['doc_id']}\t{row['score']:.6f}")
+            return 0
         for row in evaluate(spark, store, parse_query(args.query)).collect():
             print(row["doc_id"])
         return 0
     if args.cmd == "phrase":
         from inverted_index_spark.operators.positions import phrase_match
 
-        for row in phrase_match(spark, store, args.tokens).collect():
+        for row in phrase_match(spark, store, args.tokens, slop=args.slop).collect():
             print(f"{row['doc_id']}\t{row['n_matches']}")
         return 0
     if args.cmd == "query":

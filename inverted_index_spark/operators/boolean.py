@@ -49,9 +49,11 @@ class Fuzzy:
 @dataclass(frozen=True)
 class Phrase:
     tokens: tuple
+    slop: int = 0
 
-    def __init__(self, tokens):
+    def __init__(self, tokens, slop: int = 0):
         object.__setattr__(self, "tokens", tuple(tokens))
+        object.__setattr__(self, "slop", int(slop))
 
 
 @dataclass(frozen=True)
@@ -94,8 +96,16 @@ def _lex(s: str) -> list:
             j = s.find('"', i + 1)
             if j < 0:
                 raise ValueError(f"unterminated phrase quote in query: {s!r}")
-            out.append(('"', s[i + 1 : j]))
+            text = s[i + 1 : j]
             i = j + 1
+            slop = 0
+            if i < n and s[i] == "~":  # Lucene proximity: "a b"~2
+                k = i + 1
+                while k < n and s[k].isdigit():
+                    k += 1
+                slop = int(s[i + 1 : k]) if k > i + 1 else 0
+                i = k
+            out.append(('"', text, slop))
         elif c == "-" and i + 1 < n and not s[i + 1].isspace() and s[i + 1] != ")":
             out.append("-")
             i += 1
@@ -152,6 +162,7 @@ def parse_query(s: str):
         (a OR b) -c          grouping with parentheses
         -window, NOT window  MUST_NOT (Not inside the enclosing And)
         "table hash"         exact phrase
+        "table hash"~2       sloppy phrase (each word may lag <= 2 slots)
         riv*                 prefix
         tble~  tble~2        fuzzy (edit distance 1 / 2)
 
@@ -236,13 +247,14 @@ def parse_query(s: str):
             return node
         if t == "-":
             raise ValueError(f"expected a term after '-' in query: {s!r}")
-        kind, text = t
-        if kind == '"':
+        if t[0] == '"':
+            _, text, slop = t
             ptoks = tokenize_text(text)
             if not ptoks:
                 return None
-            return Term(ptoks[0]) if len(ptoks) == 1 else Phrase(ptoks)
-        return _word_node(text)
+            # slop on a single-token "phrase" is meaningless — it's a term
+            return Term(ptoks[0]) if len(ptoks) == 1 else Phrase(ptoks, slop)
+        return _word_node(t[1])
 
     node = parse_or()
     if peek() is not None:
@@ -277,7 +289,9 @@ def _eval(spark, store, q, lo, hi) -> DataFrame:
     if isinstance(q, Phrase):
         from inverted_index_spark.operators.positions import phrase_match
 
-        return phrase_match(spark, store, list(q.tokens), lo, hi).select("doc_id")
+        return phrase_match(
+            spark, store, list(q.tokens), lo, hi, slop=q.slop
+        ).select("doc_id")
     if isinstance(q, Or):
         if not q.clauses:
             return spark.createDataFrame([], "doc_id long")
@@ -301,3 +315,91 @@ def _eval(spark, store, q, lo, hi) -> DataFrame:
     if isinstance(q, Not):
         raise ValueError("top-level Not() is unanswerable from an index")
     raise TypeError(f"not a query node: {q!r}")
+
+
+def _scoring_terms(q) -> list[str]:
+    """Positive scoring terms of a tree: Term leaves and Phrase tokens
+    outside any Not. Prefix/Fuzzy leaves filter but contribute no
+    scoring terms — Lucene's constant-score rewrite for multi-term
+    queries, which keeps idf well-defined (an expanded wildcard's
+    hundreds of rare terms would otherwise dominate the score)."""
+    if isinstance(q, Term):
+        return [q.term]
+    if isinstance(q, Phrase):
+        return list(q.tokens)
+    if isinstance(q, Or):
+        return [t for c in q.clauses for t in _scoring_terms(c)]
+    if isinstance(q, And):
+        return [
+            t
+            for c in q.clauses
+            if not isinstance(c, Not)
+            for t in _scoring_terms(c)
+        ]
+    return []  # Prefix, Fuzzy, Not
+
+
+def ranked_topk(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    k: int = 10,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """BM25-ranked boolean search — the full search-engine surface in
+    one call (Lucene BooleanQuery + similarity): the tree FILTERS,
+    BM25 over its positive scoring terms RANKS. Accepts a tree or a
+    query string (parse_query grammar). Matches with no scoring term
+    (e.g. reached only through a Prefix clause) score 0.0 and rank by
+    doc_id — they are never dropped while k is unfilled. Ties break
+    (score DESC, doc_id ASC) like every other top-k in the engine;
+    compiles to the match-set plan + one score stream + TakeOrdered."""
+    from inverted_index_spark.operators.bm25 import bm25_scores
+
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = evaluate(spark, store, q, min_doc, max_doc).select("doc_id")
+    terms = sorted(set(_scoring_terms(q)))
+    if not terms:
+        return (
+            matches.select("doc_id", F.lit(0.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(k)
+        )
+    scores = bm25_scores(spark, store, terms, min_doc, max_doc)
+    return (
+        matches.join(scores, "doc_id", "left")
+        .select("doc_id", F.coalesce("score", F.lit(0.0)).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def facet_counts(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    col: str,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """Search-result faceting: matching-doc counts per value of a
+    metadata column (the classic facet panel next to search results).
+    Accepts a tree or a query string. One semi-join of the narrow
+    (doc_id, col) metadata projection against the match set, then one
+    groupBy on the facet column — the shuffle carries facet keys, not
+    documents."""
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = evaluate(spark, store, q, min_doc, max_doc).select("doc_id")
+    narrow = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col(col)
+    )
+    return (
+        narrow.join(matches, "doc_id", "leftsemi")
+        .groupBy(col)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(col)
+    )

@@ -53,14 +53,21 @@ def py_eval(q):
             return bool(set(da) & set(db))
         return {d for d in all_ids if any(lev1(t, q.term) for t in _toks(d))}
     if isinstance(q, Phrase):
-        k = len(q.tokens)
-        return {
-            d for d in all_ids
-            if any(
-                _toks(d)[i:i + k] == list(q.tokens)
-                for i in range(len(_toks(d)) - k + 1)
+        s = q.slop
+
+        def sloppy_hit(toks: list[str]) -> bool:
+            occ: dict[str, list[int]] = {}
+            for i, t in enumerate(toks):
+                occ.setdefault(t, []).append(i)
+            return any(
+                all(
+                    any(p + i <= pos <= p + i + s for pos in occ.get(w, []))
+                    for i, w in enumerate(q.tokens)
+                )
+                for p in occ.get(q.tokens[0], [])
             )
-        }
+
+        return {d for d in all_ids if sloppy_hit(_toks(d))}
     if isinstance(q, Or):
         out = set()
         for c in q.clauses:
@@ -254,3 +261,87 @@ def test_parse_render_roundtrip_semantics(q):
     from inverted_index_spark.operators.boolean import parse_query
 
     assert py_eval(parse_query(_render(q))) == py_eval(q), _render(q)
+
+
+# --------------------------------------------- slop / ranking / facets ---
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        Phrase(["quick", "fox"], slop=2),
+        Phrase(["quick", "fox"], slop=1),
+        Phrase(["the", "dog"], slop=6),
+        Phrase(["fox", "quick"], slop=2),   # order still required
+        And(Phrase(["quick", "fox"], slop=2), Not(Term("lazy"))),
+        Or(Phrase(["quick", "brown"], slop=0), Phrase(["dog", "river"], slop=3)),
+    ],
+)
+def test_phrase_slop_in_algebra(spark, bstore, q):
+    got = {r["doc_id"] for r in evaluate(spark, bstore, q).collect()}
+    assert got == py_eval(q), q
+
+
+def test_parse_phrase_slop():
+    from inverted_index_spark.operators.boolean import parse_query
+
+    assert parse_query('"quick fox"~2') == Phrase(["quick", "fox"], slop=2)
+    assert parse_query('"quick fox"~') == Phrase(["quick", "fox"], slop=0)
+    assert parse_query('"quick fox"') == Phrase(["quick", "fox"], slop=0)
+    assert parse_query('a "quick fox"~3 -b') == And(
+        Term("a"), Phrase(["quick", "fox"], slop=3), Not(Term("b"))
+    )
+    # slop on a single-token phrase collapses to the term
+    assert parse_query('"dog"~5') == Term("dog")
+
+
+def test_ranked_topk(spark, bstore):
+    from inverted_index_spark.operators.bm25 import bm25_scores
+    from inverted_index_spark.operators.boolean import parse_query, ranked_topk
+
+    q = 'quick -fox'
+    got = [(r["doc_id"], r["score"]) for r in ranked_topk(spark, bstore, q, k=10).collect()]
+    match_set = py_eval(parse_query(q))
+    assert {d for d, _ in got} == match_set
+    # scores equal the BM25 stream over the positive scoring terms
+    ref = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(spark, bstore, ["quick"]).collect()
+    }
+    for d, s in got:
+        assert abs(s - ref.get(d, 0.0)) < 1e-12
+    # ordered by (score desc, doc_id asc)
+    assert got == sorted(got, key=lambda x: (-x[1], x[0]))
+    # tree input ≡ string input
+    got2 = [
+        (r["doc_id"], r["score"])
+        for r in ranked_topk(
+            spark, bstore, And(Term("quick"), Not(Term("fox"))), k=10
+        ).collect()
+    ]
+    assert got == got2
+    # constant-score path: Prefix-only query → all matches, score 0
+    cs = [(r["doc_id"], r["score"]) for r in ranked_topk(spark, bstore, "riv*", k=10).collect()]
+    assert {d for d, _ in cs} == py_eval(Prefix("riv"))
+    assert all(s == 0.0 for _, s in cs)
+    # a doc matched ONLY via a non-scoring clause is kept at score 0
+    mixed = ranked_topk(spark, bstore, "quickly OR dog", k=10).collect()
+    assert {r["doc_id"] for r in mixed} == py_eval(Or(Term("quickly"), Term("dog")))
+
+
+def test_facet_counts(spark, bstore):
+    from inverted_index_spark.operators.boolean import facet_counts
+
+    docs = spark.createDataFrame(
+        [(d, t, ["en", "de"][d % 2]) for d, t in DOCS],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["lang"]: r["n_docs"]
+        for r in facet_counts(spark, bstore, "quick OR dog", docs, "lang").collect()
+    }
+    match = py_eval(Or(Term("quick"), Term("dog")))
+    want = {}
+    for d in match:
+        want[["en", "de"][d % 2]] = want.get(["en", "de"][d % 2], 0) + 1
+    assert got == want
