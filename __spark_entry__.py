@@ -162,6 +162,18 @@ def _q_embed_cosine(spark, sf):
     return s.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def _q_embed_near_pairs(spark, sf):
+    """Round-4: embedding-cosine near-duplicate pairs — the exact
+    verification baseline of embedding_near_dup_pairs (the LSH-bucketed
+    variant is the 100 TB shape; its recall is subset-tested against
+    this exact path in tests/test_pipeline_ops.py)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    p = _sim.embedding_near_dup_pairs(emb, threshold=0.4, exact=True)
+    return p.select(
+        "a", "b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("a", "b")
+
+
 def _q_embed_knn(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     qv = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
@@ -594,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "embed_cosine": _q_embed_cosine,
+        "embed_near_pairs": _q_embed_near_pairs,
         "embed_knn": _q_embed_knn,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
@@ -991,6 +1004,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embed_cosine": (
             f"SELECT vec_id, round(raw_cos, 6) AS cosine FROM ({_COS}) ORDER BY vec_id"
+        ),
+        "embed_near_pairs": (
+            "SELECT a, b, round(raw, 6) AS cosine FROM ("
+            "SELECT x.vec_id AS a, y.vec_id AS b, "
+            "list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) / "
+            "(sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) * "
+            "sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))) AS raw "
+            "FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id) "
+            "WHERE raw >= 0.4 ORDER BY a, b"
         ),
         "embed_knn": (
             f"SELECT vec_id, round(raw_cos, 4) AS cosine FROM ({_COS}) "

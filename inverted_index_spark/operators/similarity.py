@@ -360,11 +360,33 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
 ) -> DataFrame:
     """(a, b, cosine) pairs with cosine ≥ threshold; candidates = pairs
     colliding in ≥1 of `tables` signed-projection bucket tables (OR
     amplification: miss prob ≈ (1-p^bits)^tables); exact cosine
-    verified JVM-side."""
+    verified JVM-side.
+
+    ``exact=True`` skips the LSH blocking and scores EVERY a<b pair —
+    O(n²), the deterministic verification baseline (same role
+    cosine_topk plays for the ANN paths; it is what the DuckDB twin
+    reproduces). The LSH path is the 100 TB shape."""
+    if exact:
+        l = vectors.select(
+            F.col(id_col).cast("long").alias("a"), F.col(vec_col).alias("va")
+        )
+        r = vectors.select(
+            F.col(id_col).cast("long").alias("b"), F.col(vec_col).alias("vb")
+        )
+        cand = l.join(r, F.col("a") < F.col("b"))
+        cos = _dot(F.col("va"), F.col("vb")) / (
+            _norm(F.col("va")) * _norm(F.col("vb"))
+        )
+        return (
+            cand.withColumn("cosine", cos)
+            .where(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine")
+        )
     dim_row = vectors.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
     planes = _projections(dim, n_bits, tables, seed)

@@ -331,6 +331,15 @@ def test_embedding_near_dups(spark, vectors):
     df, _ = vectors
     pairs = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(df, threshold=0.95).collect()}
     assert (0, 1) in pairs
+    # exact baseline (round-4): all-pairs scoring; the LSH candidates
+    # must be a SUBSET of it at the same threshold (no false positives
+    # — both verify exact cosine — and exact finds everything)
+    exact = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.95, exact=True).collect()
+    }
+    assert pairs <= exact
+    assert (0, 1) in exact
 
 
 # -------------------------------------------------------------- multimodal ---
