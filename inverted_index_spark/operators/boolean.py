@@ -274,19 +274,35 @@ def evaluate(
     q,
     min_doc: int | None = None,
     max_doc: int | None = None,
+    searcher=None,
 ) -> DataFrame:
-    """Evaluate a query tree → sorted unique (doc_id) DataFrame."""
-    return _eval(spark, store, q, min_doc, max_doc).distinct().orderBy("doc_id")
+    """Evaluate a query tree → sorted unique (doc_id) DataFrame.
+
+    With ``searcher`` (an open operators.search.Searcher), Term and
+    Phrase leaves read its warm postings/positions caches instead of
+    fresh store scans — the open-once query-many path
+    (Searcher.search wraps this)."""
+    return (
+        _eval(spark, store, q, min_doc, max_doc, searcher)
+        .distinct()
+        .orderBy("doc_id")
+    )
 
 
-def _eval(spark, store, q, lo, hi) -> DataFrame:
+def _eval(spark, store, q, lo, hi, searcher=None) -> DataFrame:
     if isinstance(q, Term):
+        if searcher is not None:
+            return searcher.read_values([q.term], lo, hi)
         return _q.read_values(spark, store, [q.term], lo, hi)
     if isinstance(q, Prefix):
         return _q.read_values_prefix(spark, store, q.prefix, lo, hi)
     if isinstance(q, Fuzzy):
         return _q.fuzzy_values(spark, store, q.term, q.max_edits, lo, hi)
     if isinstance(q, Phrase):
+        if searcher is not None:
+            return searcher.phrase(list(q.tokens), lo, hi, slop=q.slop).select(
+                "doc_id"
+            )
         from inverted_index_spark.operators.positions import phrase_match
 
         return phrase_match(
@@ -297,20 +313,24 @@ def _eval(spark, store, q, lo, hi) -> DataFrame:
             return spark.createDataFrame([], "doc_id long")
         if any(isinstance(c, Not) for c in q.clauses):
             raise ValueError("Not() inside Or is unanswerable from an index")
-        out = _eval(spark, store, q.clauses[0], lo, hi)
+        out = _eval(spark, store, q.clauses[0], lo, hi, searcher)
         for c in q.clauses[1:]:
-            out = out.unionByName(_eval(spark, store, c, lo, hi))
+            out = out.unionByName(_eval(spark, store, c, lo, hi, searcher))
         return out
     if isinstance(q, And):
         pos = [c for c in q.clauses if not isinstance(c, Not)]
         neg = [c.clause for c in q.clauses if isinstance(c, Not)]
         if not pos:
             raise ValueError("And() needs at least one positive clause")
-        out = _eval(spark, store, pos[0], lo, hi)
+        out = _eval(spark, store, pos[0], lo, hi, searcher)
         for c in pos[1:]:
-            out = out.join(_eval(spark, store, c, lo, hi), "doc_id", "leftsemi")
+            out = out.join(
+                _eval(spark, store, c, lo, hi, searcher), "doc_id", "leftsemi"
+            )
         for c in neg:
-            out = out.join(_eval(spark, store, c, lo, hi), "doc_id", "left_anti")
+            out = out.join(
+                _eval(spark, store, c, lo, hi, searcher), "doc_id", "left_anti"
+            )
         return out
     if isinstance(q, Not):
         raise ValueError("top-level Not() is unanswerable from an index")

@@ -174,6 +174,20 @@ class Searcher:
             self.spark, self._positions, phrase, min_doc, max_doc, slop
         )
 
+    # ------------------------------------------------------------ boolean ---
+    def search(self, q, min_doc: int | None = None, max_doc: int | None = None):
+        """Boolean search over the CACHED postings/positions — the
+        open-once query-many surface for the algebra and the string
+        grammar (operators.boolean). Term/Phrase leaves read the warm
+        caches; Prefix/Fuzzy leaves fall back to store scans (their
+        dictionary predicates prune at the parquet scan, which the
+        bucket-partitioned cache layout does not help with)."""
+        from inverted_index_spark.operators import boolean as _b
+
+        if isinstance(q, str):
+            q = _b.parse_query(q)
+        return _b.evaluate(self.spark, self.store, q, min_doc, max_doc, searcher=self)
+
     @property
     def stats(self) -> tuple[int, float]:
         if self._stats is None:

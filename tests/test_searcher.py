@@ -107,3 +107,37 @@ def test_topk_batch_wand_equals_exhaustive(spark, setup):
     wand = sorted(map(tuple, searcher.topk_batch(qs, k=7, use_wand=True).collect()))
     ex = sorted(map(tuple, searcher.topk_batch(qs, k=7, use_wand=False).collect()))
     assert wand == ex
+
+
+def test_searcher_boolean_search(spark, tmp_path):
+    """Searcher.search: boolean queries over the warm caches must equal
+    the store-scan evaluator (round-4 open-once query-many surface)."""
+    import tempfile
+
+    from inverted_index_spark.operators.boolean import evaluate, parse_query
+    from inverted_index_spark.operators.build import build_index
+
+    store = SegmentStore(str(tmp_path / "bool_idx"))
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "quick brown foxes again quick"),
+            (2, "a lazy dog sleeps"),
+            (3, "brown dog brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    build_index(spark, docs, store, bucket_size=2, positions=True)
+    s = Searcher(spark, store).open()
+    for qs in [
+        "quick OR dog",
+        '(quick -fox) OR "brown fox"',
+        'dog "quick brown"~1',
+        "brow* -lazy",
+    ]:
+        cached = [r["doc_id"] for r in s.search(qs).collect()]
+        cold = [
+            r["doc_id"] for r in evaluate(spark, store, parse_query(qs)).collect()
+        ]
+        assert cached == cold, qs
+    s.close()
