@@ -364,6 +364,43 @@ def _q_boolean_query_parsed(spark, sf):
     return evaluate(spark, _store_for(spark, sf), q)
 
 
+MLT_DOC, MLT_NTERMS = 7, 8
+
+
+def _q_more_like_this(spark, sf):
+    """Round-4: Lucene MoreLikeThis — rank docs similar to one source
+    doc by BM25 over its most characteristic terms (deterministic
+    integer-keyed selection: tf DESC, df ASC, term ASC)."""
+    t = _bm25.more_like_this(
+        spark, _store_for(spark, sf), MLT_DOC, n_terms=MLT_NTERMS, k=10
+    )
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_term_snippets(spark, sf):
+    """Round-4: highlighting for plain term queries — token window
+    around the FIRST occurrence of any query term."""
+    from inverted_index_spark.operators.positions import term_snippets
+
+    return term_snippets(spark, _store_for(spark, sf), OR_TERMS, context=3)
+
+
+def _q_top_terms(spark, sf):
+    """Round-4: dictionary diagnostics — k highest-df terms."""
+    return _query.top_terms(spark, _store_for(spark, sf), k=20)
+
+
+def _q_read_values_regex(spark, sf):
+    """Round-4: R10 driven by a regex term predicate (two-phase
+    dictionary-then-postings rewrite, RegexpQuery analog)."""
+    return _query.read_values_regex(spark, _store_for(spark, sf), "[a-z]*ow")
+
+
+def _q_read_terms_suffix(spark, sf):
+    """Round-4: leading-wildcard (*ow) dictionary read."""
+    return _query.read_terms_suffix(spark, _store_for(spark, sf), "ow")
+
+
 def _q_boolean_ranked_topk(spark, sf):
     """Round-4: BM25-ranked boolean search (the tree filters, BM25 over
     its positive scoring terms ranks; matches without a scoring term
@@ -628,6 +665,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ii_fuzzy_terms": _q_fuzzy_terms,
         "ii_fuzzy_terms_d2": _q_fuzzy_terms_d2,
         "ii_fuzzy_values": _q_fuzzy_values,
+        "more_like_this": _q_more_like_this,
+        "term_snippets": _q_term_snippets,
+        "top_terms": _q_top_terms,
+        "ii_read_values_regex": _q_read_values_regex,
+        "ii_read_terms_suffix": _q_read_terms_suffix,
         "terms_within_window": _q_terms_within_window,
         "ii_read_terms_prefix": _q_terms_prefix,
         "ii_read_values_prefix": _q_values_prefix,
@@ -1123,6 +1165,45 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id FROM ({_TOK}) WHERE term = 'merge' "
             f"EXCEPT SELECT doc_id FROM ({_TOK}) WHERE term = 'window')"
             ") GROUP BY lang ORDER BY lang"
+        ),
+        "more_like_this": (
+            f"WITH tf AS ({_TF}), dl AS ({_DL}), "
+            "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+            f"(SELECT sum(len({_TOKS_SQL})) FROM documents)::DOUBLE "
+            "/ (SELECT count(*) FROM documents) AS avgdl), "
+            "alldf AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+            "mlt AS (SELECT t.term FROM tf t JOIN alldf d USING (term) "
+            f"WHERE t.doc_id = {MLT_DOC} "
+            f"ORDER BY t.tf DESC, d.df ASC, t.term ASC LIMIT {MLT_NTERMS}), "
+            "contrib AS (SELECT tf.doc_id, "
+            "ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * tf.tf "
+            "/ (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c "
+            "FROM tf JOIN alldf d USING (term) JOIN dl USING (doc_id) "
+            "CROSS JOIN stats s WHERE tf.term IN (SELECT term FROM mlt)) "
+            f"SELECT doc_id, round(sum(c), 4) AS score FROM contrib "
+            f"WHERE doc_id <> {MLT_DOC} GROUP BY doc_id "
+            "ORDER BY sum(c) DESC, doc_id ASC LIMIT 10"
+        ),
+        "term_snippets": (
+            f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), "
+            "p AS (SELECT doc_id, t, list_filter(generate_series(1, len(t)), "
+            f"i -> t[i] IN {_ORTERMS}) AS hits FROM t), "
+            "f AS (SELECT doc_id, t, hits[1] AS h FROM p WHERE len(hits) > 0) "
+            "SELECT doc_id, (h - 1)::BIGINT AS first_pos, "
+            "array_to_string(t[greatest(h - 3, 1) : greatest(h - 3, 1) + 6], ' ') "
+            "AS snippet FROM f ORDER BY doc_id"
+        ),
+        "top_terms": (
+            f"SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ({_TOK}) "
+            "GROUP BY term ORDER BY df DESC, term ASC LIMIT 20"
+        ),
+        "ii_read_values_regex": (
+            f"SELECT DISTINCT doc_id FROM ({_TOK}) WHERE term IN "
+            f"(SELECT term FROM ({_TOK}) WHERE regexp_full_match(term, '[a-z]*ow')) "
+            "ORDER BY doc_id"
+        ),
+        "ii_read_terms_suffix": (
+            f"SELECT DISTINCT term FROM ({_TOK}) WHERE term LIKE '%ow' ORDER BY term"
         ),
         "ii_fuzzy_terms": (
             f"SELECT DISTINCT term FROM ({_TOK}) "

@@ -290,6 +290,16 @@ def main() -> None:
 
     bench.run("phrase_match", _phrases)
 
+    # proximity + sloppy phrase over the same positional store — the
+    # round-4 vectorized kernels (min_cover_spans / sloppy_start_counts)
+    from inverted_index_spark.operators.positions import terms_within_window
+
+    def _proximity():
+        terms_within_window(spark, pos_store, ["table", "hash"], 20).count()
+        phrase_match(spark, pos_store, ["table", "hash"], slop=3).count()
+
+    bench.run("proximity", _proximity)
+
     bench.run("minhash_dedup", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
 
     from inverted_index_spark.operators.clustering import connected_components

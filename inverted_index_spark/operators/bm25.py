@@ -125,6 +125,52 @@ def bm25_topk(
     )
 
 
+def more_like_this(
+    spark: SparkSession,
+    store: SegmentStore,
+    doc_id: int,
+    n_terms: int = 10,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene MoreLikeThis: rank docs similar to ``doc_id`` by running
+    BM25 over the source doc's most characteristic terms. Needs the doc
+    store (build_index(store_text=True)).
+
+    Term selection is DETERMINISTIC and integer-keyed (tf DESC, df ASC,
+    term ASC, take n_terms): highest in-doc frequency first, rarest
+    first among ties — the MLT "interesting terms" heuristic without
+    float tf·idf ordering, so an external oracle reproduces the exact
+    term set. The source doc itself is excluded from the results."""
+    from inverted_index_spark.functions.tokenizer import tokenize_text
+
+    row = (
+        store.read_docs(spark)
+        .where(F.col("doc_id") == int(doc_id))
+        .select("text")
+        .collect()
+    )
+    if not row:
+        raise KeyError(f"doc {doc_id} not in the doc store")
+    toks = tokenize_text(row[0]["text"])
+    if not toks:
+        return spark.createDataFrame([], "doc_id long, score double")
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    dfs = term_dfs(spark, store, sorted(tf))
+    ranked = sorted(
+        (t for t in tf if t in dfs), key=lambda t: (-tf[t], dfs[t], t)
+    )[: int(n_terms)]
+    if not ranked:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return (
+        bm25_scores(spark, store, ranked)
+        .where(F.col("doc_id") != int(doc_id))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_topk_pandas(scores: pd.DataFrame, k: int) -> pd.DataFrame:
     """Driver-side helper used by bench/oracle comparisons."""
     s = scores.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")

@@ -529,6 +529,39 @@ def min_cover_spans(
     return doc[starts][has_all], best[has_all]
 
 
+def term_snippets(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    context: int = 3,
+) -> DataFrame:
+    """(doc_id, first_pos, snippet) — highlighting for plain term
+    queries (the OR-query counterpart of phrase_snippets): for every
+    doc containing ANY query term, a token window of ``context`` each
+    side around the FIRST occurrence of any of them. Positions give
+    the offsets, the doc store gives the text; slicing is pure JVM
+    over the pinned tokenizer, so snippets are exact."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        return spark.createDataFrame(
+            [], "doc_id long, first_pos long, snippet string"
+        )
+    rows = read_positions(spark, store).where(F.col("term").isin(uniq))
+    occ = rows.mapInPandas(
+        lambda b: decode_position_rows(b), schema="term string, doc_id long, pos long"
+    )
+    firsts = occ.groupBy("doc_id").agg(F.min("pos").alias("first_pos"))
+    texts = store.read_docs(spark).select("doc_id", "text")
+    joined = firsts.join(texts, "doc_id")
+    toks = tokens_expr(F.col("text"))
+    start_1b = F.greatest(F.col("first_pos") + 1 - context, F.lit(1))
+    snippet = F.concat_ws(" ", F.slice(toks, start_1b, F.lit(1 + 2 * context)))
+    return (
+        joined.select("doc_id", "first_pos", snippet.alias("snippet"))
+        .orderBy("doc_id")
+    )
+
+
 def terms_within_window(
     spark: SparkSession,
     store: SegmentStore,

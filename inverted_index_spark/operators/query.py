@@ -153,6 +153,64 @@ def read_terms_regex(
     )
 
 
+def read_terms_suffix(
+    spark: SparkSession, store: SegmentStore, suffix: str
+) -> DataFrame:
+    """Sorted unique terms ENDING with ``suffix`` — the leading-
+    wildcard query (`*ow`). Lucene needs a reversed-term field for
+    this; here the dictionary scan stays narrow (ReadSchema: term
+    only, like the regex scan) but no pushdown is possible — the
+    suffix predicate can't use the sorted-term layout. Fine for
+    dictionary-sized scans; add a reversed-term column if this becomes
+    a hot path."""
+    return (
+        store.read_postings(spark)
+        .select("term")
+        .where(F.col("term").endswith(suffix))
+        .distinct()
+        .orderBy("term")
+    )
+
+
+def read_values_regex(
+    spark: SparkSession,
+    store: SegmentStore,
+    pattern: str,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """R10 semantics driven by a regex term predicate (anchored
+    full-match, like read_terms_regex): OR-union of every matching
+    term's postings, range-scoped, sorted unique. Two-phase like
+    Lucene's rewrite: the (cheap, term-only) dictionary scan resolves
+    the matching terms, then a term-IN-pushed posting read fetches —
+    the regex itself never touches posting bytes."""
+    matched = [r["term"] for r in read_terms_regex(spark, store, pattern).collect()]
+    return read_values(spark, store, matched, min_doc, max_doc)
+
+
+def top_terms(spark: SparkSession, store: SegmentStore, k: int = 20) -> DataFrame:
+    """(term, df): the k highest-document-frequency terms (stopword /
+    vocabulary diagnostics; the reference's inspect CLI prints file
+    stats, U1 — this is the dictionary-level analog). Deterministic
+    ties: (df DESC, term ASC). Single segment sums the metadata df;
+    overlapping segments count decoded distinct docs (same branch as
+    bm25.term_dfs)."""
+    if len(store.live_segments()) <= 1:
+        dfs = (
+            store.read_postings(spark)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+    else:
+        decoded = store.read_postings(spark).mapInPandas(
+            lambda it: _decode_rows(it, None, None, False),
+            schema="term string, doc_id long",
+        )
+        dfs = decoded.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return dfs.orderBy(F.desc("df"), F.asc("term")).limit(k)
+
+
 def _deletion_variants(term: str, depth: int = 1) -> list[str]:
     """term + every string reachable by deleting up to ``depth`` chars
     (the SymSpell deletion neighborhood). Two strings are within edit

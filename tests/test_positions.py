@@ -411,3 +411,54 @@ def test_sloppy_kernel_random():
             if n:
                 want[d] = n
         assert got == want, (trial, got, want)
+
+
+def test_term_snippets(spark, pos_store):
+    from inverted_index_spark.operators.positions import term_snippets
+
+    got = {
+        r["doc_id"]: (r["first_pos"], r["snippet"])
+        for r in term_snippets(spark, pos_store, ["fox", "lazy"], context=2).collect()
+    }
+    # doc 0: "the quick brown fox jumps over the lazy dog" — fox@3
+    assert got[0] == (3, "quick brown fox jumps over")
+    # doc 6: "the quick brown fox quick brown fox" — fox@3 first
+    assert got[6] == (3, "quick brown fox quick brown")
+    # docs without either term are absent
+    assert 2 not in got and 3 not in got
+    # window START clamps at the doc start; length stays 2*context+1
+    # (same convention as phrase_snippets: an edge hit shows more
+    # right-context instead of a shorter snippet)
+    one = {
+        r["doc_id"]: (r["first_pos"], r["snippet"])
+        for r in term_snippets(spark, pos_store, ["the"], context=2).collect()
+    }
+    assert one[0] == (0, "the quick brown fox jumps")
+
+
+def test_more_like_this(spark, pos_store):
+    from inverted_index_spark.operators.bm25 import bm25_topk, more_like_this
+
+    got = [(r["doc_id"], r["score"]) for r in more_like_this(spark, pos_store, 0, n_terms=4, k=10).collect()]
+    # source doc excluded; scores sorted (desc, doc_id asc)
+    assert all(d != 0 for d, _ in got)
+    assert got == sorted(got, key=lambda x: (-x[1], x[0]))
+    # deterministic term selection: tf DESC, df ASC, term ASC over
+    # doc 0's tokens → "the"(tf2) first, then tf-1 terms by rarity
+    from inverted_index_spark.functions.tokenizer import tokenize_text
+    from inverted_index_spark.operators.bm25 import term_dfs
+
+    toks = tokenize_text(dict(DOCS)[0])
+    tf = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    dfs = term_dfs(spark, pos_store, sorted(tf))
+    expect_terms = sorted(tf, key=lambda t: (-tf[t], dfs[t], t))[:4]
+    ref = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(spark, pos_store, expect_terms, k=11).collect()
+        if r["doc_id"] != 0
+    ][:10]
+    assert got == ref
+    with pytest.raises(KeyError):
+        more_like_this(spark, pos_store, 999)

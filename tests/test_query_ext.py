@@ -191,3 +191,37 @@ def test_deletion_neighborhood_completeness():
         assert set(_deletion_variants(base, dd)) & set(_deletion_variants(other, dd)), (
             base, other, d,
         )
+
+
+def test_top_terms(spark, prefix_store):
+    from inverted_index_spark.operators.query import top_terms
+
+    got = [(r["term"], r["df"]) for r in top_terms(spark, prefix_store, k=10).collect()]
+    # dfs: apple 3, apply 2, then df=1 alphabetical, zebra df=0 last
+    assert got == [
+        ("apple", 3), ("apply", 2), ("app", 1), ("applesauce", 1),
+        ("banana", 1), ("zebra", 0),
+    ]
+    assert len(top_terms(spark, prefix_store, k=2).collect()) == 2
+
+
+def test_read_terms_suffix(spark, prefix_store):
+    from inverted_index_spark.operators.query import read_terms_suffix
+
+    got = [r["term"] for r in read_terms_suffix(spark, prefix_store, "e").collect()]
+    assert got == ["apple", "applesauce"]
+    assert read_terms_suffix(spark, prefix_store, "zzz").count() == 0
+
+
+def test_read_values_regex(spark, prefix_store):
+    from inverted_index_spark.operators.query import read_values_regex
+
+    got = [r["doc_id"] for r in read_values_regex(spark, prefix_store, "app.*").collect()]
+    assert got == [1, 2, 3, 5, 7, 9]
+    # range applies
+    got = [
+        r["doc_id"]
+        for r in read_values_regex(spark, prefix_store, "app.*", 3, 7).collect()
+    ]
+    assert got == [3, 5, 7]
+    assert read_values_regex(spark, prefix_store, "zz.*").count() == 0
