@@ -401,6 +401,16 @@ def _q_read_terms_suffix(spark, sf):
     return _query.read_terms_suffix(spark, _store_for(spark, sf), "ow")
 
 
+def _q_hybrid_topk(spark, sf):
+    """Round-4: hybrid lexical+dense retrieval — reciprocal-rank
+    fusion of the BM25 top-100 and cosine top-100 pools (score-free,
+    rank-deterministic)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    t = _sim.hybrid_topk(spark, _store_for(spark, sf), Q_TERMS, qv, emb, k=10)
+    return t.select("doc_id", F.round("rrf", 6).alias("rrf"))
+
+
 def _q_boolean_ranked_topk(spark, sf):
     """Round-4: BM25-ranked boolean search (the tree filters, BM25 over
     its positive scoring terms ranks; matches without a scoring term
@@ -666,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ii_fuzzy_terms_d2": _q_fuzzy_terms_d2,
         "ii_fuzzy_values": _q_fuzzy_values,
         "more_like_this": _q_more_like_this,
+        "hybrid_topk": _q_hybrid_topk,
         "term_snippets": _q_term_snippets,
         "top_terms": _q_top_terms,
         "ii_read_values_regex": _q_read_values_regex,
@@ -1183,6 +1194,19 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, round(sum(c), 4) AS score FROM contrib "
             f"WHERE doc_id <> {MLT_DOC} GROUP BY doc_id "
             "ORDER BY sum(c) DESC, doc_id ASC LIMIT 10"
+        ),
+        "hybrid_topk": (
+            f"WITH b AS (SELECT doc_id, row_number() OVER "
+            "(ORDER BY raw_score DESC, doc_id ASC) AS rb "
+            f"FROM ({_BM25_CONTRIB}) ORDER BY raw_score DESC, doc_id ASC LIMIT 100), "
+            "c AS (SELECT vec_id AS doc_id, row_number() OVER "
+            "(ORDER BY raw_cos DESC, vec_id ASC) AS rc "
+            f"FROM ({_COS}) ORDER BY raw_cos DESC, vec_id ASC LIMIT 100) "
+            "SELECT coalesce(b.doc_id, c.doc_id) AS doc_id, "
+            "round(coalesce(1.0 / (60 + rb), 0) + coalesce(1.0 / (60 + rc), 0), 6) "
+            "AS rrf FROM b FULL OUTER JOIN c ON b.doc_id = c.doc_id "
+            "ORDER BY coalesce(1.0 / (60 + rb), 0) + coalesce(1.0 / (60 + rc), 0) DESC, "
+            "coalesce(b.doc_id, c.doc_id) ASC LIMIT 10"
         ),
         "term_snippets": (
             f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), "

@@ -352,6 +352,51 @@ def ivf_topk(
     return cosine_topk(candidates, query, k, "vec_id", "embedding")
 
 
+def hybrid_topk(
+    spark,
+    store,
+    terms: list[str],
+    query: list[float],
+    vectors: DataFrame,
+    k: int = 10,
+    k_rrf: int = 60,
+    n_deep: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval via reciprocal-rank fusion:
+    ``rrf(d) = Σ_source 1/(k_rrf + rank_source(d))`` over the BM25
+    top-``n_deep`` (index) and cosine top-``n_deep`` (embeddings)
+    pools (Cormack et al., SIGIR'09 — the standard score-free fusion,
+    robust to the two sources' incomparable score scales).
+
+    Deterministic end to end: both source ranks are row_numbers over
+    (score DESC, id ASC); docs in one pool only keep that source's
+    contribution; final ties (rrf DESC, doc_id ASC). Each window runs
+    AFTER its TakeOrdered top-n_deep, so the single-partition rank
+    step only ever sees n_deep rows."""
+    from pyspark.sql import Window
+
+    from inverted_index_spark.operators.bm25 import bm25_topk
+
+    b = bm25_topk(spark, store, terms, k=n_deep)
+    wb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    b = b.select("doc_id", F.row_number().over(wb).alias("rb"))
+    c = cosine_topk(vectors, query, k=n_deep, id_col=id_col, vec_col=vec_col)
+    wc = Window.orderBy(F.desc("cosine"), F.asc(id_col))
+    c = c.select(
+        F.col(id_col).alias("c_doc"), F.row_number().over(wc).alias("rc")
+    )
+    fused = b.join(c, b["doc_id"] == c["c_doc"], "full_outer").select(
+        F.coalesce("doc_id", "c_doc").alias("doc_id"),
+        (
+            F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rb")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rc")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

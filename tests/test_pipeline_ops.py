@@ -479,3 +479,60 @@ def test_media_stats_malformed_payloads(spark):
     # scalar path agrees
     assert decode_payload(None)["fmt"] == "unknown"
     assert decode_payload(truncated_ppm)["fmt"] == "unknown"
+
+
+def test_hybrid_topk(spark, tmp_path):
+    """RRF fusion equals the hand-computed 1/(60+rank) sums over the
+    two source rankings (docs in one pool only keep that source)."""
+    from inverted_index_spark.operators.bm25 import bm25_topk
+    from inverted_index_spark.operators.build import build_index
+    from inverted_index_spark.operators.similarity import cosine_topk, hybrid_topk
+    from inverted_index_spark.sources.store import SegmentStore
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark merge window"),
+            (1, "spark spark merge"),
+            (2, "window table hash"),
+            (3, "unrelated words entirely"),
+            (4, "spark"),
+        ],
+        "doc_id long, text string",
+    )
+    store = SegmentStore(str(tmp_path / "hy_idx"))
+    build_index(spark, docs, store, bucket_size=2)
+    # embeddings: only docs 2, 3, 4 have vectors (partial coverage)
+    vecs = spark.createDataFrame(
+        [
+            (2, [1.0, 0.0, 0.0]),
+            (3, [0.9, 0.1, 0.0]),
+            (4, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = [1.0, 0.0, 0.0]
+    terms = ["spark", "merge"]
+    got = [
+        (r["doc_id"], round(r["rrf"], 12))
+        for r in hybrid_topk(spark, store, terms, q, vecs, k=10).collect()
+    ]
+    rb = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(bm25_topk(spark, store, terms, k=100).collect())
+    }
+    rc = {
+        r["vec_id"]: i + 1
+        for i, r in enumerate(cosine_topk(vecs, q, k=100).collect())
+    }
+    want = {
+        d: round(
+            (1.0 / (60 + rb[d]) if d in rb else 0.0)
+            + (1.0 / (60 + rc[d]) if d in rc else 0.0),
+            12,
+        )
+        for d in set(rb) | set(rc)
+    }
+    expect = sorted(want.items(), key=lambda x: (-x[1], x[0]))
+    assert got == expect
+    # both-pool docs outrank single-pool docs with similar ranks
+    assert set(d for d, _ in got) == set(rb) | set(rc)
