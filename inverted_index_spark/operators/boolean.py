@@ -282,11 +282,15 @@ def evaluate(
     Phrase leaves read its warm postings/positions caches instead of
     fresh store scans — the open-once query-many path
     (Searcher.search wraps this)."""
-    return (
-        _eval(spark, store, q, min_doc, max_doc, searcher)
-        .distinct()
-        .orderBy("doc_id")
-    )
+    return _matches(spark, store, q, min_doc, max_doc, searcher).orderBy("doc_id")
+
+
+def _matches(spark, store, q, lo=None, hi=None, searcher=None) -> DataFrame:
+    """Unsorted distinct match set — what compositions (ranking,
+    faceting) consume; the user-facing evaluate() adds the sort, so
+    downstream joins/aggregations never pay for an ordering they
+    immediately destroy."""
+    return _eval(spark, store, q, lo, hi, searcher).distinct()
 
 
 def _eval(spark, store, q, lo, hi, searcher=None) -> DataFrame:
@@ -379,7 +383,7 @@ def ranked_topk(
 
     if isinstance(q, str):
         q = parse_query(q)
-    matches = evaluate(spark, store, q, min_doc, max_doc).select("doc_id")
+    matches = _matches(spark, store, q, min_doc, max_doc).select("doc_id")
     terms = sorted(set(_scoring_terms(q)))
     if not terms:
         return (
@@ -413,7 +417,7 @@ def facet_counts(
     documents."""
     if isinstance(q, str):
         q = parse_query(q)
-    matches = evaluate(spark, store, q, min_doc, max_doc).select("doc_id")
+    matches = _matches(spark, store, q, min_doc, max_doc).select("doc_id")
     narrow = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.col(col)
     )

@@ -345,3 +345,18 @@ def test_facet_counts(spark, bstore):
     for d in match:
         want[["en", "de"][d % 2]] = want.get(["en", "de"][d % 2], 0) + 1
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(s=st.text(max_size=40))
+def test_parse_query_fuzz_total(s):
+    """The parser is TOTAL over arbitrary input: any string either
+    parses to a query node or raises ValueError — never any other
+    exception (the CLI hands it raw user input)."""
+    from inverted_index_spark.operators.boolean import parse_query
+
+    try:
+        q = parse_query(s)
+    except ValueError:
+        return
+    assert q is not None
