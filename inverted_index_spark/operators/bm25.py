@@ -143,8 +143,10 @@ def more_like_this(
     term set. The source doc itself is excluded from the results."""
     from inverted_index_spark.functions.tokenizer import tokenize_text
 
+    bs = store.pinned_bucket_size()
+    buckets = [int(doc_id) // bs] if bs else None  # prune the doc-store scan
     row = (
-        store.read_docs(spark)
+        store.read_docs(spark, buckets=buckets)
         .where(F.col("doc_id") == int(doc_id))
         .select("text")
         .collect()

@@ -540,7 +540,12 @@ def term_snippets(
     doc containing ANY query term, a token window of ``context`` each
     side around the FIRST occurrence of any of them. Positions give
     the offsets, the doc store gives the text; slicing is pure JVM
-    over the pinned tokenizer, so snippets are exact."""
+    over the pinned tokenizer, so snippets are exact.
+
+    Scale note: this is a corpus-wide DATASET transform (it highlights
+    every matching doc — the join is sized by the match set). For
+    interactive top-k result pages, hydrate the k-row page via
+    Searcher.fetch_text (bucket-pruned) and slice there instead."""
     uniq = sorted(set(terms))
     if not uniq:
         return spark.createDataFrame(
