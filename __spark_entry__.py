@@ -401,6 +401,35 @@ def _q_read_terms_suffix(spark, sf):
     return _query.read_terms_suffix(spark, _store_for(spark, sf), "ow")
 
 
+_FIELD_STORES: dict = {}
+
+
+def _field_stores_for(spark, sf):
+    """Per-field metadata indexes (here: documents.lang) built once per
+    (process, sf_dir) — the fielded-search stores."""
+    if sf not in _FIELD_STORES:
+        from inverted_index_spark.operators.build import build_field_indexes
+
+        _FIELD_STORES[sf] = build_field_indexes(
+            spark, _docs(spark, sf), tempfile.mkdtemp(prefix="ii_fields_"),
+            ["lang"], bucket_size=1 << 14,
+        )
+    return _FIELD_STORES[sf]
+
+
+def _q_fielded_query(spark, sf):
+    """Round-4: Lucene fielded search — `lang:en` reads the lang
+    FIELD INDEX (a tiny separate store), composed freely with text
+    clauses in one boolean plan."""
+    from inverted_index_spark.operators.boolean import evaluate, parse_query
+
+    q = parse_query("(spark OR merge) -window lang:en")
+    return evaluate(
+        spark, _store_for(spark, sf), q,
+        field_stores=_field_stores_for(spark, sf),
+    )
+
+
 def _q_hybrid_topk(spark, sf):
     """Round-4: hybrid lexical+dense retrieval — reciprocal-rank
     fusion of the BM25 top-100 and cosine top-100 pools (score-free,
@@ -677,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ii_fuzzy_values": _q_fuzzy_values,
         "more_like_this": _q_more_like_this,
         "hybrid_topk": _q_hybrid_topk,
+        "fielded_query": _q_fielded_query,
         "term_snippets": _q_term_snippets,
         "top_terms": _q_top_terms,
         "ii_read_values_regex": _q_read_values_regex,
@@ -1194,6 +1224,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, round(sum(c), 4) AS score FROM contrib "
             f"WHERE doc_id <> {MLT_DOC} GROUP BY doc_id "
             "ORDER BY sum(c) DESC, doc_id ASC LIMIT 10"
+        ),
+        "fielded_query": (
+            "SELECT DISTINCT doc_id FROM documents WHERE doc_id IN ("
+            f"SELECT doc_id FROM ({_TOK}) WHERE term IN {_ORTERMS}) "
+            f"AND doc_id NOT IN (SELECT doc_id FROM ({_TOK}) WHERE term = 'window') "
+            "AND lang = 'en' ORDER BY doc_id"
         ),
         "hybrid_topk": (
             f"WITH b AS (SELECT doc_id, row_number() OVER "

@@ -68,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
         "(prints doc_id<TAB>score, best first)",
     )
     s_search.add_argument("-k", type=int, default=10, help="top-k with --rank")
+    s_search.add_argument(
+        "--field", action="append", default=[], metavar="NAME=STORE_ROOT",
+        help="register a field index for name:value clauses "
+        "(repeatable; build with build_field_indexes)",
+    )
     s_compact = sub.add_parser(
         "compact", help="merge live segments (min_files=1 also consolidates "
         "a single fragmented segment) and delete tombstoned data"
@@ -121,11 +126,21 @@ def main(argv: list[str] | None = None) -> int:
             evaluate, parse_query, ranked_topk,
         )
 
+        field_stores = None
+        if args.field:
+            field_stores = {}
+            for spec in args.field:
+                name, _, froot = spec.partition("=")
+                if not froot:
+                    raise SystemExit(f"--field wants NAME=STORE_ROOT, got {spec!r}")
+                field_stores[name] = SegmentStore(froot)
         if args.rank:
             for row in ranked_topk(spark, store, args.query, k=args.k).collect():
                 print(f"{row['doc_id']}\t{row['score']:.6f}")
             return 0
-        for row in evaluate(spark, store, parse_query(args.query)).collect():
+        for row in evaluate(
+            spark, store, parse_query(args.query), field_stores=field_stores
+        ).collect():
             print(row["doc_id"])
         return 0
     if args.cmd == "phrase":

@@ -77,6 +77,18 @@ class Not:
     clause: object
 
 
+@dataclass(frozen=True)
+class Field:
+    """Fielded clause (Lucene ``field:term``): evaluate the wrapped
+    subtree against the FIELD's index instead of the default one.
+    Fields are separate (small) stores built over the metadata column —
+    ``lang:en`` reads the lang index's postings, it never scans
+    documents. Requires ``field_stores`` at evaluate() time."""
+
+    name: str
+    clause: object
+
+
 def _lex(s: str) -> list:
     """Query string → tokens: '(' ')' '-' ('"', text) ('w', word).
 
@@ -254,7 +266,20 @@ def parse_query(s: str):
                 return None
             # slop on a single-token "phrase" is meaningless — it's a term
             return Term(ptoks[0]) if len(ptoks) == 1 else Phrase(ptoks, slop)
-        return _word_node(t[1])
+        word = t[1]
+        import re
+
+        m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$", word)
+        if m:
+            fname, rest = m.group(1), m.group(2)
+            if rest:
+                node = _word_node(rest)
+            elif peek() is not None and not isinstance(peek(), str) and peek()[0] == '"':
+                node = parse_primary()  # field:"quoted phrase"
+            else:
+                raise ValueError(f"field {fname!r} has no value in query: {s!r}")
+            return None if node is None else Field(fname, node)
+        return _word_node(word)
 
     node = parse_or()
     if peek() is not None:
@@ -275,25 +300,41 @@ def evaluate(
     min_doc: int | None = None,
     max_doc: int | None = None,
     searcher=None,
+    field_stores: dict[str, SegmentStore] | None = None,
 ) -> DataFrame:
     """Evaluate a query tree → sorted unique (doc_id) DataFrame.
 
     With ``searcher`` (an open operators.search.Searcher), Term and
     Phrase leaves read its warm postings/positions caches instead of
     fresh store scans — the open-once query-many path
-    (Searcher.search wraps this)."""
-    return _matches(spark, store, q, min_doc, max_doc, searcher).orderBy("doc_id")
+    (Searcher.search wraps this). ``field_stores`` maps field names to
+    their per-field indexes for Field clauses (``lang:en``)."""
+    return _matches(
+        spark, store, q, min_doc, max_doc, searcher, field_stores
+    ).orderBy("doc_id")
 
 
-def _matches(spark, store, q, lo=None, hi=None, searcher=None) -> DataFrame:
+def _matches(
+    spark, store, q, lo=None, hi=None, searcher=None, field_stores=None
+) -> DataFrame:
     """Unsorted distinct match set — what compositions (ranking,
     faceting) consume; the user-facing evaluate() adds the sort, so
     downstream joins/aggregations never pay for an ordering they
     immediately destroy."""
-    return _eval(spark, store, q, lo, hi, searcher).distinct()
+    return _eval(spark, store, q, lo, hi, searcher, field_stores).distinct()
 
 
-def _eval(spark, store, q, lo, hi, searcher=None) -> DataFrame:
+def _eval(spark, store, q, lo, hi, searcher=None, field_stores=None) -> DataFrame:
+    if isinstance(q, Field):
+        if not field_stores or q.name not in field_stores:
+            known = sorted(field_stores or [])
+            raise ValueError(
+                f"unknown field {q.name!r} (field_stores has {known}); "
+                "build one per field with build_field_indexes"
+            )
+        # the subtree runs against the FIELD's index; the default
+        # store's searcher caches don't apply there
+        return _eval(spark, field_stores[q.name], q.clause, lo, hi, None, field_stores)
     if isinstance(q, Term):
         if searcher is not None:
             return searcher.read_values([q.term], lo, hi)
@@ -317,23 +358,25 @@ def _eval(spark, store, q, lo, hi, searcher=None) -> DataFrame:
             return spark.createDataFrame([], "doc_id long")
         if any(isinstance(c, Not) for c in q.clauses):
             raise ValueError("Not() inside Or is unanswerable from an index")
-        out = _eval(spark, store, q.clauses[0], lo, hi, searcher)
+        out = _eval(spark, store, q.clauses[0], lo, hi, searcher, field_stores)
         for c in q.clauses[1:]:
-            out = out.unionByName(_eval(spark, store, c, lo, hi, searcher))
+            out = out.unionByName(_eval(spark, store, c, lo, hi, searcher, field_stores))
         return out
     if isinstance(q, And):
         pos = [c for c in q.clauses if not isinstance(c, Not)]
         neg = [c.clause for c in q.clauses if isinstance(c, Not)]
         if not pos:
             raise ValueError("And() needs at least one positive clause")
-        out = _eval(spark, store, pos[0], lo, hi, searcher)
+        out = _eval(spark, store, pos[0], lo, hi, searcher, field_stores)
         for c in pos[1:]:
             out = out.join(
-                _eval(spark, store, c, lo, hi, searcher), "doc_id", "leftsemi"
+                _eval(spark, store, c, lo, hi, searcher, field_stores),
+                "doc_id", "leftsemi",
             )
         for c in neg:
             out = out.join(
-                _eval(spark, store, c, lo, hi, searcher), "doc_id", "left_anti"
+                _eval(spark, store, c, lo, hi, searcher, field_stores),
+                "doc_id", "left_anti",
             )
         return out
     if isinstance(q, Not):
@@ -370,6 +413,7 @@ def ranked_topk(
     k: int = 10,
     min_doc: int | None = None,
     max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
 ) -> DataFrame:
     """BM25-ranked boolean search — the full search-engine surface in
     one call (Lucene BooleanQuery + similarity): the tree FILTERS,
@@ -383,7 +427,9 @@ def ranked_topk(
 
     if isinstance(q, str):
         q = parse_query(q)
-    matches = _matches(spark, store, q, min_doc, max_doc).select("doc_id")
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
     terms = sorted(set(_scoring_terms(q)))
     if not terms:
         return (
@@ -408,6 +454,7 @@ def facet_counts(
     col: str,
     min_doc: int | None = None,
     max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
 ) -> DataFrame:
     """Search-result faceting: matching-doc counts per value of a
     metadata column (the classic facet panel next to search results).
@@ -417,7 +464,9 @@ def facet_counts(
     documents."""
     if isinstance(q, str):
         q = parse_query(q)
-    matches = _matches(spark, store, q, min_doc, max_doc).select("doc_id")
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
     narrow = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.col(col)
     )

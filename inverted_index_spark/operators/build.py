@@ -501,6 +501,35 @@ def build_value_index(
     )
 
 
+def build_field_indexes(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    fields: list[str],
+    id_col: str = "doc_id",
+    bucket_size: int = DEFAULT_BUCKET_SIZE,
+) -> dict:
+    """One index per metadata FIELD (Lucene fielded search): the
+    field's value is indexed as that store's text, so ``lang:en``
+    becomes a term read against the (tiny) lang index — never a
+    documents scan. Stores land under ``root/field=<name>``; pass the
+    returned dict as ``evaluate(field_stores=...)`` /
+    ``parse_query('lang:en spark')``. A field store is just a normal
+    SegmentStore — merge/cleanup/streaming all apply."""
+    import os
+
+    stores = {}
+    for fname in fields:
+        store = SegmentStore(os.path.join(root, f"field={fname}"))
+        narrow = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(fname).cast("string").alias("text"),
+        )
+        build_index(spark, narrow, store, bucket_size=bucket_size)
+        stores[fname] = store
+    return stores
+
+
 class SegmentWriter:
     """Reference-API compat shim (NewInvertedIndexUnit/Put/Close,
     single/single.go:790-818,139-153,115-135) for direct posting

@@ -175,7 +175,13 @@ class Searcher:
         )
 
     # ------------------------------------------------------------ boolean ---
-    def search(self, q, min_doc: int | None = None, max_doc: int | None = None):
+    def search(
+        self,
+        q,
+        min_doc: int | None = None,
+        max_doc: int | None = None,
+        field_stores=None,
+    ):
         """Boolean search over the CACHED postings/positions — the
         open-once query-many surface for the algebra and the string
         grammar (operators.boolean). Term/Phrase leaves read the warm
@@ -186,7 +192,10 @@ class Searcher:
 
         if isinstance(q, str):
             q = _b.parse_query(q)
-        return _b.evaluate(self.spark, self.store, q, min_doc, max_doc, searcher=self)
+        return _b.evaluate(
+            self.spark, self.store, q, min_doc, max_doc,
+            searcher=self, field_stores=field_stores,
+        )
 
     @property
     def stats(self) -> tuple[int, float]:

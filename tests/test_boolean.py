@@ -360,3 +360,54 @@ def test_parse_query_fuzz_total(s):
     except ValueError:
         return
     assert q is not None
+
+
+# ------------------------------------------------------ fielded search ---
+
+
+def test_parse_field_queries():
+    from inverted_index_spark.operators.boolean import Field, parse_query
+
+    assert parse_query("lang:en") == Field("lang", Term("en"))
+    assert parse_query("spark lang:en") == And(Term("spark"), Field("lang", Term("en")))
+    assert parse_query("-lang:de spark") == And(
+        Not(Field("lang", Term("de"))), Term("spark")
+    )
+    assert parse_query('title:"new york"') == Field(
+        "title", Phrase(["new", "york"])
+    )
+    assert parse_query("lang:e*") == Field("lang", Prefix("e"))
+    # field value normalizes through the pinned tokenizer too
+    assert parse_query("lang:EN") == Field("lang", Term("en"))
+    with pytest.raises(ValueError):
+        parse_query("lang: spark")  # dangling field
+
+
+def test_fielded_evaluate(spark, bstore, tmp_path):
+    from inverted_index_spark.operators.boolean import Field, parse_query
+    from inverted_index_spark.operators.build import build_field_indexes
+
+    meta = spark.createDataFrame(
+        [(d, ["en", "de"][d % 2], ["web", "chat", "web", "chat", "web", "chat"][d])
+         for d, _ in DOCS],
+        "doc_id long, lang string, source string",
+    )
+    fs = build_field_indexes(
+        spark, meta, str(tmp_path / "fields"), ["lang", "source"], bucket_size=4
+    )
+    q = parse_query("quick lang:en")
+    got = {r["doc_id"] for r in evaluate(spark, bstore, q, field_stores=fs).collect()}
+    assert got == py_eval(Term("quick")) & {0, 2, 4}
+    # negated field + second field
+    q2 = parse_query("dog -source:chat")
+    got2 = {r["doc_id"] for r in evaluate(spark, bstore, q2, field_stores=fs).collect()}
+    assert got2 == py_eval(Term("dog")) & {0, 2, 4}
+    # OR across fields
+    q3 = parse_query("lang:de OR source:web")
+    got3 = {r["doc_id"] for r in evaluate(spark, bstore, q3, field_stores=fs).collect()}
+    assert got3 == {0, 1, 2, 3, 4, 5}
+    # unknown field raises with the known list
+    with pytest.raises(ValueError, match="unknown field"):
+        evaluate(spark, bstore, Field("nope", Term("x")), field_stores=fs)
+    with pytest.raises(ValueError, match="unknown field"):
+        evaluate(spark, bstore, parse_query("lang:en"))
