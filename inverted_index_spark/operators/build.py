@@ -42,6 +42,18 @@ from inverted_index_spark.sources.store import (
 
 DEFAULT_BUCKET_SIZE = 1 << 16
 
+# Parquet bloom filters on the dictionary column (round-4): sorted
+# (bucket, term) row groups already prune by min/max RANGE, but a
+# point/IN term lookup whose probe falls INSIDE a group's range and
+# is absent still decodes the group — the bloom filter skips it
+# (the reference's FST answers membership the same way). Applied to
+# the postings and positions datasets; expected NDV sizes the bitset
+# (~180 KB/row group at 100k — noise next to posting bytes at scale).
+TERM_BLOOM_OPTS = {
+    "parquet.bloom.filter.enabled#term": "true",
+    "parquet.bloom.filter.expected.ndv#term": "100000",
+}
+
 
 class ErrDuplicateTerm(ValueError):
     """Reference parity: Put() of an already-present term
@@ -321,15 +333,22 @@ def build_index_from_tokens(
 
     errs: list[BaseException] = []
 
-    def _write(df: DataFrame, dest: str) -> None:
+    def _write(df: DataFrame, dest: str, options: dict | None = None) -> None:
         try:
-            df.write.mode("overwrite").parquet(dest)
+            w = df.write.mode("overwrite")
+            for k, v in (options or {}).items():
+                w = w.option(k, v)
+            w.parquet(dest)
         except BaseException as e:  # surface on the caller thread
             errs.append(e)
 
     t_post = threading.Thread(
         target=_write,
-        args=(encoded.sortWithinPartitions("bucket", "term"), f"{seg_dir}/postings"),
+        args=(
+            encoded.sortWithinPartitions("bucket", "term"),
+            f"{seg_dir}/postings",
+            TERM_BLOOM_OPTS,
+        ),
     )
     t_doc = threading.Thread(target=_write, args=(docstats, f"{seg_dir}/docstats"))
     writers = [t_post, t_doc]
@@ -346,6 +365,7 @@ def build_index_from_tokens(
                     encode_positions_segment(positions_df, bucket_size)
                     .sortWithinPartitions("bucket", "term"),
                     f"{seg_dir}/positions",
+                    TERM_BLOOM_OPTS,
                 ),
             )
         )

@@ -107,11 +107,12 @@ def merge_segments(
     segment_id = new_segment_id()
     seg_dir = store.seg_dir(segment_id)
     # groupBy(bucket) already partitioned the output by bucket
-    (
-        merged.sortWithinPartitions("bucket", "term")
-        .write.mode("overwrite")
-        .parquet(f"{seg_dir}/postings")
-    )
+    from inverted_index_spark.operators.build import TERM_BLOOM_OPTS
+
+    w = merged.sortWithinPartitions("bucket", "term").write.mode("overwrite")
+    for k, v in TERM_BLOOM_OPTS.items():
+        w = w.option(k, v)
+    w.parquet(f"{seg_dir}/postings")
     # doc stats: dedup union of the inputs' stats
     store.read_docstats(spark, victims).write.mode("overwrite").parquet(
         f"{seg_dir}/docstats"

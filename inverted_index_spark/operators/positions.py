@@ -267,9 +267,12 @@ def merge_positions(
             "cannot merge positions without the postings' bucket width"
         )
     merged = encode_positions_segment(occurrences, bucket_size)
-    merged.sortWithinPartitions("bucket", "term").write.mode("overwrite").parquet(
-        positions_dir(store, dest_segment_id)
-    )
+    from inverted_index_spark.operators.build import TERM_BLOOM_OPTS
+
+    w = merged.sortWithinPartitions("bucket", "term").write.mode("overwrite")
+    for k, v in TERM_BLOOM_OPTS.items():
+        w = w.option(k, v)
+    w.parquet(positions_dir(store, dest_segment_id))
     return True
 
 
