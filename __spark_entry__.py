@@ -417,6 +417,39 @@ def _field_stores_for(spark, sf):
     return _FIELD_STORES[sf]
 
 
+def _q_stream_dedup(spark, sf):
+    """Round-4: Structured-Streaming cross-batch exact dedup run to
+    completion (availableNow) over the documents table as a file
+    stream — the DISTINCT FINGERPRINT SET the stateful operator
+    retains is deterministic (first-wins row choice is not, so the
+    entry returns the set), giving streaming a bit-exact DuckDB twin."""
+    import os
+    import shutil
+    import uuid
+
+    from inverted_index_spark.streaming.dedup import dedup_stream
+
+    src = f"{sf}/documents.parquet"
+    if not os.path.isdir(src):  # file source wants a DIRECTORY
+        staged = tempfile.mkdtemp(prefix="ii_stream_src_")
+        shutil.copy(src, os.path.join(staged, "documents.parquet"))
+        src = staged
+    schema = spark.read.parquet(src).schema
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream(spark.readStream.schema(schema).parquet(src))
+        .select("fingerprint")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ii_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).select("fingerprint").distinct().orderBy("fingerprint")
+
+
 def _q_fielded_query(spark, sf):
     """Round-4: Lucene fielded search — `lang:en` reads the lang
     FIELD INDEX (a tiny separate store), composed freely with text
@@ -707,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": _q_more_like_this,
         "hybrid_topk": _q_hybrid_topk,
         "fielded_query": _q_fielded_query,
+        "stream_dedup_fingerprints": _q_stream_dedup,
         "term_snippets": _q_term_snippets,
         "top_terms": _q_top_terms,
         "ii_read_values_regex": _q_read_values_regex,
@@ -1224,6 +1258,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, round(sum(c), 4) AS score FROM contrib "
             f"WHERE doc_id <> {MLT_DOC} GROUP BY doc_id "
             "ORDER BY sum(c) DESC, doc_id ASC LIMIT 10"
+        ),
+        "stream_dedup_fingerprints": (
+            "SELECT DISTINCT md5(coalesce(text, '')) AS fingerprint "
+            "FROM documents ORDER BY fingerprint"
         ),
         "fielded_query": (
             "SELECT DISTINCT doc_id FROM documents WHERE doc_id IN ("
