@@ -178,14 +178,29 @@ def read_values_regex(
     pattern: str,
     min_doc: int | None = None,
     max_doc: int | None = None,
+    max_terms: int = 10_000,
 ) -> DataFrame:
     """R10 semantics driven by a regex term predicate (anchored
     full-match, like read_terms_regex): OR-union of every matching
     term's postings, range-scoped, sorted unique. Two-phase like
     Lucene's rewrite: the (cheap, term-only) dictionary scan resolves
     the matching terms, then a term-IN-pushed posting read fetches —
-    the regex itself never touches posting bytes."""
-    matched = [r["term"] for r in read_terms_regex(spark, store, pattern).collect()]
+    the regex itself never touches posting bytes. The expansion is
+    capped at ``max_terms`` (Lucene's maxClauseCount role): a
+    vocabulary-sized expansion like ``.*`` would otherwise collect the
+    whole dictionary to the driver AND defeat the IN-pushdown — raise
+    instead so the caller narrows the pattern."""
+    matched = [
+        r["term"]
+        for r in read_terms_regex(spark, store, pattern)
+        .limit(max_terms + 1)
+        .collect()
+    ]
+    if len(matched) > max_terms:
+        raise ValueError(
+            f"regex {pattern!r} expands to more than {max_terms} terms — "
+            "narrow the pattern (or raise max_terms)"
+        )
     return read_values(spark, store, matched, min_doc, max_doc)
 
 

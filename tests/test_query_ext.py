@@ -225,3 +225,13 @@ def test_read_values_regex(spark, prefix_store):
     ]
     assert got == [3, 5, 7]
     assert read_values_regex(spark, prefix_store, "zz.*").count() == 0
+
+
+def test_read_values_regex_expansion_cap(spark, prefix_store):
+    from inverted_index_spark.operators.query import read_values_regex
+
+    with pytest.raises(ValueError, match="expands to more than"):
+        read_values_regex(spark, prefix_store, ".*", max_terms=2)
+    # under the cap the same pattern works
+    got = [r["doc_id"] for r in read_values_regex(spark, prefix_store, ".*").collect()]
+    assert got == [1, 2, 3, 4, 5, 7, 9]

@@ -113,3 +113,52 @@ def test_assign_arrival_seq_cross_batch(spark, tmp_path):
     # c2 first appears in batch2 → starts at 0
     assert got[6] == ("c2", 0)
     assert len(got) == 8
+
+
+def test_dedup_stream_watermarked(spark, tmp_path):
+    """The watermark-bounded variant (dropDuplicatesWithinWatermark):
+    duplicates arriving within the delay are still suppressed across
+    batches; the state store is bounded by the watermark."""
+    import datetime
+
+    import shutil
+
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    schema_ts = "doc_id long, text string, ts timestamp"
+    b1 = [(0, "hello world", base), (1, "fresh one", base)]
+    b2 = [
+        (2, "hello world", base + datetime.timedelta(seconds=30)),  # dup, in window
+        (3, "another new", base + datetime.timedelta(seconds=40)),
+    ]
+    src = str(tmp_path / "wsrc")
+    import os
+    import time
+
+    os.makedirs(f"{src}/all", exist_ok=True)
+    now = time.time()
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, schema_ts).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+        part = [n for n in os.listdir(f"{src}/b{i}") if n.endswith(".parquet")][0]
+        dst = f"{src}/all/{i:03d}.parquet"
+        shutil.copy(f"{src}/b{i}/{part}", dst)
+        os.utime(dst, (now - 60 + 30 * i, now - 60 + 30 * i))
+
+    stream = (
+        spark.readStream.schema(schema_ts)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/all")
+    )
+    q = (
+        dedup_stream(stream, watermark=("ts", "10 minutes"))
+        .writeStream.format("memory")
+        .queryName("wdedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.table("wdedup_sink").collect()}
+    assert kept == {0, 1, 3}  # doc 2's duplicate suppressed cross-batch
