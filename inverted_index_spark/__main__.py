@@ -73,6 +73,19 @@ def main(argv: list[str] | None = None) -> int:
         help="register a field index for name:value clauses "
         "(repeatable; build with build_field_indexes)",
     )
+    s_mlt = sub.add_parser(
+        "mlt", help="more-like-this: rank docs similar to DOC_ID by BM25 over "
+        "its most characteristic terms (build with --store-text)"
+    )
+    s_mlt.add_argument("store_root")
+    s_mlt.add_argument("doc_id", type=int)
+    s_mlt.add_argument("-k", type=int, default=10)
+    s_mlt.add_argument("--n-terms", type=int, default=10)
+    s_top = sub.add_parser(
+        "top-terms", help="k highest-document-frequency dictionary terms"
+    )
+    s_top.add_argument("store_root")
+    s_top.add_argument("-k", type=int, default=20)
     s_compact = sub.add_parser(
         "compact", help="merge live segments (min_files=1 also consolidates "
         "a single fragmented segment) and delete tombstoned data"
@@ -148,6 +161,21 @@ def main(argv: list[str] | None = None) -> int:
 
         for row in phrase_match(spark, store, args.tokens, slop=args.slop).collect():
             print(f"{row['doc_id']}\t{row['n_matches']}")
+        return 0
+    if args.cmd == "mlt":
+        from inverted_index_spark.operators.bm25 import more_like_this
+
+        rows = more_like_this(
+            spark, store, args.doc_id, n_terms=args.n_terms, k=args.k
+        ).collect()
+        for row in rows:
+            print(f"{row['doc_id']}\t{row['score']:.6f}")
+        return 0
+    if args.cmd == "top-terms":
+        from inverted_index_spark.operators.query import top_terms
+
+        for row in top_terms(spark, store, k=args.k).collect():
+            print(f"{row['term']}\t{row['df']}")
         return 0
     if args.cmd == "query":
         from inverted_index_spark.operators.search import Searcher
