@@ -305,6 +305,15 @@ def _q_phrase_bm25_topk(spark, sf):
     return t.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _q_phrase_slop_bm25_topk(spark, sf):
+    """Round-4: the two-stage query with a SLOPPY positional filter
+    (each word may lag <= 2 slots) — sloppy PhraseQuery + similarity."""
+    from inverted_index_spark.operators.positions import phrase_bm25_topk
+
+    t = phrase_bm25_topk(spark, _store_for(spark, sf), PHRASE, k=10, slop=2)
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_terms_regex(spark, sf):
     return _query.read_terms_regex(spark, _store_for(spark, sf), "[a-z]*ow")
 
@@ -725,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _q_winnow_pairs,
         "phrase_match": _q_phrase_match,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
+        "phrase_slop_bm25_topk": _q_phrase_slop_bm25_topk,
         "phrase_snippets": _q_phrase_snippets,
         "ii_read_terms_regex": _q_terms_regex,
         "bm25_topk_text": _q_bm25_topk_text,
@@ -1184,6 +1194,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, round(raw_score, 4) AS score "
             f"FROM ({_bm25_contrib_sql(PHRASE)}) "
             f"WHERE doc_id IN (SELECT doc_id FROM ({_PHRASE_SQL})) "
+            "ORDER BY raw_score DESC, doc_id ASC LIMIT 10"
+        ),
+        "phrase_slop_bm25_topk": (
+            f"SELECT doc_id, round(raw_score, 4) AS score "
+            f"FROM ({_bm25_contrib_sql(PHRASE)}) "
+            "WHERE doc_id IN (SELECT doc_id FROM ("
+            "SELECT doc_id, len(list_filter(generate_series(1, len(t)), "
+            f"i -> t[i] = '{PHRASE[0]}' AND len(list_filter("
+            "generate_series(i + 1, least(i + 3, len(t))), "
+            f"j -> t[j] = '{PHRASE[1]}')) > 0))::BIGINT AS n_matches "
+            f"FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)) "
+            "WHERE n_matches > 0) "
             "ORDER BY raw_score DESC, doc_id ASC LIMIT 10"
         ),
         "ii_read_terms_regex": (

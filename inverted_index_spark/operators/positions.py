@@ -633,16 +633,17 @@ def phrase_bm25_topk(
     store: SegmentStore,
     phrase: list[str],
     k: int = 10,
+    slop: int = 0,
 ) -> DataFrame:
-    """Top-k BM25 over docs containing the exact phrase: the classic
-    two-stage phrase query (Lucene PhraseQuery + similarity): the
-    positional intersection FILTERS, BM25 over the phrase's distinct
-    terms RANKS. Ties break (score DESC, doc_id ASC) like every other
-    top-k in the engine; compiles to TakeOrdered after a semi-join of
-    the score stream against the (small) match set."""
+    """Top-k BM25 over docs containing the phrase (exact, or sloppy
+    with ``slop``): the classic two-stage phrase query (Lucene
+    PhraseQuery + similarity): the positional match FILTERS, BM25 over
+    the phrase's distinct terms RANKS. Ties break (score DESC, doc_id
+    ASC) like every other top-k in the engine; compiles to TakeOrdered
+    after a semi-join of the score stream against the match set."""
     from inverted_index_spark.operators.bm25 import bm25_scores
 
-    matches = phrase_match(spark, store, phrase).select("doc_id")
+    matches = phrase_match(spark, store, phrase, slop=slop).select("doc_id")
     scores = bm25_scores(spark, store, sorted(set(phrase)))
     return (
         scores.join(matches, "doc_id", "leftsemi")

@@ -141,3 +141,14 @@ def test_term_bloom_filter_written(spark, tmp_path, monkeypatch):
     # reads through the bloom-bearing store stay exact
     m = matching_rows(spark, s_bloom, ["u0", "u42", "nosuchterm"])
     assert {r["term"] for r in m.select("term").collect()} == {"u0", "u42"}
+
+
+def test_ranked_topk_compiles_to_take_ordered(spark, store):
+    """ranked_topk's final orderBy().limit() must compile to
+    TakeOrderedAndProject (per-partition heaps + k-row merge), never a
+    global sort materialization."""
+    from inverted_index_spark.operators.boolean import ranked_topk
+    from inverted_index_spark.plans import formatted_plan
+
+    df = ranked_topk(spark, store, "w00000 OR w00001", k=5)
+    assert "TakeOrderedAndProject" in formatted_plan(df)

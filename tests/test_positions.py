@@ -462,3 +462,18 @@ def test_more_like_this(spark, pos_store):
     assert got == ref
     with pytest.raises(KeyError):
         more_like_this(spark, pos_store, 999)
+
+
+def test_phrase_bm25_topk_slop(spark, pos_store):
+    """slop=0 ≡ the exact phrase ranking; slop widens the filter set
+    but scoring terms stay the phrase's distinct terms."""
+    from inverted_index_spark.operators.positions import phrase_bm25_topk
+
+    exact = [(r["doc_id"], round(r["score"], 9))
+             for r in phrase_bm25_topk(spark, pos_store, ["quick", "brown"], k=10).collect()]
+    s0 = [(r["doc_id"], round(r["score"], 9))
+          for r in phrase_bm25_topk(spark, pos_store, ["quick", "brown"], k=10, slop=0).collect()]
+    assert exact == s0
+    sloppy = {r["doc_id"] for r in
+              phrase_bm25_topk(spark, pos_store, ["quick", "fox"], k=10, slop=2).collect()}
+    assert sloppy == set(oracle_sloppy(["quick", "fox"], 2))
