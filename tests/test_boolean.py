@@ -411,3 +411,32 @@ def test_fielded_evaluate(spark, bstore, tmp_path):
         evaluate(spark, bstore, Field("nope", Term("x")), field_stores=fs)
     with pytest.raises(ValueError, match="unknown field"):
         evaluate(spark, bstore, parse_query("lang:en"))
+
+
+def test_ranked_and_facets_with_field_filters(spark, bstore, tmp_path):
+    """ranked_topk / facet_counts compose with Field clauses: the
+    field filters, only text-side terms score."""
+    from inverted_index_spark.operators.bm25 import bm25_scores
+    from inverted_index_spark.operators.boolean import facet_counts, ranked_topk
+    from inverted_index_spark.operators.build import build_field_indexes
+
+    meta = spark.createDataFrame(
+        [(d, ["en", "de"][d % 2]) for d, _ in DOCS], "doc_id long, lang string"
+    )
+    fs = build_field_indexes(spark, meta, str(tmp_path / "f2"), ["lang"], bucket_size=4)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in ranked_topk(spark, bstore, "quick lang:en", field_stores=fs).collect()
+    ]
+    want_set = py_eval(Term("quick")) & {0, 2, 4}
+    assert {d for d, _ in got} == want_set
+    ref = {r["doc_id"]: r["score"] for r in bm25_scores(spark, bstore, ["quick"]).collect()}
+    assert all(abs(s - ref[d]) < 1e-12 for d, s in got)  # lang never scores
+    docs_df = spark.createDataFrame(DOCS, "doc_id long, text string").join(meta, "doc_id")
+    fc = {
+        r["lang"]: r["n_docs"]
+        for r in facet_counts(
+            spark, bstore, "quick lang:en", docs_df, "lang", field_stores=fs
+        ).collect()
+    }
+    assert fc == {"en": len(want_set)}
