@@ -455,7 +455,9 @@ def _q_stream_dedup(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise RuntimeError("stream dedup did not finish in 180s")
     return spark.table(name).select("fingerprint").distinct().orderBy("fingerprint")
 
 

@@ -148,7 +148,9 @@ def main(argv: list[str] | None = None) -> int:
                     raise SystemExit(f"--field wants NAME=STORE_ROOT, got {spec!r}")
                 field_stores[name] = SegmentStore(froot)
         if args.rank:
-            for row in ranked_topk(spark, store, args.query, k=args.k).collect():
+            for row in ranked_topk(
+                spark, store, args.query, k=args.k, field_stores=field_stores
+            ).collect():
                 print(f"{row['doc_id']}\t{row['score']:.6f}")
             return 0
         for row in evaluate(

@@ -83,10 +83,16 @@ class Field:
     subtree against the FIELD's index instead of the default one.
     Fields are separate (small) stores built over the metadata column —
     ``lang:en`` reads the lang index's postings, it never scans
-    documents. Requires ``field_stores`` at evaluate() time."""
+    documents. Requires ``field_stores`` at evaluate() time.
+
+    ``raw`` keeps the original colon word (``error:timeout``) so that
+    when NO fields are registered at all, evaluate can fall back to the
+    pre-fielded plain-text reading instead of erroring; it never
+    participates in node equality."""
 
     name: str
     clause: object
+    raw: str | None = field(default=None, compare=False)
 
 
 def _lex(s: str) -> list:
@@ -224,6 +230,17 @@ def parse_query(s: str):
                 break
             if is_word(t, "AND"):
                 take()
+                nxt = peek()
+                if (
+                    not nodes
+                    or nxt is None
+                    or nxt == ")"
+                    or is_word(nxt, "OR")
+                    or is_word(nxt, "AND")
+                ):
+                    # mirror the dangling-OR strictness: 'a AND',
+                    # 'AND a', 'a AND AND b' are malformed
+                    raise ValueError(f"dangling AND in query: {s!r}")
                 continue
             nodes.append(parse_unary())
         nodes = [n for n in nodes if n is not None]
@@ -274,7 +291,8 @@ def parse_query(s: str):
             fname, rest = m.group(1), m.group(2)
             if rest:
                 node = _word_node(rest)
-            elif peek() is not None and not isinstance(peek(), str) and peek()[0] == '"':
+                return None if node is None else Field(fname, node, raw=word)
+            if peek() is not None and not isinstance(peek(), str) and peek()[0] == '"':
                 node = parse_primary()  # field:"quoted phrase"
             else:
                 raise ValueError(f"field {fname!r} has no value in query: {s!r}")
@@ -327,10 +345,23 @@ def _matches(
 def _eval(spark, store, q, lo, hi, searcher=None, field_stores=None) -> DataFrame:
     if isinstance(q, Field):
         if not field_stores or q.name not in field_stores:
+            if not field_stores and q.raw is not None:
+                # No fields registered at all — this is a plain-text
+                # search, so a colon word ('error:timeout', 'http://x')
+                # keeps its pre-fielded-grammar reading: tokenize the
+                # whole raw word and evaluate that.
+                try:
+                    node = _word_node(q.raw)
+                except ValueError:
+                    node = None
+                if node is not None:
+                    return _eval(spark, store, node, lo, hi, searcher, field_stores)
+            clause = q.raw or f"{q.name}:…"
             known = sorted(field_stores or [])
             raise ValueError(
-                f"unknown field {q.name!r} (field_stores has {known}); "
-                "build one per field with build_field_indexes"
+                f"unknown field {q.name!r} in clause {clause!r} "
+                f"(field_stores has {known}); build one per field with "
+                "build_field_indexes and pass it via field_stores"
             )
         # the subtree runs against the FIELD's index; the default
         # store's searcher caches don't apply there

@@ -403,6 +403,12 @@ def phrase_match_rows(
             return pd.DataFrame(
                 {"doc_id": pd.Series(dtype="int64"), "n_matches": pd.Series(dtype="int64")}
             )
+        # Pre-compaction stores can hold the same doc's positions in two
+        # live segments (same overlap bm25_scores dedups); duplicate
+        # (doc_id, adj, off) rows would each be counted by the kernel's
+        # np.unique(return_counts). Grouping is by hash(doc_id), so every
+        # row of a doc is in this group — pandas-side dedup is exact.
+        pdf = pdf.drop_duplicates(["doc_id", "adj", "off"])
         pdf = pdf.sort_values(["doc_id", "adj"], kind="mergesort")
         d, c = sloppy_start_counts(
             pdf["doc_id"].to_numpy(np.int64),

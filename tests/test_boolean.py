@@ -204,6 +204,10 @@ def test_parse_query_or_and_grouping():
     for bad in ["(dog", "dog)", "()", "a OR", '"']:
         with pytest.raises(ValueError):
             parse_query(bad)
+    # dangling AND mirrors dangling OR (ADVICE r4 strictness parity)
+    for bad in ["a AND", "AND a", "a AND AND b", "(a AND)", "a AND OR b"]:
+        with pytest.raises(ValueError, match="dangling AND"):
+            parse_query(bad)
     # a dangling '-' or punctuation-only word is dropped as noise
     assert parse_query("dog -") == Term("dog")
     # all-negative still unanswerable, even via OR/NOT spellings
@@ -406,11 +410,32 @@ def test_fielded_evaluate(spark, bstore, tmp_path):
     q3 = parse_query("lang:de OR source:web")
     got3 = {r["doc_id"] for r in evaluate(spark, bstore, q3, field_stores=fs).collect()}
     assert got3 == {0, 1, 2, 3, 4, 5}
-    # unknown field raises with the known list
+    # unknown field raises with the known list, naming the clause
     with pytest.raises(ValueError, match="unknown field"):
         evaluate(spark, bstore, Field("nope", Term("x")), field_stores=fs)
+    with pytest.raises(ValueError, match=r"unknown field 'lang' in clause 'lang:en'"):
+        evaluate(spark, bstore, parse_query("lang:en"), field_stores={"source": fs["source"]})
+    # a hand-built Field (no raw word) still errors without field_stores
     with pytest.raises(ValueError, match="unknown field"):
-        evaluate(spark, bstore, parse_query("lang:en"))
+        evaluate(spark, bstore, Field("lang", Term("en")))
+
+
+def test_colon_word_plain_text_fallback(spark, bstore):
+    """With NO field_stores at all, a colon word keeps the pre-fielded
+    plain-text reading: 'quick:dog' means AND(quick, dog), not an
+    unknown-field error (the grammar-regression case in ADVICE r4)."""
+    from inverted_index_spark.operators.boolean import parse_query
+
+    got = {
+        r["doc_id"]
+        for r in evaluate(spark, bstore, parse_query("quick:dog")).collect()
+    }
+    assert got == py_eval(Term("quick")) & py_eval(Term("dog"))
+    # tokens absent from the corpus → empty result, still no error
+    assert evaluate(spark, bstore, parse_query("lang:en")).count() == 0
+    # http://x style: scheme word no longer raises — whole word is
+    # tokenized (and(http, quick) → no doc has 'http' → empty)
+    assert evaluate(spark, bstore, parse_query("http://quick")).count() == 0
 
 
 def test_ranked_and_facets_with_field_filters(spark, bstore, tmp_path):

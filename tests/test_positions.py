@@ -370,6 +370,29 @@ def test_phrase_slop_orders_and_errors(spark, pos_store):
         phrase_match(spark, pos_store, ["a", "b"], slop=-1)
 
 
+def test_phrase_slop_multi_segment_keeps_dedup(spark):
+    """Pre-compaction overlap (the same doc's positions live in two
+    segments) must not inflate sloppy counts: duplicate
+    (doc_id, adj, off) rows are dropped before the kernel, mirroring
+    test_bm25_scores_multi_segment_keeps_dedup."""
+    store = SegmentStore(tempfile.mkdtemp(prefix="ii_pos_ovl_") + "/idx")
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_index(spark, df, store, bucket_size=4, positions=True)
+    build_index(spark, df, store, bucket_size=4, positions=True)
+    assert len(store.live_segments()) == 2
+    for phrase, slop in [
+        (["quick", "brown"], 1),
+        (["quick", "fox"], 2),
+        (["the", "dog"], 7),
+        (["quick", "brown", "fox"], 1),
+    ]:
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_match(spark, store, phrase, slop=slop).collect()
+        }
+        assert got == oracle_sloppy(phrase, slop), (phrase, slop)
+
+
 def test_sloppy_kernel_random():
     """sloppy_start_counts (vectorized, multi-doc) vs brute force."""
     import random
