@@ -348,7 +348,7 @@ def main() -> None:
         "n_turns": N_TURNS,
         "cpus": CPUS,
     }
-    out = {
+    full = {
         "metric": "ii_spark_headline_total",
         "value": total,
         "unit": "sec",
@@ -360,8 +360,41 @@ def main() -> None:
         "derived": derived,
     }
     if xl is not None:
-        out["xl"] = xl
-    print(json.dumps(out))
+        full["xl"] = xl
+    # The grading driver keeps only the last ~2000 stdout chars and
+    # json-parses the final line; round-4's full object outgrew that
+    # window (BENCH_r04 parsed=null). Persist everything to a file and
+    # keep the LAST printed line compact: headline + per-query timings
+    # + derived throughputs + the throttled-leg flags.
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"),
+                exist_ok=True)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": full["sf"],
+        "derived": derived,
+        "throttled": bench.throttled,
+        "full": "BENCH/last_run.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # never outgrow the driver's tail window again
+        compact.pop("throttled", None)
+        line = json.dumps(compact)
+        if len(line) > 1900:
+            compact["queries"] = {
+                k: v for k, v in sorted(
+                    timings.items(), key=lambda kv: -kv[1]
+                )[:12]
+            }
+            line = json.dumps(compact)
+    print(line)
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
 
