@@ -292,8 +292,31 @@ def _q_values_prefix(spark, sf):
     return _query.read_values_prefix(spark, _store_for(spark, sf), "sp", 50, 300)
 
 
+_NEAR_PAIRS: dict[str, DataFrame] = {}
+_NEAR_CC: dict[str, DataFrame] = {}
+
+
 def _near_pairs(spark, sf):
-    return _dedup.minhash_lsh_pairs(_docs(spark, sf), threshold=0.3)
+    # memoized per (process, sf): dedup_clusters and
+    # dedup_cluster_survivors share one minhash pass (driver-budget
+    # economy for the correctness gate; persisted, tiny at test SFs)
+    if sf not in _NEAR_PAIRS:
+        p = _dedup.minhash_lsh_pairs(_docs(spark, sf), threshold=0.3).persist()
+        p.count()
+        _NEAR_PAIRS[sf] = p
+    return _NEAR_PAIRS[sf]
+
+
+def _near_cc(spark, sf):
+    """Memoized connected components over _near_pairs — shared by the
+    clusters and survivors entries (one star iteration, not two)."""
+    from inverted_index_spark.operators.clustering import connected_components
+
+    if sf not in _NEAR_CC:
+        cc = connected_components(_near_pairs(spark, sf)).persist()
+        cc.count()
+        _NEAR_CC[sf] = cc
+    return _NEAR_CC[sf]
 
 
 def _q_phrase_bm25_topk(spark, sf):
@@ -536,19 +559,25 @@ def _q_dedup_clusters(spark, sf):
     """Near-dup clusters: MinHash-LSH pairs → alternating-star
     connected components (operators.clustering) — every clustered doc
     labeled with its component's min doc_id."""
-    from inverted_index_spark.operators.clustering import connected_components
-
-    cc = connected_components(_near_pairs(spark, sf))
+    cc = _near_cc(spark, sf)
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     ).orderBy("doc_id")
 
 
 def _q_dedup_cluster_survivors(spark, sf):
-    """Corpus minus non-minimum members of every near-dup cluster."""
-    from inverted_index_spark.operators.clustering import dedup_survivors
-
-    kept = dedup_survivors(_docs(spark, sf), _near_pairs(spark, sf))
+    """Corpus minus non-minimum members of every near-dup cluster
+    (dedup_survivors semantics over the memoized component labels —
+    same losers anti-join, one shared star iteration per sf)."""
+    docs = _docs(spark, sf)
+    losers = (
+        _near_cc(spark, sf)
+        .where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("_loser"))
+    )
+    kept = docs.join(
+        losers, on=docs["doc_id"].cast("long") == losers["_loser"], how="left_anti"
+    )
     return kept.select("doc_id").orderBy("doc_id")
 
 
@@ -631,6 +660,40 @@ def _q_ann_lsh(spark, sf):
     return _sim.ann_lsh_topk_indexed(spark, _LSH_INDEXES[sf], [float(x) for x in qv], k=10)
 
 
+_IVF_INDEXES: dict[str, str] = {}
+
+
+def _q_ivf_topk(spark, sf):
+    """ANN over a PERSISTED IVF index (k-means coarse quantizer,
+    partition-pruned nprobe scan). Approximate by design, so no SQL
+    oracle; SELF-CHECKING instead: nprobe=n_lists degenerates to an
+    exact scan, which is asserted row-identical against brute-force
+    cosine_topk before the nprobe<n_lists result is returned."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    if sf not in _IVF_INDEXES:
+        d = tempfile.mkdtemp(prefix="ii_ivf_") + "/ivf"
+        _sim.build_ivf_index(emb, d, n_lists=8)
+        _IVF_INDEXES[sf] = d
+    d = _IVF_INDEXES[sf]
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    exact = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in _sim.ivf_topk(spark, d, qv, k=10, nprobe=8).collect()
+    ]
+    brute = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in _sim.cosine_topk(emb, qv, k=10).collect()
+    ]
+    if exact != brute:
+        raise AssertionError(
+            f"ivf_topk self-check failed: nprobe=n_lists {exact} != brute {brute}"
+        )
+    return _sim.ivf_topk(spark, d, qv, k=10, nprobe=2)
+
+
 def _q_index_summary(spark, sf):
     """U1 PrintSummary analog (reference single/summary.go:9-54) —
     per-segment stats from the manifest."""
@@ -706,6 +769,10 @@ def _q_media_stats(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order matters for the driver's time-budgeted correctness gate:
+    # the core index reads come first (they also pay the one-time
+    # store build), then the entries that were crowded out of round 4's
+    # window, then the rest — so no entry goes two rounds without a row.
     return {
         "ii_read_terms": _q_read_terms,
         "ii_read_values_or": _q_read_values_or,
@@ -719,6 +786,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": _q_bm25_topk_wand,
         "bm25_topk_batch": _q_bm25_topk_batch,
         "read_values_batch": _q_read_values_batch,
+        # --- round-4's crowded-out block, promoted ---
+        "terms_within_window": _q_terms_within_window,
+        "ii_read_terms_prefix": _q_terms_prefix,
+        "ii_read_values_prefix": _q_values_prefix,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
+        "sample_stratified": _q_sample_stratified,
+        "pack_sequences": _q_pack_sequences,
+        "corpus_pipeline": _q_corpus_pipeline,
+        "ts_index_range": _q_ts_index_range,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ivf_topk": _q_ivf_topk,
+        "media_stats": _q_media_stats,
+        "index_summary": _q_index_summary,
+        "transcripts_bm25": _q_transcripts_bm25,
+        # --- the rest (green r4 rows) ---
         "dedup_fingerprints": _q_dedup_fingerprints,
         "dedup_exact_keep": _q_dedup_exact_keep,
         "simhash_values": _q_simhash_values,
@@ -757,19 +840,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _q_top_terms,
         "ii_read_values_regex": _q_read_values_regex,
         "ii_read_terms_suffix": _q_read_terms_suffix,
-        "terms_within_window": _q_terms_within_window,
-        "ii_read_terms_prefix": _q_terms_prefix,
-        "ii_read_values_prefix": _q_values_prefix,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
-        "sample_stratified": _q_sample_stratified,
-        "pack_sequences": _q_pack_sequences,
-        "corpus_pipeline": _q_corpus_pipeline,
-        "ts_index_range": _q_ts_index_range,
-        "ann_lsh_topk": _q_ann_lsh,
-        "media_stats": _q_media_stats,
-        "index_summary": _q_index_summary,
-        "transcripts_bm25": _q_transcripts_bm25,
     }
 
 

@@ -191,6 +191,36 @@ def _bench_corpus(spark, bench: Bench, tmp: str, tag: str, n_turns: int, queries
             }
         ).count(),
     )
+
+    # corpus-size amortization rows for the ops round 3 flagged as
+    # fixed-cost-dominated (round-5): the SAME transcript-corpus op at
+    # the main and xl sizes, so the xl/main ratio is direct evidence.
+    # The positions build here is UNTIMED (build_positions covers it).
+    from inverted_index_spark.operators.dedup import minhash_lsh_pairs
+    from inverted_index_spark.operators.positions import (
+        phrase_match,
+        terms_within_window,
+    )
+
+    pos_store = fresh_store("pos_tx")
+    build_index(spark, tx, pos_store, bucket_size=bucket, positions=True)
+
+    def _phrases_tx():
+        phrase_match(spark, pos_store, ["w00000", "w00001"]).count()
+        phrase_match(spark, pos_store, ["w00010", "w00011"]).count()
+
+    bench.run(f"phrase_match_tx{tag}", _phrases_tx)
+
+    def _proximity_tx():
+        terms_within_window(spark, pos_store, ["w00000", "w00002"], 20).count()
+        phrase_match(spark, pos_store, ["w00000", "w00002"], slop=3).count()
+
+    bench.run(f"proximity_tx{tag}", _proximity_tx)
+
+    bench.run(
+        f"minhash_dedup_tx{tag}",
+        lambda: minhash_lsh_pairs(tx, threshold=0.5).count(),
+    )
     return searcher
 
 

@@ -113,7 +113,12 @@ def encode_postings(
     whose [first_doc, last_doc] window intersects the query range —
     the reference's preselectSegments (single/single.go:615-657).
     """
-    d = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    arr = np.ascontiguousarray(doc_ids)
+    # ids may be SIGNED (sorted by Spark's long order; negatives are
+    # the wrapped upper half of uint64 — round-5 value-index support).
+    # Encode their two's-complement BIT PATTERN: uint64 deltas wrap
+    # modularly, so decode's uint64 cumsum reproduces the exact bits.
+    d = arr if arr.dtype == np.uint64 else arr.astype(np.int64).view(np.uint64)
     t = np.ascontiguousarray(tfs, dtype=np.uint64)
     l = np.ascontiguousarray(dls, dtype=np.uint64)
     n = len(d)
@@ -135,10 +140,11 @@ def encode_postings(
     p_csum = np.concatenate(([0], np.cumsum(p_len)))
     t_csum = np.concatenate(([0], np.cumsum(t_len)))
     l_csum = np.concatenate(([0], np.cumsum(l_len)))
+    ds = d.view(np.int64)  # block stats live in the SIGNED schema domain
     blocks = [
         {
-            "first_doc": int(d[s]),
-            "last_doc": int(d[e - 1]),
+            "first_doc": int(ds[s]),
+            "last_doc": int(ds[e - 1]),
             "n": int(e - s),
             "max_tf": int(max_tf[i]),
             "min_dl": int(min_dl[i]),
@@ -167,7 +173,10 @@ def decode_postings(
     if blocks is None or len(blocks) == 0:
         z = np.zeros(0, dtype=np.uint64)
         return z, z, z
-    lo = -1 if min_doc is None else min_doc
+    # range semantics are SIGNED int64 — negative ids (the wrapped
+    # uint64 upper half used by unsigned value indexes) compare like
+    # the Spark long schema they live in
+    lo = np.iinfo(np.int64).min if min_doc is None else min_doc
     hi = np.iinfo(np.int64).max if max_doc is None else max_doc
     p = np.frombuffer(postings, dtype=np.uint8)
     t = np.frombuffer(tfs, dtype=np.uint8)
@@ -194,6 +203,7 @@ def decode_postings(
     tf = np.concatenate(tf_parts)
     dl = np.concatenate(dl_parts)
     if min_doc is not None or max_doc is not None:
-        m = (d >= np.uint64(max(lo, 0))) & (d <= np.uint64(hi))
+        dv = d.view(np.int64)
+        m = (dv >= np.int64(lo)) & (dv <= np.int64(hi))
         d, tf, dl = d[m], tf[m], dl[m]
     return d, tf, dl

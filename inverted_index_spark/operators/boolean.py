@@ -363,9 +363,15 @@ def _eval(spark, store, q, lo, hi, searcher=None, field_stores=None) -> DataFram
                 f"(field_stores has {known}); build one per field with "
                 "build_field_indexes and pass it via field_stores"
             )
-        # the subtree runs against the FIELD's index; the default
-        # store's searcher caches don't apply there
-        return _eval(spark, field_stores[q.name], q.clause, lo, hi, None, field_stores)
+        # the subtree runs against the FIELD's index; with an open
+        # Searcher, ride its warm per-field sub-searcher (round-5)
+        # instead of a fresh store scan per query
+        sub = (
+            searcher.field_searcher(q.name, field_stores[q.name])
+            if searcher is not None
+            else None
+        )
+        return _eval(spark, field_stores[q.name], q.clause, lo, hi, sub, field_stores)
     if isinstance(q, Term):
         if searcher is not None:
             return searcher.read_values([q.term], lo, hi)

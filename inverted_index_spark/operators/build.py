@@ -266,6 +266,7 @@ def build_index_from_tokens(
     shuffle: bool = True,
     positions_df: DataFrame | None = None,
     texts_df: DataFrame | None = None,
+    allow_negative_ids: bool = False,
 ) -> str:
     """Encode + write + commit one immutable segment. Returns segment_id.
 
@@ -397,13 +398,20 @@ def build_index_from_tokens(
     agg = obs.get
     if not agg["n_terms"]:
         raise ErrEmptyIndex("refusing to commit an empty segment")
-    if agg["min_doc"] is not None and int(agg["min_doc"]) < 0:
-        # the reference indexes any cmp.Ordered V incl. full uint64
-        # (README.md:7); this engine pins postings to SIGNED 64-bit doc
-        # ids (LongType schema). A uint64 id ≥ 2^63 arrives wrapped
-        # negative — reject loudly instead of committing ids that
-        # break sort order, bucketing, and range reads. Ids up to
-        # 2^63-1 round-trip exactly (boundary-tested).
+    if (
+        not allow_negative_ids
+        and agg["min_doc"] is not None
+        and int(agg["min_doc"]) < 0
+    ):
+        # DOC ids are pinned to [0, 2^63-1] (LongType schema): a uint64
+        # id ≥ 2^63 arrives wrapped negative and would silently break
+        # the doc-id bucketing/hydration contract — reject loudly.
+        # VALUE indexes (reference parity: any cmp.Ordered V incl. full
+        # uint64, README.md:7) opt out via allow_negative_ids: the
+        # round-5 codec encodes two's-complement bit patterns exactly
+        # and compares in signed-long order, and build_value_index's
+        # unsigned=True maps uint64 order onto that signed order by
+        # flipping the sign bit.
         raise ValueError(
             f"negative doc_id {int(agg['min_doc'])} in segment: doc ids "
             "must be in [0, 2^63-1] (uint64 ids >= 2^63 are not "
@@ -497,6 +505,7 @@ def build_value_index(
     bucket_size: int = DEFAULT_BUCKET_SIZE,
     block_size: int = DEFAULT_BLOCK,
     build_id: str = "",
+    unsigned: bool = False,
 ) -> str:
     """Generic ordered-V indexing: term → sorted unique VALUES, where
     the value is any orderable long — the reference's headline use
@@ -507,10 +516,22 @@ def build_value_index(
     ``read_values(types, t0, t1)`` is then a time-range scan with the
     same block pruning as doc-id ranges. tf/dl are set to 1 (values
     carry no BM25 semantics; R5/R10/R11 are the query surface).
+
+    ``unsigned=True`` (round-5, full-uint64 reference parity): the long
+    column is treated as the WRAPPED two's-complement image of a
+    uint64. Values are stored sign-bit-flipped (``v XOR 2^63``), which
+    maps uint64 order onto the engine's signed-long order exactly, so
+    sorting, bucketing, block pruning, and range reads all stay
+    correct across the 2^63 boundary. Query through
+    ``operators.query.read_values_unsigned`` (same flip on the bounds,
+    inverse flip on the results — you get your wrapped longs back).
     """
+    val = F.col(value_col).cast("long")
+    if unsigned:
+        val = val.bitwiseXOR(F.lit(-(1 << 63)))
     tokens = rows.select(
         F.col(term_col).cast("string").alias("term"),
-        F.col(value_col).cast("long").alias("doc_id"),
+        val.alias("doc_id"),
         F.lit(1).alias("tf"),
         F.lit(1).cast("long").alias("dl"),
     ).where(F.col("term").isNotNull() & F.col("doc_id").isNotNull())
@@ -518,6 +539,7 @@ def build_value_index(
     return build_index_from_tokens(
         spark, tokens, dstats, store,
         bucket_size=bucket_size, block_size=block_size, build_id=build_id,
+        allow_negative_ids=unsigned,
     )
 
 

@@ -83,7 +83,7 @@ def connected_components(
             F.col(a_col).cast("long").alias("u"),
             F.col(b_col).cast("long").alias("v"),
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     def _sig(df: DataFrame) -> tuple[int, int]:
         row = df.agg(
@@ -94,7 +94,10 @@ def connected_components(
 
     prev_sig = None
     for _ in range(max_rounds):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        # lazy checkpoint: materialized by the _sig action right below,
+        # so each round costs ONE job instead of two (eager checkpoint
+        # runs its own) — lineage is truncated identically either way
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         sig = _sig(new_edges)
         # the (count, hash-sum) signature is only a cheap PRE-FILTER: a
         # hash-sum collision between different edge sets would declare

@@ -119,6 +119,36 @@ def read_all_values(spark: SparkSession, store: SegmentStore, terms: list[str]) 
     return read_values(spark, store, terms)
 
 
+def _flip_sign_bit(w: int) -> int:
+    """int64 two's-complement sign-bit flip (order map between uint64
+    and signed-long domains); stays within Python-int int64 range."""
+    k = (int(w) & ((1 << 64) - 1)) ^ (1 << 63)
+    return k - (1 << 64) if k >= (1 << 63) else k
+
+
+def read_values_unsigned(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    min_val: int | None = None,
+    max_val: int | None = None,
+) -> DataFrame:
+    """R10 over a ``build_value_index(..., unsigned=True)`` store:
+    bounds and results use the WRAPPED-long image of uint64 values
+    with UNSIGNED range semantics (full-uint64 reference parity,
+    README.md:7). Bounds are sign-bit-flipped into the stored signed
+    order, the read range-prunes as usual, and the result column is
+    flipped back — sorted in UNSIGNED order."""
+    lo = None if min_val is None else _flip_sign_bit(min_val)
+    hi = None if max_val is None else _flip_sign_bit(max_val)
+    vals = read_values(spark, store, terms, lo, hi)
+    # result is sorted in stored (flipped) order == unsigned order;
+    # flip back per row, keep that order
+    return vals.select(
+        F.col("doc_id").bitwiseXOR(F.lit(-(1 << 63))).alias("doc_id")
+    )
+
+
 def read_terms_prefix(
     spark: SparkSession, store: SegmentStore, prefix: str
 ) -> DataFrame:

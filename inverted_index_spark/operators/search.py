@@ -45,6 +45,7 @@ class Searcher:
         self._df_memo: dict[str, int] = {}
         self._df_complete = False
         self._single_segment = len(store.live_segments()) <= 1
+        self._field_subs: dict[tuple[str, str], "Searcher"] = {}
 
     # ------------------------------------------------------------- open ---
     def open(self, preload_dfs_max_terms: int = 100_000) -> "Searcher":
@@ -80,6 +81,17 @@ class Searcher:
                 self._df_complete = True
         return self
 
+    def field_searcher(self, name: str, store: SegmentStore) -> "Searcher":
+        """Warm per-field sub-searcher (round-5): Field clauses in
+        boolean.evaluate ride a cached sub-Searcher instead of a fresh
+        store scan per query — the same open-once query-many shape the
+        default store gets. Keyed by (name, root) so a refreshed
+        field_stores map re-opens; closed with the parent."""
+        key = (name, store.root)
+        if key not in self._field_subs:
+            self._field_subs[key] = Searcher(self.spark, store).open()
+        return self._field_subs[key]
+
     def close(self) -> None:
         if self._postings is not None:
             self._postings.unpersist()
@@ -90,6 +102,9 @@ class Searcher:
         if getattr(self, "_positions", None) is not None:
             self._positions.unpersist()
             self._positions = None
+        for sub in self._field_subs.values():
+            sub.close()
+        self._field_subs.clear()
 
     def refresh(self) -> "Searcher":
         """Re-open against the CURRENT manifest snapshot. A Searcher

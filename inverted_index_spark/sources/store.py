@@ -90,6 +90,26 @@ class ErrMergeConflict(RuntimeError):
 class SegmentStore:
     root: str
 
+    def __post_init__(self) -> None:
+        # M1 parity (multiple/multiple_index.go:448,466-487): opening an
+        # EXISTING index directory validates it's a readable+writable
+        # directory up front, so misconfiguration fails with a clear
+        # error instead of a mid-job task failure. A missing root is
+        # fine — builds create it.
+        if not os.path.exists(self.root):
+            return
+        if not os.path.isdir(self.root):
+            raise NotADirectoryError(
+                f"index path is not a directory: {self.root}"
+            )
+        # mode-bit checks like the reference (os.access is useless under
+        # uid 0 — root passes every access() check regardless of mode)
+        mode = os.stat(self.root).st_mode
+        if not mode & 0o222:
+            raise PermissionError(f"index directory is not writable: {self.root}")
+        if not mode & 0o444:
+            raise PermissionError(f"index directory is not readable: {self.root}")
+
     # ------------------------------------------------------------ layout
     def seg_dir(self, segment_id: str) -> str:
         return os.path.join(self.root, "segments", segment_id)

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -44,19 +45,22 @@ def main(sf_dir: str, only: list[str] | None = None):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    times: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        _t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
+            times[name] = round(time.time() - _t0, 2)
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             continue
         if name not in oracles:
-            print(f"ok?   {name}: rows-only ({len(srows)} rows)")
+            print(f"ok?   {name}: rows-only ({len(srows)} rows) [{times[name]}s]")
             continue
         try:
             ddf = con.execute(oracles[name])
@@ -85,7 +89,11 @@ def main(sf_dir: str, only: list[str] | None = None):
             failures.append((name, f"value mismatch, first diffs {diff}"))
             print(f"FAIL  {name}: values differ, e.g. {diff}")
             continue
-        print(f"OK    {name}: {len(s_norm)} rows")
+        times[name] = round(time.time() - _t0, 2)
+        print(f"OK    {name}: {len(s_norm)} rows [{times[name]}s]")
+    slow = sorted(times.items(), key=lambda kv: -kv[1])[:15]
+    print("\nslowest:", ", ".join(f"{n}={t}s" for n, t in slow))
+    print(f"total {round(sum(times.values()), 1)}s over {len(times)} timed entries")
     print(f"\n{len(failures)} failures")
     return 1 if failures else 0
 

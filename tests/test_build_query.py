@@ -244,3 +244,36 @@ def test_fragment_build_equals_shuffled(spark, tmp_path):
     merged_rows = b.read_postings(spark)
     assert merged_rows.count() == merged_rows.select("bucket", "term").distinct().count()
     assert snap(b) == snap(a)
+
+
+def test_store_rejects_bad_directory(tmp_path):
+    """M1 parity (multiple/multiple_index.go:466-487): opening an
+    existing path validates directory-ness and read/write mode bits
+    up front with a clear error."""
+    import os
+
+    f = tmp_path / "a_file"
+    f.write_text("x")
+    with pytest.raises(NotADirectoryError, match="not a directory"):
+        SegmentStore(str(f))
+
+    unwritable = tmp_path / "ro"
+    unwritable.mkdir()
+    os.chmod(unwritable, 0o555)
+    try:
+        with pytest.raises(PermissionError, match="not writable"):
+            SegmentStore(str(unwritable))
+    finally:
+        os.chmod(unwritable, 0o755)
+
+    unreadable = tmp_path / "wo"
+    unreadable.mkdir()
+    os.chmod(unreadable, 0o222)
+    try:
+        with pytest.raises(PermissionError, match="not readable"):
+            SegmentStore(str(unreadable))
+    finally:
+        os.chmod(unreadable, 0o755)
+
+    # a missing root is fine — builds create it
+    SegmentStore(str(tmp_path / "not_yet"))

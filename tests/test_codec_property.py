@@ -92,3 +92,47 @@ def test_positions_roundtrip_property(occ):
     out = list(decode_position_rows(iter([enc])))
     got = sorted(zip(out[0]["term"], out[0]["doc_id"], out[0]["pos"])) if out else []
     assert got == rows
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    docs=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=300,
+        unique=True,
+    ),
+    block_size=st.integers(min_value=1, max_value=64),
+)
+def test_postings_roundtrip_signed_full_domain(docs, block_size):
+    """Round-5 full-uint64 parity: SIGNED ids over the whole int64
+    domain (negatives = the wrapped uint64 upper half, so this covers
+    2^64-1 == -1) round-trip bit-exactly in signed sort order, and
+    signed range pruning is exact across the sign boundary."""
+    d = np.array(sorted(docs), dtype=np.int64)
+    n = len(d)
+    ones = np.ones(n, dtype=np.uint64)
+    p, t, l, blocks = encode_postings(d, ones, ones, block_size=block_size)
+    rd, _, _ = decode_postings(p, t, l, blocks)
+    np.testing.assert_array_equal(rd.view(np.int64), d)
+    assert blocks[0]["first_doc"] == int(d[0])
+    assert blocks[-1]["last_doc"] == int(d[-1])
+    if n >= 2:
+        lo, hi = int(d[n // 3]), int(d[2 * n // 3])
+        pd_, _, _ = decode_postings(p, t, l, blocks, lo, hi)
+        expect = d[(d >= lo) & (d <= hi)]
+        np.testing.assert_array_equal(pd_.view(np.int64), expect)
+
+
+def test_postings_uint64_max_boundary():
+    """2^64-1 (wrapped: -1) and both sides of the 2^63 boundary."""
+    d = np.array(
+        [-(2**63), -(2**63) + 1, -2, -1, 0, 1, 2**63 - 1], dtype=np.int64
+    )
+    ones = np.ones(len(d), dtype=np.uint64)
+    p, t, l, blocks = encode_postings(d, ones, ones, block_size=2)
+    rd, _, _ = decode_postings(p, t, l, blocks)
+    np.testing.assert_array_equal(rd.view(np.int64), d)
+    # signed range read spanning the boundary
+    pd_, _, _ = decode_postings(p, t, l, blocks, -2, 1)
+    np.testing.assert_array_equal(pd_.view(np.int64), [-2, -1, 0, 1])

@@ -235,3 +235,55 @@ def test_read_values_regex_expansion_cap(spark, prefix_store):
     # under the cap the same pattern works
     got = [r["doc_id"] for r in read_values_regex(spark, prefix_store, ".*").collect()]
     assert got == [1, 2, 3, 4, 5, 7, 9]
+
+
+def test_value_index_unsigned_full_uint64(spark):
+    """Round-5 reference parity (README.md:7 — any cmp.Ordered V incl.
+    full uint64): unsigned value indexes store sign-bit-flipped longs,
+    so values in [2^63, 2^64) sort, bucket, prune, and range-read in
+    true UNSIGNED order. Values/bounds use the wrapped-long image."""
+    from inverted_index_spark.operators.build import build_value_index
+    from inverted_index_spark.operators.query import read_values_unsigned
+
+    def wrap(u: int) -> int:  # uint64 → wrapped int64
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    U = [0, 1, 2**62, 2**63 - 1, 2**63, 2**63 + 5, 2**64 - 2, 2**64 - 1]
+    store = SegmentStore(tempfile.mkdtemp(prefix="ii_u64_") + "/idx")
+    df = spark.createDataFrame(
+        [("k", wrap(u)) for u in U], "event_type string, v long"
+    )
+    build_value_index(
+        spark, df, store, "event_type", "v", bucket_size=1 << 30, unsigned=True
+    )
+    got = [
+        r["doc_id"]
+        for r in read_values_unsigned(spark, store, ["k"]).collect()
+    ]
+    assert got == [wrap(u) for u in U]  # unsigned sort order, exact values
+    # unsigned range crossing the 2^63 boundary
+    window = [
+        r["doc_id"]
+        for r in read_values_unsigned(
+            spark, store, ["k"], wrap(2**62), wrap(2**63 + 5)
+        ).collect()
+    ]
+    assert window == [wrap(u) for u in [2**62, 2**63 - 1, 2**63, 2**63 + 5]]
+    # upper-half-only range, incl. 2^64-1
+    top = [
+        r["doc_id"]
+        for r in read_values_unsigned(
+            spark, store, ["k"], wrap(2**64 - 2), wrap(2**64 - 1)
+        ).collect()
+    ]
+    assert top == [wrap(2**64 - 2), wrap(2**64 - 1)]
+    # a SIGNED doc-id build still rejects negatives loudly (guard kept)
+    from inverted_index_spark.operators.build import build_index
+
+    bad = spark.createDataFrame([(-5, "x y")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="negative doc_id"):
+        build_index(
+            spark, bad,
+            SegmentStore(tempfile.mkdtemp(prefix="ii_neg_") + "/idx"),
+            bucket_size=4,
+        )

@@ -141,3 +141,42 @@ def test_searcher_boolean_search(spark, tmp_path):
         ]
         assert cached == cold, qs
     s.close()
+
+
+def test_searcher_fielded_search_warm(spark, tmp_path):
+    """Field clauses through an open Searcher ride warm per-field
+    sub-searchers (round-5): results equal the cold store-scan
+    evaluator, and the warm plan reads the field postings from the
+    cache (no parquet scan of the field store)."""
+    from inverted_index_spark.operators.boolean import evaluate, parse_query
+    from inverted_index_spark.operators.build import build_field_indexes, build_index
+
+    store = SegmentStore(str(tmp_path / "f_idx"))
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "quick brown foxes again quick"),
+            (2, "a lazy dog sleeps"),
+            (3, "brown dog brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    build_index(spark, docs, store, bucket_size=2, positions=True)
+    meta = spark.createDataFrame(
+        [(0, "en"), (1, "de"), (2, "en"), (3, "de")], "doc_id long, lang string"
+    )
+    fs = build_field_indexes(spark, meta, str(tmp_path / "fields"), ["lang"], bucket_size=2)
+    s = Searcher(spark, store).open()
+    for qs in ["quick lang:en", "(dog OR fox) -lang:de", "lang:de"]:
+        warm = [r["doc_id"] for r in s.search(qs, field_stores=fs).collect()]
+        cold = [
+            r["doc_id"]
+            for r in evaluate(spark, store, parse_query(qs), field_stores=fs).collect()
+        ]
+        assert warm == cold, qs
+    # the warm plan must NOT rescan the field store's parquet: its
+    # postings come from the sub-searcher's InMemoryRelation
+    plan = s.search("quick lang:en", field_stores=fs)._jdf.queryExecution().executedPlan().toString()
+    assert fs["lang"].root not in plan
+    assert "InMemoryTableScan" in plan
+    s.close()
