@@ -694,6 +694,79 @@ def _q_ivf_topk(spark, sf):
     return _sim.ivf_topk(spark, d, qv, k=10, nprobe=2)
 
 
+# deterministic delete set for the tombstone entries: sparse ids that
+# exist at every sf (deleting an absent id is a harmless no-op in both
+# the engine and the SQL oracle's NOT IN)
+_DEL_IDS = sorted(range(0, 400, 13))
+_DEL_STORES: dict[str, SegmentStore] = {}
+_DEL_SEARCHERS: dict[str, object] = {}
+
+
+def _del_store_for(spark, sf):
+    """documents index + a committed tombstone batch, once per
+    (process, sf) — the delete entries' shared fixture (the main
+    _store_for store stays untouched: every other entry's oracle
+    assumes the full corpus)."""
+    if sf not in _DEL_STORES:
+        store = SegmentStore(tempfile.mkdtemp(prefix="ii_entry_del_") + "/idx")
+        build_index(spark, _docs(spark, sf), store, bucket_size=1 << 14)
+        store.delete_docs(spark, _DEL_IDS)
+        _DEL_STORES[sf] = store
+    return _DEL_STORES[sf]
+
+
+def _q_delete_read_values(spark, sf):
+    """R10 read over a store with live tombstones (store path, no
+    Searcher): deleted docs vanish from results immediately —
+    delete_docs semantics, sources/store.py + operators.query
+    minus_deletes."""
+    return _query.read_values(spark, _del_store_for(spark, sf), OR_TERMS)
+
+
+def _q_delete_bm25_topk(spark, sf):
+    """BM25 top-k through a Searcher whose open() physically purged
+    the tombstones from the cached postings: scores are EXACTLY those
+    of a fresh build over the surviving corpus (as-if-rebuilt stats),
+    which is what the SQL oracle computes over documents minus the
+    delete set."""
+    if sf not in _DEL_SEARCHERS:
+        from inverted_index_spark.operators.search import Searcher
+
+        _DEL_SEARCHERS[sf] = Searcher(spark, _del_store_for(spark, sf)).open()
+    t = _DEL_SEARCHERS[sf].topk(Q_TERMS, 10, use_wand=True)
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_BM25F_STORES: dict[str, dict] = {}
+_BM25F_W = {"body": 1.0, "meta": 2.0}
+_BM25F_B = {"body": 0.75, "meta": 0.5}
+_BM25F_TERMS = ["spark", "merge", "en"]
+
+
+def _q_bm25f_topk(spark, sf):
+    """BM25F weighted multi-field top-k (operators/bm25f.py, pinned
+    Zaragoza-style contract: field-weighted tf normalization first,
+    ONE k1 saturation, any-field df): body = text (w=1), meta =
+    'source lang' (w=2, b=0.5) — 'en' matches the boosted metadata
+    field and any body occurrences, cross-field."""
+    if sf not in _BM25F_STORES:
+        from inverted_index_spark.operators.bm25f import build_text_field_indexes
+
+        _BM25F_STORES[sf] = build_text_field_indexes(
+            spark,
+            _docs(spark, sf),
+            tempfile.mkdtemp(prefix="ii_bm25f_") + "/f",
+            {"body": "text", "meta": F.concat_ws(" ", "source", "lang")},
+        )
+    from inverted_index_spark.operators.bm25f import bm25f_topk
+
+    t = bm25f_topk(
+        spark, _BM25F_STORES[sf], _BM25F_TERMS, k=10,
+        weights=_BM25F_W, b=_BM25F_B,
+    )
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_index_summary(spark, sf):
     """U1 PrintSummary analog (reference single/summary.go:9-54) —
     per-segment stats from the manifest."""
@@ -798,6 +871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_index_range": _q_ts_index_range,
         "ann_lsh_topk": _q_ann_lsh,
         "ivf_topk": _q_ivf_topk,
+        "delete_read_values": _q_delete_read_values,
+        "delete_bm25_topk": _q_delete_bm25_topk,
+        "bm25f_topk": _q_bm25f_topk,
         "media_stats": _q_media_stats,
         "index_summary": _q_index_summary,
         "transcripts_bm25": _q_transcripts_bm25,
@@ -858,17 +934,23 @@ _QTERMS = "('" + "','".join(Q_TERMS) + "')"
 _ORTERMS = "('" + "','".join(OR_TERMS) + "')"
 
 
-def _bm25_contrib_sql(terms: list[str]) -> str:
+def _bm25_contrib_sql(terms: list[str], src: str = "documents") -> str:
     """DuckDB BM25 per-doc raw scores for one term set (the pinned
-    k1/b/idf contract, FIXTURES.md §B)."""
+    k1/b/idf contract, FIXTURES.md §B). ``src`` swaps the corpus
+    relation (e.g. documents minus a delete set) — stats, df, tf, dl
+    all derive from it, matching the engine's as-if-rebuilt delete
+    semantics."""
     qt = "('" + "','".join(sorted(set(terms))) + "')"
+    tok = f"SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM {src}"
+    tf_sql = f"SELECT doc_id, term, count(*) AS tf FROM ({tok}) GROUP BY doc_id, term"
+    dl_sql = f"SELECT doc_id, count(*) AS dl FROM ({tok}) GROUP BY doc_id"
     return f"""
-WITH tf AS ({_TF}),
-     dl AS ({_DL}),
+WITH tf AS ({tf_sql}),
+     dl AS ({dl_sql}),
      stats AS (
-       SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-              (SELECT sum(len({_TOKS_SQL})) FROM documents)::DOUBLE
-              / (SELECT count(*) FROM documents) AS avgdl),
+       SELECT (SELECT count(*) FROM {src})::DOUBLE AS n,
+              (SELECT sum(len({_TOKS_SQL})) FROM {src})::DOUBLE
+              / (SELECT count(*) FROM {src}) AS avgdl),
      dfq AS (
        SELECT term, count(*) AS df FROM tf WHERE term IN {qt} GROUP BY term),
      contrib AS (
@@ -885,6 +967,69 @@ SELECT doc_id, sum(c) AS raw_score FROM contrib GROUP BY doc_id
 
 
 _BM25_CONTRIB = _bm25_contrib_sql(Q_TERMS)
+
+def _toks_sql(col: str) -> str:
+    """The pinned tokenizer over an arbitrary SQL text expression."""
+    return (
+        r"list_filter(regexp_extract_all(lower(" + col + r"), "
+        r"'[\p{L}\p{N}_]+'), t -> length(t) <= 64)"
+    )
+
+
+def _bm25f_sql(terms: list[str]) -> str:
+    """DuckDB twin of operators/bm25f.py over documents with fields
+    body=text (w=1, b=0.75) and meta=source||' '||lang (w=2, b=0.5):
+    per-field normalized tf summed FIRST, one k1 saturation, df over
+    the any-field match set, avgdl_f over ALL docs (dl=0 counts)."""
+    qt = "('" + "','".join(sorted(set(terms))) + "')"
+    meta = "concat(source, ' ', lang)"
+    bt, mt = _toks_sql("text"), _toks_sql(meta)
+    return f"""
+WITH body_tf AS (
+       SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest({bt}) AS term FROM documents)
+       GROUP BY doc_id, term),
+     meta_tf AS (
+       SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest({mt}) AS term FROM documents)
+       GROUP BY doc_id, term),
+     body_dl AS (SELECT doc_id, len({bt}) AS dl FROM documents),
+     meta_dl AS (SELECT doc_id, len({mt}) AS dl FROM documents),
+     stats AS (
+       SELECT count(*)::DOUBLE AS n,
+              (SELECT sum(len({bt})) FROM documents)::DOUBLE / count(*) AS avgdl_body,
+              (SELECT sum(len({mt})) FROM documents)::DOUBLE / count(*) AS avgdl_meta
+       FROM documents),
+     tfn AS (
+       SELECT term, doc_id, sum(c) AS tfn FROM (
+         SELECT t.term, t.doc_id,
+                {_BM25F_W['body']} * t.tf
+                / (1 - {_BM25F_B['body']} + {_BM25F_B['body']} * d.dl / s.avgdl_body) AS c
+         FROM body_tf t JOIN body_dl d USING (doc_id) CROSS JOIN stats s
+         WHERE t.term IN {qt}
+         UNION ALL
+         SELECT t.term, t.doc_id,
+                {_BM25F_W['meta']} * t.tf
+                / (1 - {_BM25F_B['meta']} + {_BM25F_B['meta']} * d.dl / s.avgdl_meta) AS c
+         FROM meta_tf t JOIN meta_dl d USING (doc_id) CROSS JOIN stats s
+         WHERE t.term IN {qt}
+       ) GROUP BY term, doc_id),
+     dfq AS (SELECT term, count(*) AS df FROM tfn GROUP BY term),
+     contrib AS (
+       SELECT tfn.doc_id,
+              ln((s.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                * tfn.tfn / (tfn.tfn + 1.2) AS c
+       FROM tfn JOIN dfq USING (term) CROSS JOIN stats s)
+SELECT doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id ASC LIMIT 10
+"""
+
+
+# delete-entry twins: the corpus minus the tombstoned ids, as a
+# relation the BM25/read oracles can run over unchanged
+_DEL_CSV = ",".join(str(i) for i in _DEL_IDS)
+_ALIVE_SRC = f"(SELECT * FROM documents WHERE doc_id NOT IN ({_DEL_CSV})) AS alive"
+_TOK_ALIVE = f"SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM {_ALIVE_SRC}"
 
 # batched twins: one UNION ALL branch per qid — the SQL image of the
 # engine's one-job topk_batch / read_values_batch
@@ -1166,6 +1311,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, round(raw_score, 4) AS score FROM ({_BM25_CONTRIB}) "
             "ORDER BY raw_score DESC, doc_id ASC LIMIT 10"
         ),
+        "delete_read_values": (
+            f"SELECT DISTINCT doc_id FROM ({_TOK_ALIVE}) "
+            f"WHERE term IN {_ORTERMS} ORDER BY doc_id"
+        ),
+        "delete_bm25_topk": (
+            "SELECT doc_id, round(raw_score, 4) AS score FROM "
+            f"({_bm25_contrib_sql(Q_TERMS, src=_ALIVE_SRC)}) "
+            "ORDER BY raw_score DESC, doc_id ASC LIMIT 10"
+        ),
+        "bm25f_topk": _bm25f_sql(_BM25F_TERMS),
         "dedup_fingerprints": (
             "SELECT md5(array_to_string(regexp_extract_all(lower(text), '\\w+'), ' ')) AS fp, "
             "count(*) AS n_dups, min(doc_id) AS keep_id "

@@ -232,7 +232,16 @@ def main() -> None:
     from inverted_index_spark.operators.similarity import cosine_topk
     from inverted_index_spark.sources.store import SegmentStore
 
-    spark = get_spark("ii-bench", cores=CPUS, shuffle_partitions=CPUS)
+    # single-JVM local mode: driver memory IS the whole heap. 16g (the
+    # library default) GC-thrashed and OOMed a broadcast build on the
+    # 600k-turn xl leg (round-5, BytesToBytesMap allocation failure);
+    # the host has 128 GiB — size the bench heap for the xl corpus.
+    spark = get_spark(
+        "ii-bench", cores=CPUS, shuffle_partitions=CPUS,
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "48g")
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="ii_bench_")
     bench = Bench()
@@ -357,8 +366,15 @@ def main() -> None:
     # ----------------------------------------------------------- xl leg ---
     xl = None
     if N_TURNS_XL > 0:
+        # drop the main leg's cached postings/positions before the 5x
+        # corpus: leftover caches + the xl working set shared one heap
+        # and drove the round-5 OOM
+        warm_searcher.close()
+        searcher.close()
+        spark.catalog.clearCache()
         xl_bench = Bench()
-        _bench_corpus(spark, xl_bench, tmp, "_xl", N_TURNS_XL, queries)
+        xl_searcher = _bench_corpus(spark, xl_bench, tmp, "_xl", N_TURNS_XL, queries)
+        xl_searcher.close()
         xl = {
             "n_turns": N_TURNS_XL,
             "queries": xl_bench.timings,
@@ -433,9 +449,13 @@ def main() -> None:
                 )[:12]
             }
             line = json.dumps(compact)
-    print(line)
+    # print AFTER spark.stop(): the JVM shares stdout and its async
+    # warnings (e.g. [warning][gc,alloc] under memory pressure) can
+    # otherwise land after the compact line and break the driver's
+    # final-line json parse
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -94,6 +94,12 @@ def main(argv: list[str] | None = None) -> int:
     s_compact.add_argument("--min-files", type=int, default=2)
     s_compact.add_argument("--max-files", type=int, default=8)
     s_compact.add_argument("--grace-s", type=float, default=0.0)
+    s_delete = sub.add_parser(
+        "delete", help="tombstone documents by id (results exclude them "
+        "immediately; compact physically purges and retires the batch)"
+    )
+    s_delete.add_argument("store_root")
+    s_delete.add_argument("doc_ids", nargs="+", type=int)
     args = p.parse_args(argv)
 
     from inverted_index_spark.sources.store import SegmentStore
@@ -133,6 +139,10 @@ def main(argv: list[str] | None = None) -> int:
             store_text=args.store_text,
         )
         print(f"committed segment {sid}")
+        return 0
+    if args.cmd == "delete":
+        del_id = store.delete_docs(spark, args.doc_ids)
+        print(f"committed delete batch {del_id} ({len(set(args.doc_ids))} ids)")
         return 0
     if args.cmd == "search":
         from inverted_index_spark.operators.boolean import (

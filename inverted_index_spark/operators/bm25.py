@@ -32,12 +32,14 @@ B = 0.75
 
 def corpus_stats(spark: SparkSession, store: SegmentStore) -> tuple[int, float]:
     """(N, avgdl) across live segments — exact, via the deduped doc
-    stats union (manifest sums would overcount pre-compaction overlap)."""
-    row = (
-        store.read_docstats(spark)
-        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-        .collect()[0]
-    )
+    stats union (manifest sums would overcount pre-compaction overlap).
+    Live deletes are subtracted: scoring semantics after delete_docs
+    are "as-if-rebuilt" on the surviving corpus (stronger than Lucene,
+    whose stats drift until merge)."""
+    dstats = store.read_docstats(spark)  # delete-aware (store filters)
+    row = dstats.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
     return int(row["n"] or 0), float(row["avgdl"] or 0.0)
 
 
@@ -49,7 +51,7 @@ def term_dfs(
     segments may overlap pre-compaction → count decoded distinct docs
     only when >1 live segment, else sum the metadata (cheap path)."""
     live = store.live_segments()
-    if len(live) <= 1:
+    if len(live) <= 1 and not store.has_deletes():
         rows = (
             matching_rows(spark, store, terms)
             .groupBy("term")

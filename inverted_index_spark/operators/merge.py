@@ -32,7 +32,9 @@ from inverted_index_spark.sources.store import (
 )
 
 
-def _merge_bucket_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+def _merge_bucket_pdf(
+    pdf: pd.DataFrame, block_size: int, dels: np.ndarray | None = None
+) -> pd.DataFrame | None:
     """One doc-bucket's rows across input segments → one re-encoded row
     per term. Decode all rows into term-repeated arrays, sort-unique
     per (term, doc) keeping the first (tf, dl) (duplicates are the same
@@ -44,7 +46,14 @@ def _merge_bucket_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     Put(term, []) in the FST — single_test.go:74-86): they carry no
     decodable streams, so they are re-emitted verbatim (deduped) instead
     of decoded — merging must never drop a registered term (the
-    merge-invariance contract on read_terms)."""
+    merge-invariance contract on read_terms).
+
+    ``dels`` (sorted int64 doc_ids) physically purges tombstoned docs
+    from the rewrite: their postings vanish, and a term whose postings
+    all pointed at deleted docs drops from the dictionary ("as-if-
+    rebuilt"; explicit df=0 registrations survive)."""
+    if not len(pdf):
+        return None
     bucket = int(pdf["bucket"].iloc[0])
     empty = pdf[pdf["df"] == 0]
     pdf = pdf[pdf["df"] > 0]
@@ -79,6 +88,11 @@ def _merge_bucket_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     keep = np.ones(len(docs), dtype=bool)
     keep[1:] = ~((terms[1:] == terms[:-1]) & (docs[1:] == docs[:-1]))
     terms, docs, tfs, dls = terms[keep], docs[keep], tfs[keep], dls[keep]
+    if dels is not None and len(dels):
+        alive = ~np.isin(docs, dels)
+        terms, docs, tfs, dls = terms[alive], docs[alive], tfs[alive], dls[alive]
+        if not len(docs):
+            return passthrough
     out = encode_bucket_arrays(terms, docs, tfs, dls, bucket, block_size)
     if passthrough is not None:
         out = pd.concat([out, passthrough], ignore_index=True)
@@ -100,10 +114,39 @@ def merge_segments(
     bucket_size = store.pinned_bucket_size() or 0  # inherited, never changed
     seg = store.read_postings(spark, victims)
 
-    def mrg(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _merge_bucket_pdf(pdf, block_size)
+    del_rows = store.live_deletes()
+    del_ids = list(del_rows["segment_id"]) if len(del_rows) else []
+    if del_ids:
+        if not bucket_size:
+            raise ValueError(
+                "store has live deletes but no pinned bucket_size — "
+                "cannot purge tombstones during merge"
+            )
+        # per-bucket cogroup (co-partitioned, NOT broadcast): each
+        # bucket's rewrite sees exactly its slice of the delete set
+        dmap = store.read_deletes(spark).select(
+            F.expr(f"cast(doc_id div {int(bucket_size)} as long)").alias("bucket"),
+            "doc_id",
+        )
 
-    merged = seg.groupBy("bucket").applyInPandas(mrg, schema=POSTINGS_SCHEMA)
+        def mrg_del(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            out = _merge_bucket_pdf(
+                left, block_size,
+                np.sort(right["doc_id"].to_numpy(np.int64)) if len(right) else None,
+            )
+            return out if out is not None else left.iloc[0:0]
+
+        merged = (
+            seg.groupBy("bucket")
+            .cogroup(dmap.groupBy("bucket"))
+            .applyInPandas(lambda l, r: mrg_del(l, r), schema=POSTINGS_SCHEMA)
+        )
+    else:
+
+        def mrg(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _merge_bucket_pdf(pdf, block_size)
+
+        merged = seg.groupBy("bucket").applyInPandas(mrg, schema=POSTINGS_SCHEMA)
     segment_id = new_segment_id()
     seg_dir = store.seg_dir(segment_id)
     # groupBy(bucket) already partitioned the output by bucket
@@ -113,7 +156,8 @@ def merge_segments(
     for k, v in TERM_BLOOM_OPTS.items():
         w = w.option(k, v)
     w.parquet(f"{seg_dir}/postings")
-    # doc stats: dedup union of the inputs' stats
+    # doc stats: dedup union of the inputs' stats, minus purged docs
+    # (read_docstats filters live deletes by default)
     store.read_docstats(spark, victims).write.mode("overwrite").parquet(
         f"{seg_dir}/docstats"
     )
@@ -168,6 +212,11 @@ def merge_segments(
                 "skew_ratio": float(agg["skew"] or 1.0),
             },
             replaces=victims,
+            # retire the delete batches this merge absorbed — applied
+            # atomically with the swap, and only if no OTHER live
+            # segment remains in the commit-time snapshot (see
+            # commit_segment); batches committed mid-merge stay live
+            retire_deletes=del_ids or None,
         )
     except ErrMergeConflict:
         # lost a merge/merge race: a concurrent compactor consumed one

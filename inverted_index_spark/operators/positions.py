@@ -256,6 +256,12 @@ def merge_positions(
     occurrences = rows.mapInPandas(
         lambda b: decode_position_rows(b), schema="term string, doc_id long, pos long"
     )
+    if store.has_deletes():
+        # compaction physically purges tombstoned docs' positions (the
+        # postings purge is in merge._merge_bucket_pdf's delete mask)
+        occurrences = occurrences.join(
+            store.read_deletes(spark), "doc_id", "left_anti"
+        )
     bucket_size = store.pinned_bucket_size()
     if bucket_size is None:
         # a guessed width would re-encode positions into buckets
@@ -305,9 +311,15 @@ def phrase_match(
     fans out once per phrase offset that term occupies). Empty phrase →
     empty result; any phrase term absent from the index → no matches.
     """
-    return phrase_match_rows(
-        spark, read_positions(spark, store) if phrase else None,
-        phrase, min_doc, max_doc, slop,
+    from inverted_index_spark.operators.query import minus_deletes
+
+    return minus_deletes(
+        spark,
+        store,
+        phrase_match_rows(
+            spark, read_positions(spark, store) if phrase else None,
+            phrase, min_doc, max_doc, slop,
+        ),
     )
 
 
@@ -458,11 +470,15 @@ def phrase_starts(
         .select("doc_id", (F.col("pos") - F.col("off")).alias("adj"), "off")
         .where(F.col("adj") >= 0)
     )
-    return (
+    from inverted_index_spark.operators.query import minus_deletes
+
+    return minus_deletes(
+        spark,
+        store,
         fanned.groupBy("doc_id", "adj")
         .agg(F.countDistinct("off").alias("_n"))
         .where(F.col("_n") == k)
-        .select("doc_id", F.col("adj").alias("pos"))
+        .select("doc_id", F.col("adj").alias("pos")),
     )
 
 
@@ -631,7 +647,11 @@ def terms_within_window(
             lambda _key, pdf: min_window(pdf), schema="doc_id long, min_span long"
         )
     )
-    return spans.where(F.col("min_span") <= int(window)).orderBy("doc_id")
+    from inverted_index_spark.operators.query import minus_deletes
+
+    return minus_deletes(
+        spark, store, spans.where(F.col("min_span") <= int(window))
+    ).orderBy("doc_id")
 
 
 def phrase_bm25_topk(

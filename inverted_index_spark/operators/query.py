@@ -69,6 +69,19 @@ def matching_rows(
     return out
 
 
+def minus_deletes(
+    spark: SparkSession, store: SegmentStore, df: DataFrame
+) -> DataFrame:
+    """Subtract the store's live delete set from a (…, doc_id, …)
+    DataFrame. No-op (and zero plan change) when the store has no
+    deletes — the common path pays nothing. The anti-join's small side
+    is the delete set; AQE broadcasts it when it fits, else it is an
+    ordinary shuffled anti-join — no driver-side materialization."""
+    if not store.has_deletes():
+        return df
+    return df.join(store.read_deletes(spark), "doc_id", "left_anti")
+
+
 def postings_df(
     spark: SparkSession,
     store: SegmentStore,
@@ -77,14 +90,16 @@ def postings_df(
     max_doc: int | None = None,
     with_tf: bool = True,
 ) -> DataFrame:
-    """Decoded (term, doc_id, tf, dl) rows for a term set (range-pruned)."""
+    """Decoded (term, doc_id, tf, dl) rows for a term set (range-pruned,
+    minus any live deletes — every downstream read/score path is
+    delete-aware through this one filter)."""
     rows = matching_rows(spark, store, terms, min_doc, max_doc)
     schema = "term string, doc_id long" + (", tf long, dl long" if with_tf else "")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return _decode_rows(batches, min_doc, max_doc, with_tf)
 
-    return rows.mapInPandas(run, schema=schema)
+    return minus_deletes(spark, store, rows.mapInPandas(run, schema=schema))
 
 
 def read_terms(spark: SparkSession, store: SegmentStore) -> DataFrame:
@@ -241,16 +256,22 @@ def top_terms(spark: SparkSession, store: SegmentStore, k: int = 20) -> DataFram
     ties: (df DESC, term ASC). Single segment sums the metadata df;
     overlapping segments count decoded distinct docs (same branch as
     bm25.term_dfs)."""
-    if len(store.live_segments()) <= 1:
+    if len(store.live_segments()) <= 1 and not store.has_deletes():
         dfs = (
             store.read_postings(spark)
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
         )
     else:
-        decoded = store.read_postings(spark).mapInPandas(
-            lambda it: _decode_rows(it, None, None, False),
-            schema="term string, doc_id long",
+        # overlap (or live deletes) → metadata df is stale; count
+        # decoded distinct surviving docs
+        decoded = minus_deletes(
+            spark,
+            store,
+            store.read_postings(spark).mapInPandas(
+                lambda it: _decode_rows(it, None, None, False),
+                schema="term string, doc_id long",
+            ),
         )
         dfs = decoded.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     return dfs.orderBy(F.desc("df"), F.asc("term")).limit(k)
@@ -365,12 +386,10 @@ def read_values_prefix(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return _decode_rows(batches, min_doc, max_doc, False)
 
-    return (
-        rows.mapInPandas(run, schema="term string, doc_id long")
-        .select("doc_id")
-        .distinct()
-        .orderBy("doc_id")
+    decoded = minus_deletes(
+        spark, store, rows.mapInPandas(run, schema="term string, doc_id long")
     )
+    return decoded.select("doc_id").distinct().orderBy("doc_id")
 
 
 def except_values(

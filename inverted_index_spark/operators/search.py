@@ -35,6 +35,94 @@ def _maybe_broadcast(spark: SparkSession, payload):
     return spark.sparkContext.broadcast(payload)
 
 
+def _purged_postings(spark: SparkSession, store: SegmentStore, raw: DataFrame) -> DataFrame:
+    """Rewrite a postings scan with the store's live deletes physically
+    removed (decode → mask → re-encode, per (bucket, term) row). Runs
+    ONCE at Searcher.open — every cached-path kernel (topk, WAND,
+    batch, read_values) then sees only surviving docs and exact
+    surviving df, with zero per-query cost.
+
+    Scale shape: the delete set ships as per-bucket sorted arrays via a
+    co-partitioned equi-join on bucket (NOT a broadcast — a 100 TB
+    corpus can carry billions of tombstones); rows in buckets with no
+    deletes pass through without decoding."""
+    import numpy as np
+    import pandas as pd
+
+    from inverted_index_spark.functions.codec import (
+        DEFAULT_BLOCK,
+        decode_postings,
+        encode_postings,
+    )
+    from inverted_index_spark.sources.store import POSTINGS_SCHEMA
+
+    bs = store.pinned_bucket_size()
+    if bs is None:
+        raise ValueError(
+            "store has live deletes but no pinned bucket_size — "
+            "cannot map delete doc_ids onto postings buckets"
+        )
+    dmap = (
+        store.read_deletes(spark)
+        .select(F.expr(f"cast(doc_id div {int(bs)} as long)").alias("bucket"), "doc_id")
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("dels_arr"))
+    )
+    joined = raw.join(dmap, "bucket", "left")
+    cols = list(POSTINGS_SCHEMA.fieldNames())
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            hit = pdf["dels_arr"].notna()
+            clean = pdf[~hit]
+            if len(clean):
+                outs.append(clean[cols])
+            for row in pdf[hit].itertuples(index=False):
+                dels = np.asarray(row.dels_arr, dtype=np.int64)
+                # prune the delete array to this row's doc envelope
+                lo = int(np.searchsorted(dels, row.min_doc, "left"))
+                hi = int(np.searchsorted(dels, row.max_doc, "right"))
+                sub = dels[lo:hi]
+                if row.df == 0 or not len(sub):
+                    # empty-postings term registration, or no overlap
+                    outs.append(pd.DataFrame([{c: getattr(row, c) for c in cols}]))
+                    continue
+                d, tf, dl = decode_postings(
+                    row.postings, row.tfs, row.dls, list(row.blocks)
+                )
+                di = d.view(np.int64)
+                mask = ~np.isin(di, sub)
+                if mask.all():
+                    outs.append(pd.DataFrame([{c: getattr(row, c) for c in cols}]))
+                    continue
+                if not mask.any():
+                    continue  # every doc deleted → drop the term row
+                d2, tf2, dl2 = di[mask], tf[mask], dl[mask]
+                p2, t2, l2, blocks2 = encode_postings(
+                    d2, tf2, dl2, block_size=DEFAULT_BLOCK
+                )
+                outs.append(
+                    pd.DataFrame(
+                        [{
+                            "bucket": row.bucket,
+                            "term": row.term,
+                            "df": len(d2),
+                            "postings": p2,
+                            "tfs": t2,
+                            "dls": l2,
+                            "blocks": blocks2,
+                            "min_doc": int(d2[0]),
+                            "max_doc": int(d2[-1]),
+                        }]
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return joined.mapInPandas(run, schema=POSTINGS_SCHEMA)
+
+
 class Searcher:
     def __init__(self, spark: SparkSession, store: SegmentStore):
         self.spark = spark
@@ -55,9 +143,14 @@ class Searcher:
         # per-query exchange — a WAND/topk query becomes ONE stage over
         # cached columnar batches plus a TakeOrdered merge (one-time
         # shuffle here instead of one per query)
-        self._postings = (
-            self.store.read_postings(self.spark).repartition("bucket").cache()
-        )
+        raw = self.store.read_postings(self.spark)
+        if self.store.has_deletes():
+            # physically purge live deletes into the cache ONCE —
+            # every kernel (WAND, exhaustive, batch, read_values) then
+            # scores only surviving docs with exact surviving df, and
+            # per-query paths pay nothing for delete support
+            raw = _purged_postings(self.spark, self.store, raw)
+        self._postings = raw.repartition("bucket").cache()
         self._postings.count()  # materialize
         self._stats = _bm25.corpus_stats(self.spark, self.store)
         # preload the whole term→df dictionary when it fits (the
@@ -185,8 +278,14 @@ class Searcher:
         if getattr(self, "_positions", None) is None:
             self._positions = read_positions(self.spark, self.store).cache()
             self._positions.count()
-        return phrase_match_rows(
-            self.spark, self._positions, phrase, min_doc, max_doc, slop
+        from inverted_index_spark.operators.query import minus_deletes
+
+        return minus_deletes(
+            self.spark,
+            self.store,
+            phrase_match_rows(
+                self.spark, self._positions, phrase, min_doc, max_doc, slop
+            ),
         )
 
     # ------------------------------------------------------------ boolean ---

@@ -262,6 +262,13 @@ def bm25_topk_wand(
             F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
         )
     rows = matching_rows(spark, store, list(idf_map))
+    if store.has_deletes():
+        # the WAND kernel truncates per bucket, so a post-filter would
+        # under-fill k — purge tombstones from the matched rows first
+        # (same rewrite Searcher.open applies to its cache)
+        from inverted_index_spark.operators.search import _purged_postings
+
+        rows = _purged_postings(spark, store, rows)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         return _wand_bucket(pdf, idf_map, avgdl, k)

@@ -54,6 +54,7 @@ import pandas as pd
 from pyspark.sql import SparkSession
 
 from inverted_index_spark.sources.store import (
+    DELETES,
     LIVE,
     MANIFEST_COLS,
     MERGED,
@@ -131,6 +132,7 @@ class IcebergSegmentStore(SegmentStore):
         segment_id: str,
         stats: dict,
         replaces: list[str] | None = None,
+        retire_deletes: list[str] | None = None,
     ) -> int:
         """Append-only commit with a validated victim flip (module
         docstring has the full protocol). Raises ErrMergeConflict when
@@ -188,13 +190,35 @@ class IcebergSegmentStore(SegmentStore):
         self.spark.createDataFrame(pd.DataFrame([row])[MANIFEST_COLS]).writeTo(
             tbl
         ).append()
+        if retire_deletes:
+            # retire absorbed delete batches only when the merged
+            # segment is now the SOLE live one. Unlike the parquet
+            # store's single-transaction check, this is check-then-
+            # update across two statements: it can only race a
+            # concurrent APPEND, and the worst case is retiring a batch
+            # while a racing segment still carries the ids — the same
+            # delete-then-reindex caveat delete_docs documents. Victim
+            # flips (the correctness-critical race) stay serializable.
+            others = int(
+                self.spark.sql(
+                    f"SELECT count(*) AS n FROM {tbl} WHERE status = '{LIVE}' "
+                    f"AND segment_id != '{segment_id}'"
+                ).collect()[0]["n"]
+            )
+            if others == 0:
+                ids = ", ".join(f"'{s}'" for s in retire_deletes)
+                self.spark.sql(
+                    f"UPDATE {tbl} SET status = '{MERGED}', "
+                    f"tombstone_ts = {time.time()!r} "
+                    f"WHERE segment_id IN ({ids}) AND status = '{DELETES}'"
+                )
         return self.current_generation()
 
     def _commit_manifest(self, transform) -> int:
-        """Generic-transform commits (cleanup's row deletion) go through
-        a read→DELETE-by-id path: compute which rows the transform
-        removed and DELETE exactly those — row-level deletes compose
-        with concurrent appends instead of overwriting them."""
+        """Generic-transform commits go through a read→diff path:
+        removed rows become row-level DELETEs (cleanup), added rows
+        become APPENDs (delete_docs' tombstone-batch row) — both
+        compose with concurrent commits instead of overwriting them."""
         self._ensure()
         base = self.read_manifest()
         nxt = transform(base, len(base))[MANIFEST_COLS]
@@ -204,6 +228,11 @@ class IcebergSegmentStore(SegmentStore):
             self.spark.sql(
                 f"DELETE FROM {self._table()} WHERE segment_id IN ({ids})"
             )
+        added = nxt[~nxt["segment_id"].isin(set(base["segment_id"]))]
+        if len(added):
+            self.spark.createDataFrame(
+                added.reset_index(drop=True)[MANIFEST_COLS]
+            ).writeTo(self._table()).append()
         return self.current_generation()
 
     def expire_generations(self, keep: int = 8, grace_s: float = 0.0) -> int:

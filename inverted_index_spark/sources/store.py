@@ -75,6 +75,12 @@ MANIFEST_COLS = [
 ]
 
 LIVE, MERGED = "live", "merged"
+# doc-level delete batches ("right to be forgotten" over immutable
+# segments — an extension beyond the reference, which has no deletes).
+# A delete batch is a parquet file of doc_ids committed as a manifest
+# row with this status; readers subtract live delete sets, compaction
+# physically purges them and retires fully-absorbed batches.
+DELETES = "deletes"
 
 
 class ErrMergeConflict(RuntimeError):
@@ -248,6 +254,7 @@ class SegmentStore:
         segment_id: str,
         stats: dict,
         replaces: list[str] | None = None,
+        retire_deletes: list[str] | None = None,
     ) -> int:
         """Append a live manifest row (optionally tombstoning inputs) —
         the analog of filesList add + merged-list move
@@ -294,9 +301,100 @@ class SegmentStore:
                 },
             }
             row_df = pd.DataFrame([row])
-            return row_df if not len(m) else pd.concat([m, row_df], ignore_index=True)
+            nxt = row_df if not len(m) else pd.concat([m, row_df], ignore_index=True)
+            if retire_deletes:
+                # retire delete batches the merge physically absorbed —
+                # ATOMIC with the segment swap, and only when no OTHER
+                # live segment remains in THIS transaction's snapshot
+                # (a concurrently committed segment may still contain
+                # the deleted docs; then the batches must stay live).
+                # Batches committed after the merge started are not in
+                # the list and stay live regardless.
+                others = nxt[
+                    (nxt["status"] == LIVE) & (nxt["segment_id"] != segment_id)
+                ]
+                if not len(others):
+                    hit = nxt["segment_id"].isin(retire_deletes) & (
+                        nxt["status"] == DELETES
+                    )
+                    nxt.loc[hit, "status"] = MERGED
+                    nxt.loc[hit, "tombstone_ts"] = time.time()
+            return nxt
 
         return self._commit_manifest(transform)
+
+    # ----------------------------------------------------------- deletes
+    def delete_docs(self, spark: SparkSession, doc_ids) -> str | None:
+        """Tombstone documents by id (Lucene-style doc deletes — an
+        extension; the reference's segments are insert-only). Writes a
+        parquet delete batch under ``segments/<id>/deletes`` and
+        commits it with status=``deletes`` in the same generation
+        mechanism as segments, so readers always see a consistent
+        (segments, deletes) snapshot.
+
+        Read semantics are "as-if-rebuilt": deleted docs vanish from
+        every value/search/phrase result AND from corpus statistics
+        (N, avgdl, df) — see Searcher.open's purge and bm25.corpus_stats.
+        The term DICTIONARY (read_terms) keeps a term until a
+        compaction rewrites its last posting away, like Lucene's.
+        Deletes are permanent until a full compaction retires them:
+        re-indexing a deleted doc_id only takes effect after the
+        compaction that physically purges the tombstone (ids in a
+        transcript corpus are minted monotonically, so reuse is the
+        exception, not the rule).
+
+        ``doc_ids`` is a DataFrame with a ``doc_id`` column or an
+        iterable of ints. Returns the delete-batch id, or None for an
+        empty set."""
+        if isinstance(doc_ids, DataFrame):
+            df = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+        else:
+            ids = sorted({int(x) for x in doc_ids})
+            if not ids:
+                return None
+            df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        del_id = new_segment_id()
+        path = os.path.join(self.seg_dir(del_id), "deletes")
+        df.write.mode("overwrite").parquet(path)
+        n = spark.read.parquet(path).count()
+        if n == 0:
+            shutil.rmtree(self.seg_dir(del_id), ignore_errors=True)
+            return None
+
+        def transform(m: pd.DataFrame, base: int) -> pd.DataFrame:
+            row = pd.DataFrame(
+                [{
+                    "segment_id": del_id,
+                    "path": path,
+                    "generation_added": base + 1,
+                    "status": DELETES,
+                    "created_ts": time.time(),
+                    "tombstone_ts": 0.0,
+                    "n_docs": n,
+                    "bytes": dir_bytes(self.seg_dir(del_id)),
+                }]
+            ).reindex(columns=MANIFEST_COLS)
+            return row if not len(m) else pd.concat([m, row], ignore_index=True)
+
+        self._commit_manifest(transform)
+        return del_id
+
+    def live_deletes(self) -> pd.DataFrame:
+        m = self.read_manifest()
+        return m[m["status"] == DELETES] if len(m) else m
+
+    def has_deletes(self) -> bool:
+        return len(self.live_deletes()) > 0
+
+    def read_deletes(self, spark: SparkSession) -> DataFrame:
+        """Union of live delete batches → distinct doc_id DataFrame."""
+        dels = self.live_deletes()
+        if not len(dels):
+            return spark.createDataFrame([], "doc_id long")
+        paths = [
+            os.path.join(self.seg_dir(s), "deletes") for s in dels["segment_id"]
+        ]
+        return spark.read.parquet(*paths).select("doc_id").distinct()
 
     def cleanup(self, grace_s: float = 0.0) -> list[str]:
         """Delete merged segments' data (reference Cleanup,
@@ -400,7 +498,8 @@ class SegmentStore:
         return df
 
     def read_docstats(
-        self, spark: SparkSession, segment_ids: list[str] | None = None
+        self, spark: SparkSession, segment_ids: list[str] | None = None,
+        include_deleted: bool = False,
     ) -> DataFrame:
         live = self.live_segments()
         ids = list(segment_ids or live["segment_id"])
@@ -411,13 +510,17 @@ class SegmentStore:
             )
         paths = [os.path.join(self.seg_dir(s), "docstats") for s in ids]
         # same doc may appear in several segments pre-compaction → dedup
-        return spark.read.parquet(*paths).dropDuplicates(["doc_id"])
+        out = spark.read.parquet(*paths).dropDuplicates(["doc_id"])
+        if not include_deleted and self.has_deletes():
+            out = out.join(self.read_deletes(spark), "doc_id", "left_anti")
+        return out
 
     def read_docs(
         self,
         spark: SparkSession,
         segment_ids: list[str] | None = None,
         buckets: list[int] | None = None,
+        include_deleted: bool = False,
     ) -> DataFrame:
         """Union of live segments' (doc_id, text) doc stores (written by
         build_index(store_text=True)). Raises when any live segment
@@ -447,7 +550,10 @@ class SegmentStore:
         raw = spark.read.parquet(*paths)
         if buckets is not None:
             raw = raw.where(F.col("bucket").isin([int(b) for b in buckets]))
-        return raw.dropDuplicates(["doc_id"])
+        out = raw.dropDuplicates(["doc_id"])
+        if not include_deleted and self.has_deletes():
+            out = out.join(self.read_deletes(spark), "doc_id", "left_anti")
+        return out
 
     # ------------------------------------------------------------ merger
     def pick_merge_candidates(self, min_files: int = 2, max_files: int = 8) -> list[str]:

@@ -97,6 +97,7 @@ def worker(cores: int, n_turns: int, data_dir: str, repeats: int = 2) -> None:
     # table; fixed partition count so scan parallelism is data-driven)
     tx = spark.read.parquet(f"{data_dir}/transcripts")
 
+    wall0 = time.time()
     steal0 = _steal_jiffies()
     build_secs = []
     build_steals = []
@@ -138,6 +139,7 @@ def worker(cores: int, n_turns: int, data_dir: str, repeats: int = 2) -> None:
         batch_secs.append(time.time() - t0)
     batch_sec = min(batch_secs)
     steal_pct = round((_steal_jiffies() - steal0) / 100.0, 1)  # cpu-sec stolen
+    wall_sec = round(time.time() - wall0, 1)
 
     print(
         "RESULT "
@@ -157,6 +159,7 @@ def worker(cores: int, n_turns: int, data_dir: str, repeats: int = 2) -> None:
                 "batch_secs_all": [round(x, 2) for x in batch_secs],
                 "batched_qps": round(len(qmap) / batch_sec, 3),
                 "steal_cpu_sec": steal_pct,
+                "wall_sec": wall_sec,
             }
         )
     )
@@ -187,13 +190,14 @@ def main(
     if "GENDONE" not in gen.stdout:
         print(gen.stdout[-2000:], gen.stderr[-2000:])
         raise SystemExit("corpus generation failed")
-    results: dict[int, dict] = {}
-    for leg_i, cores in enumerate(tuple(levels) * 2):
-        # cooldown BEFORE each measured leg: the burstable host refills
-        # CPU credits while idle; measuring back-to-back legs drains
-        # them and the later leg absorbs all the steal (observed 470
-        # cpu-sec steal on a leg that followed a heavy one)
-        time.sleep(cooldown_s if leg_i else cooldown_s // 3)
+    def _is_clean(r: dict) -> bool:
+        # clean = steal ≤ ~5% of the leg's delivered-cpu budget
+        # (host-wide /proc/stat steal cpu-sec over the measurement
+        # window vs cores×wall), with a small absolute floor so a
+        # 1-2 cpu-sec blip never fails a short leg
+        return r["steal_cpu_sec"] <= max(3.0, 0.05 * r["cores"] * r["wall_sec"])
+
+    def _run_leg(cores: int) -> dict:
         out = subprocess.run(
             [sys.executable, __file__, "--worker", str(cores), str(n_turns), data_dir],
             capture_output=True, text=True, cwd=str(REPO), timeout=3000,
@@ -203,19 +207,46 @@ def main(
             print(out.stdout[-3000:], out.stderr[-3000:])
             raise SystemExit(f"worker {cores} produced no RESULT")
         r = json.loads(line[-1][len("RESULT "):])
+        r["clean"] = _is_clean(r)
         print(f"local[{cores}]: {r}")
-        best = results.get(cores)
-        if best is None:
-            results[cores] = r
-        else:  # per-metric best across this level's runs
+        return r
+
+    visits: dict[int, list[dict]] = {c: [] for c in levels}
+    for leg_i, cores in enumerate(tuple(levels) * 2):
+        # cooldown BEFORE each measured leg: the burstable host refills
+        # CPU credits while idle; measuring back-to-back legs drains
+        # them and the later leg absorbs all the steal (observed 470
+        # cpu-sec steal on a leg that followed a heavy one)
+        time.sleep(cooldown_s if leg_i else cooldown_s // 3)
+        visits[cores].append(_run_leg(cores))
+    # retry-until-clean: any level with no clean visit yet gets up to
+    # two extra visits — a throttled leg is an upper bound, not a
+    # measurement, so buying a clean window with extra wall time is
+    # the only way to report the pair honestly
+    for cores in levels:
+        extra = 0
+        while not any(v["clean"] for v in visits[cores]) and extra < 2:
+            time.sleep(cooldown_s)
+            visits[cores].append(_run_leg(cores))
+            extra += 1
+
+    results: dict[int, dict] = {}
+    for cores in levels:
+        pool = [v for v in visits[cores] if v["clean"]] or visits[cores]
+        best = dict(pool[0])
+        for r in pool[1:]:
             for key in ("turns_per_sec", "qps", "batched_qps"):
                 best[key] = max(best[key], r[key])
             best["build_sec"] = min(best["build_sec"], r["build_sec"])
             best["query_sec"] = min(best["query_sec"], r["query_sec"])
             best["batch_sec"] = min(best["batch_sec"], r["batch_sec"])
             best["steal_cpu_sec"] = max(best["steal_cpu_sec"], r["steal_cpu_sec"])
+        best["clean"] = any(v["clean"] for v in visits[cores])
+        best["n_visits"] = len(visits[cores])
+        results[cores] = best
 
     results["cpu_calibration_its_per_sec"] = cal  # type: ignore[assignment]
+    results["visits"] = {str(c): visits[c] for c in levels}  # type: ignore[assignment]
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
 
@@ -255,7 +286,11 @@ def main(
         f"| {n} | {v:,} | {v / cal[levels[0]]:.2f}x |" for n, v in cal.items()
     )
     steal_line = ", ".join(
-        f"local[{n}] {results[n]['steal_cpu_sec']} cpu-sec" for n in levels
+        f"local[{n}] {results[n]['steal_cpu_sec']} cpu-sec over "
+        f"{results[n]['wall_sec']}s wall "
+        f"({'CLEAN' if results[n]['clean'] else 'THROTTLED'}, "
+        f"{results[n]['n_visits']} visits)"
+        for n in levels
     )
     md = f"""# BENCH/BASELINE.md — two-parallelism scaling evidence
 
@@ -288,10 +323,13 @@ separate hosts don't share a frequency budget).
 
 {chr(10).join(pair_table(lo, hi) for lo, hi in pairs)}
 
-Measurement protocol: legs alternate through {tuple(levels)} twice; every
-measurement repeats within a leg and the best is kept (burstable-host
-noise suppression); per-attempt /proc/stat steal is recorded in
-BENCH/scaling_raw.json. Max steal in kept legs: {steal_line}.
+Measurement protocol: legs alternate through {tuple(levels)} twice,
+then any level still lacking a CLEAN visit (leg steal ≤ 5% of its
+cores×wall delivered-cpu budget) is retried up to twice more after a
+cooldown; per-metric bests are kept from the CLEAN visit pool only
+(falling back to all visits, flagged, if no clean window appeared).
+Every visit's /proc/stat steal and wall are recorded in
+BENCH/scaling_raw.json. Kept legs: {steal_line}.
 
 Notes:
 - The build is shuffle-bound (tokenize → groupBy(bucket) encode); the
@@ -304,7 +342,28 @@ Notes:
   the per-bucket WAND fan-out is embarrassingly parallel.
 - Raw JSON: see BENCH/scaling_raw.json.
 """
-    (bench_dir / "BASELINE.md").write_text(md)
+    # preserve prior rounds' evidence: the previous file's current
+    # section is demoted one heading level and pushed under the history
+    # marker, so clean windows measured in earlier rounds stay on
+    # record (ratios can only be trusted within one host-weather
+    # window — old clean pairs are evidence, not clutter)
+    import re as _re
+
+    marker = "<!-- SCALING-HISTORY -->"
+    baseline_path = bench_dir / "BASELINE.md"
+    history = ""
+    if baseline_path.exists():
+        old = baseline_path.read_text()
+        if marker in old:
+            prev_cur, prev_hist = old.split(marker, 1)
+        else:
+            prev_cur, prev_hist = old, ""
+        demoted = _re.sub(r"^#", "##", prev_cur.strip(), flags=_re.M)
+        history = (
+            f"\n\n{marker}\n\n## Historical: previous scaling runs"
+            f" (most recent first)\n\n{demoted}\n{prev_hist}"
+        )
+    baseline_path.write_text(md + history)
     (bench_dir / "scaling_raw.json").write_text(json.dumps(results, indent=2))
     print(md)
 

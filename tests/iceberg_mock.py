@@ -91,6 +91,20 @@ class FakeIcebergSpark:
             mark = float(m.group(1))
             return _Rows([{"n": int((self.manifest["tombstone_ts"] == mark).sum())}])
         m = re.match(
+            r"SELECT count\(\*\) AS n FROM \S+ WHERE status = '(\w+)' "
+            r"AND segment_id != '(\S+)'",
+            s,
+        )
+        if m:
+            status, sid = m.groups()
+            n = int(
+                (
+                    (self.manifest["status"] == status)
+                    & (self.manifest["segment_id"] != sid)
+                ).sum()
+            )
+            return _Rows([{"n": n}])
+        m = re.match(
             r"UPDATE \S+ SET status = '(\w+)', tombstone_ts = (\S+) "
             r"WHERE segment_id IN \(([^)]*)\) AND status = '(\w+)'",
             s,
