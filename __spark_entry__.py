@@ -718,8 +718,7 @@ def _del_store_for(spark, sf):
 def _q_delete_read_values(spark, sf):
     """R10 read over a store with live tombstones (store path, no
     Searcher): deleted docs vanish from results immediately —
-    delete_docs semantics, sources/store.py + operators.query
-    minus_deletes."""
+    delete_docs semantics, sources/store.py scoped_minus_deletes."""
     return _query.read_values(spark, _del_store_for(spark, sf), OR_TERMS)
 
 
@@ -734,6 +733,58 @@ def _q_delete_bm25_topk(spark, sf):
 
         _DEL_SEARCHERS[sf] = Searcher(spark, _del_store_for(spark, sf)).open()
     t = _DEL_SEARCHERS[sf].topk(Q_TERMS, 10, use_wand=True)
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_RX_IDS = sorted(range(0, 400, 17))
+_RX_TERMS = ["spark", "reindexed", "window"]
+_RX_STORES: dict[str, SegmentStore] = {}
+_RX_SEARCHERS: dict[str, object] = {}
+
+
+def _rx_store_for(spark, sf):
+    """documents index where _RX_IDS were atomically REINDEXED with
+    deterministic replacement text (operators.build reindex_docs:
+    staged tombstone batch + replacement segment committed in one
+    generation-scoped manifest transaction) — the reindex entries'
+    shared fixture."""
+    if sf not in _RX_STORES:
+        from inverted_index_spark.operators.build import reindex_docs
+
+        store = SegmentStore(tempfile.mkdtemp(prefix="ii_entry_rx_") + "/idx")
+        build_index(spark, _docs(spark, sf), store, bucket_size=1 << 14)
+        updated = _docs(spark, sf).where(F.col("doc_id").isin(_RX_IDS)).select(
+            "doc_id",
+            F.concat(
+                F.lit("reindexed spark doc "), F.col("doc_id").cast("string")
+            ).alias("text"),
+        )
+        reindex_docs(spark, updated, store)
+        _RX_STORES[sf] = store
+    return _RX_STORES[sf]
+
+
+def _q_reindex_read_values(spark, sf):
+    """R10 read after an atomic upsert (reindex_docs): superseded
+    copies invisible, replacement content visible — delete batches are
+    generation-scoped (sources/store.py read_deletes), so only
+    segments older than the batch are masked. The oracle reads the
+    post-update corpus directly."""
+    return _query.read_values(
+        spark, _rx_store_for(spark, sf), ["reindexed", "merge"]
+    )
+
+
+def _q_reindex_bm25_topk(spark, sf):
+    """BM25 top-k via a Searcher over the reindexed store: the
+    open()-time cache purge is generation-scoped, so scores equal a
+    fresh build over the post-update corpus EXACTLY (the SQL twin
+    computes that fresh-corpus score)."""
+    if sf not in _RX_SEARCHERS:
+        from inverted_index_spark.operators.search import Searcher
+
+        _RX_SEARCHERS[sf] = Searcher(spark, _rx_store_for(spark, sf)).open()
+    t = _RX_SEARCHERS[sf].topk(_RX_TERMS, 10, use_wand=True)
     return t.select("doc_id", F.round("score", 4).alias("score"))
 
 
@@ -873,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "delete_read_values": _q_delete_read_values,
         "delete_bm25_topk": _q_delete_bm25_topk,
+        "reindex_read_values": _q_reindex_read_values,
+        "reindex_bm25_topk": _q_reindex_bm25_topk,
         "bm25f_topk": _q_bm25f_topk,
         "media_stats": _q_media_stats,
         "index_summary": _q_index_summary,
@@ -1030,6 +1083,16 @@ ORDER BY sum(c) DESC, doc_id ASC LIMIT 10
 _DEL_CSV = ",".join(str(i) for i in _DEL_IDS)
 _ALIVE_SRC = f"(SELECT * FROM documents WHERE doc_id NOT IN ({_DEL_CSV})) AS alive"
 _TOK_ALIVE = f"SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM {_ALIVE_SRC}"
+
+# reindex-entry twins: the corpus with _RX_IDS' text REPLACED — the
+# SQL image of the post-upsert corpus the scoped engine must match
+_RX_CSV = ",".join(str(i) for i in _RX_IDS)
+_RX_SRC = (
+    f"(SELECT doc_id, CASE WHEN doc_id IN ({_RX_CSV}) "
+    "THEN 'reindexed spark doc ' || doc_id ELSE text END AS text "
+    "FROM documents) AS rx"
+)
+_TOK_RX = f"SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM {_RX_SRC}"
 
 # batched twins: one UNION ALL branch per qid — the SQL image of the
 # engine's one-job topk_batch / read_values_batch
@@ -1318,6 +1381,15 @@ def oracle_sql() -> dict[str, str]:
         "delete_bm25_topk": (
             "SELECT doc_id, round(raw_score, 4) AS score FROM "
             f"({_bm25_contrib_sql(Q_TERMS, src=_ALIVE_SRC)}) "
+            "ORDER BY raw_score DESC, doc_id ASC LIMIT 10"
+        ),
+        "reindex_read_values": (
+            f"SELECT DISTINCT doc_id FROM ({_TOK_RX}) "
+            "WHERE term IN ('reindexed','merge') ORDER BY doc_id"
+        ),
+        "reindex_bm25_topk": (
+            "SELECT doc_id, round(raw_score, 4) AS score FROM "
+            f"({_bm25_contrib_sql(_RX_TERMS, src=_RX_SRC)}) "
             "ORDER BY raw_score DESC, doc_id ASC LIMIT 10"
         ),
         "bm25f_topk": _bm25f_sql(_BM25F_TERMS),

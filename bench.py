@@ -87,15 +87,23 @@ class Bench:
         self.attempts: dict[str, int] = {}
         self.throttled: list[str] = []
 
-    def run(self, name: str, fn, setup=None) -> None:
+    def run(self, name: str, fn, setup=None, min_attempts: int = 1) -> None:
         """Time ``fn`` (``fn(setup())`` when ``setup`` is given — setup
         runs UNTIMED before each attempt so retries of stateful work
         measure identical inputs). Retry while the attempt is dirty
         (steal above threshold), up to MAX_ATTEMPTS; keep the fastest
-        attempt and flag the workload when none came back clean."""
+        attempt and flag the workload when none came back clean.
+
+        ``min_attempts``: always run at least this many attempts and
+        keep the best — for SUB-SECOND rows (the one-job QPS surfaces)
+        whose jitter on a burstable host is frequency/JIT/cache state
+        that /proc/stat steal does NOT capture (round-5: the same warm
+        call measured 0.53 s and 1.79 s minutes apart at 0.0 steal);
+        best-of-3 is the steady-state number the throughput claim is
+        about."""
         best = None  # (wall, steal)
         clean_seen = False
-        for attempt in range(1, MAX_ATTEMPTS + 1):
+        for attempt in range(1, max(MAX_ATTEMPTS, min_attempts) + 1):
             ctx = setup() if setup is not None else None
             s0, t0 = _steal(), time.time()
             fn(ctx) if setup is not None else fn()
@@ -104,7 +112,8 @@ class Bench:
                 best = (wall, st)
             if st <= max(STEAL_FRAC * wall, STEAL_ABS):
                 clean_seen = True
-                break
+                if attempt >= min_attempts:
+                    break
         self.timings[name] = round(best[0], 3)
         self.steals[name] = round(best[1], 2)
         self.attempts[name] = attempt
@@ -181,6 +190,7 @@ def _bench_corpus(spark, bench: Bench, tmp: str, tag: str, n_turns: int, queries
         lambda: searcher.topk_batch(
             {f"q{i:03d}": q for i, q in enumerate(queries)}, k=10
         ).collect(),
+        min_attempts=3,
     )
     bench.run(
         f"read_values_one_job{tag}",
@@ -190,6 +200,7 @@ def _bench_corpus(spark, bench: Bench, tmp: str, tag: str, n_turns: int, queries
                 for i, q in enumerate(queries)
             }
         ).count(),
+        min_attempts=3,
     )
 
     # corpus-size amortization rows for the ops round 3 flagged as
@@ -303,6 +314,7 @@ def main() -> None:
         lambda: searcher.topk_batch(
             {f"q{i:03d}": q for i, q in enumerate(queries)}, k=10, use_wand=True
         ).collect(),
+        min_attempts=3,
     )
     bench.run(
         "read_values_batch",

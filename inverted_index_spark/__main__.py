@@ -94,6 +94,15 @@ def main(argv: list[str] | None = None) -> int:
     s_compact.add_argument("--min-files", type=int, default=2)
     s_compact.add_argument("--max-files", type=int, default=8)
     s_compact.add_argument("--grace-s", type=float, default=0.0)
+    s_reindex = sub.add_parser(
+        "reindex", help="atomic upsert: replace docs with the parquet's "
+        "rows (delete batch + new segment in one commit; older copies "
+        "vanish, new content is searchable immediately)",
+    )
+    s_reindex.add_argument("input_parquet")
+    s_reindex.add_argument("store_root")
+    s_reindex.add_argument("--positions", action="store_true")
+    s_reindex.add_argument("--store-text", action="store_true")
     s_delete = sub.add_parser(
         "delete", help="tombstone documents by id (results exclude them "
         "immediately; compact physically purges and retires the batch)"
@@ -143,6 +152,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "delete":
         del_id = store.delete_docs(spark, args.doc_ids)
         print(f"committed delete batch {del_id} ({len(set(args.doc_ids))} ids)")
+        return 0
+    if args.cmd == "reindex":
+        from inverted_index_spark.operators.build import reindex_docs
+
+        docs = spark.read.parquet(args.input_parquet)
+        if "doc_id" not in docs.columns:
+            raise SystemExit(
+                "reindex input must carry doc_id (the ids to supersede)"
+            )
+        sid = reindex_docs(
+            spark, docs, store,
+            positions=args.positions, store_text=args.store_text,
+        )
+        print(f"committed reindex segment {sid}")
         return 0
     if args.cmd == "search":
         from inverted_index_spark.operators.boolean import (

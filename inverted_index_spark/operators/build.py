@@ -267,6 +267,7 @@ def build_index_from_tokens(
     positions_df: DataFrame | None = None,
     texts_df: DataFrame | None = None,
     allow_negative_ids: bool = False,
+    attach_deletes: tuple[str, int] | None = None,
 ) -> str:
     """Encode + write + commit one immutable segment. Returns segment_id.
 
@@ -439,6 +440,7 @@ def build_index_from_tokens(
             "skew_ratio": float(skew or 1.0),
         },
         replaces=replaces,
+        attach_deletes=attach_deletes,
     )
     return segment_id
 
@@ -458,6 +460,7 @@ def build_index(
     shuffle: bool = True,
     positions: bool = False,
     store_text: bool = False,
+    attach_deletes: tuple[str, int] | None = None,
 ) -> str:
     """docs(doc_id, text) → one committed segment (entry point A,
     SURVEY.md §3.1). ``shuffle=False`` selects the fragment encode
@@ -492,7 +495,53 @@ def build_index(
         bucket_size=bucket_size, block_size=block_size,
         build_id=build_id, chunk=chunk, input_fingerprint=input_fingerprint,
         shuffle=shuffle, positions_df=pos_df, texts_df=texts_df,
+        attach_deletes=attach_deletes,
     )
+
+
+def reindex_docs(
+    spark: SparkSession,
+    docs: DataFrame,
+    store: SegmentStore,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **build_kw,
+) -> str:
+    """Atomic upsert: re-add every doc in ``docs`` with new content,
+    superseding any copy indexed earlier — Lucene updateDocument /
+    Iceberg MERGE semantics, an extension over the insert-only
+    reference (its segments never change; multiple/multiple_index.go
+    only adds and merges files).
+
+    Mechanics: stage a delete batch for the incoming doc_ids
+    (store.stage_delete_batch — parquet written, manifest untouched),
+    build the new segment, and commit BOTH in one manifest transaction
+    at the same generation (commit_segment attach_deletes). Because
+    delete batches are generation-scoped (they tombstone only segments
+    committed strictly before them), every older copy dies and the
+    paired segment's rows survive — readers see either the old corpus
+    or the new one, never a mix and never a missing doc. On build
+    failure the staged parquet is dropped; a crash between stage and
+    commit leaves only an invisible orphan dir.
+
+    ``bucket_size`` defaults to the store's pinned size when present
+    (a reindex can never introduce a new bucket width)."""
+    build_kw.setdefault(
+        "bucket_size", store.pinned_bucket_size() or DEFAULT_BUCKET_SIZE
+    )
+    staged = store.stage_delete_batch(
+        spark, docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    )
+    try:
+        return build_index(
+            spark, docs, store, id_col=id_col, text_col=text_col,
+            attach_deletes=staged, **build_kw,
+        )
+    except BaseException:
+        if staged is not None:
+            store.drop_staged_delete_batch(staged[0])
+        raise
 
 
 def build_value_index(

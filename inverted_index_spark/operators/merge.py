@@ -33,7 +33,10 @@ from inverted_index_spark.sources.store import (
 
 
 def _merge_bucket_pdf(
-    pdf: pd.DataFrame, block_size: int, dels: np.ndarray | None = None
+    pdf: pd.DataFrame,
+    block_size: int,
+    dels: np.ndarray | None = None,
+    del_gens: np.ndarray | None = None,
 ) -> pd.DataFrame | None:
     """One doc-bucket's rows across input segments → one re-encoded row
     per term. Decode all rows into term-repeated arrays, sort-unique
@@ -48,9 +51,14 @@ def _merge_bucket_pdf(
     of decoded — merging must never drop a registered term (the
     merge-invariance contract on read_terms).
 
-    ``dels`` (sorted int64 doc_ids) physically purges tombstoned docs
-    from the rewrite: their postings vanish, and a term whose postings
-    all pointed at deleted docs drops from the dictionary ("as-if-
+    ``dels``/``del_gens`` (doc_ids with each one's max live batch
+    generation) physically purge tombstoned docs from the rewrite with
+    GENERATION SCOPING: a tombstone only masks rows whose source
+    segment (the scan's ``_sgen`` column) predates it, so a reindexed
+    doc's new postings survive while every stale copy vanishes — the
+    purge must run per source row, BEFORE the cross-segment dedup
+    could arbitrarily keep a stale copy. A term whose postings all
+    pointed at deleted docs drops from the dictionary ("as-if-
     rebuilt"; explicit df=0 registrations survive)."""
     if not len(pdf):
         return None
@@ -64,15 +72,32 @@ def _merge_bucket_pdf(
         ]
     if not len(pdf):
         return passthrough
+    scoped = dels is not None and len(dels) and "_sgen" in pdf.columns
+    sgens = pdf["_sgen"].to_numpy(np.int64) if scoped else None
+    # per distinct source generation, the applicable tombstone subset
+    sub_cache: dict[int, np.ndarray] = {}
     term_parts, doc_parts, tf_parts, dl_parts = [], [], [], []
-    for term, p, t, l, blocks in zip(
+    for i, (term, p, t, l, blocks) in enumerate(zip(
         pdf["term"], pdf["postings"], pdf["tfs"], pdf["dls"], pdf["blocks"]
-    ):
+    )):
         d, tf, dl = decode_postings(p, t, l, list(blocks))
+        d, tf, dl = d.astype(np.int64), tf.astype(np.int64), dl.astype(np.int64)
+        if scoped:
+            g = int(sgens[i])
+            if g not in sub_cache:
+                sub_cache[g] = dels[del_gens > g]
+            sub = sub_cache[g]
+            if len(sub):
+                alive = ~np.isin(d, sub)
+                d, tf, dl = d[alive], tf[alive], dl[alive]
+                if not len(d):
+                    continue
         term_parts.append(np.full(len(d), term, dtype=object))
-        doc_parts.append(d.astype(np.int64))
-        tf_parts.append(tf.astype(np.int64))
-        dl_parts.append(dl.astype(np.int64))
+        doc_parts.append(d)
+        tf_parts.append(tf)
+        dl_parts.append(dl)
+    if not term_parts:
+        return passthrough
     flat = pd.DataFrame(
         {
             "term": np.concatenate(term_parts),
@@ -88,11 +113,6 @@ def _merge_bucket_pdf(
     keep = np.ones(len(docs), dtype=bool)
     keep[1:] = ~((terms[1:] == terms[:-1]) & (docs[1:] == docs[:-1]))
     terms, docs, tfs, dls = terms[keep], docs[keep], tfs[keep], dls[keep]
-    if dels is not None and len(dels):
-        alive = ~np.isin(docs, dels)
-        terms, docs, tfs, dls = terms[alive], docs[alive], tfs[alive], dls[alive]
-        if not len(docs):
-            return passthrough
     out = encode_bucket_arrays(terms, docs, tfs, dls, bucket, block_size)
     if passthrough is not None:
         out = pd.concat([out, passthrough], ignore_index=True)
@@ -112,7 +132,6 @@ def merge_segments(
     if not victims:
         return None
     bucket_size = store.pinned_bucket_size() or 0  # inherited, never changed
-    seg = store.read_postings(spark, victims)
 
     del_rows = store.live_deletes()
     del_ids = list(del_rows["segment_id"]) if len(del_rows) else []
@@ -122,19 +141,30 @@ def merge_segments(
                 "store has live deletes but no pinned bucket_size — "
                 "cannot purge tombstones during merge"
             )
+        # with_gen scan: each victim row carries its _sgen so the purge
+        # is generation-scoped (a reindexed victim's new rows survive
+        # tombstones that only cover its older siblings)
+        seg = store.read_postings(spark, victims, with_gen=True)
         # per-bucket cogroup (co-partitioned, NOT broadcast): each
         # bucket's rewrite sees exactly its slice of the delete set
-        dmap = store.read_deletes(spark).select(
+        dmap = store.read_deletes(spark, with_gen=True).select(
             F.expr(f"cast(doc_id div {int(bucket_size)} as long)").alias("bucket"),
             "doc_id",
+            "del_gen",
         )
 
         def mrg_del(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            out = _merge_bucket_pdf(
-                left, block_size,
-                np.sort(right["doc_id"].to_numpy(np.int64)) if len(right) else None,
+            if len(right):
+                order = np.argsort(right["doc_id"].to_numpy(np.int64))
+                dd = right["doc_id"].to_numpy(np.int64)[order]
+                dg = right["del_gen"].to_numpy(np.int64)[order]
+            else:
+                dd = dg = None
+            out = _merge_bucket_pdf(left, block_size, dd, dg)
+            return (
+                out if out is not None
+                else left.iloc[0:0][list(POSTINGS_SCHEMA.fieldNames())]
             )
-            return out if out is not None else left.iloc[0:0]
 
         merged = (
             seg.groupBy("bucket")
@@ -142,6 +172,7 @@ def merge_segments(
             .applyInPandas(lambda l, r: mrg_del(l, r), schema=POSTINGS_SCHEMA)
         )
     else:
+        seg = store.read_postings(spark, victims)
 
         def mrg(pdf: pd.DataFrame) -> pd.DataFrame:
             return _merge_bucket_pdf(pdf, block_size)

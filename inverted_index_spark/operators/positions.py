@@ -171,14 +171,19 @@ def decode_position_rows(
     min_doc: int | None = None,
     max_doc: int | None = None,
 ) -> Iterator[pd.DataFrame]:
-    """POSITIONS_SCHEMA rows → exploded (term, doc_id, pos) occurrences."""
+    """POSITIONS_SCHEMA rows → exploded (term, doc_id, pos) occurrences.
+    A ``_sgen`` provenance column (scan-class generation, present when
+    the scan ran with_gen=True) rides through to every occurrence —
+    store.scoped_minus_deletes consumes it downstream."""
     lo = -(1 << 62) if min_doc is None else int(min_doc)
     hi = (1 << 62) if max_doc is None else int(max_doc)
     for pdf in batches:
         outs = []
-        for term, d_buf, c_buf, p_buf in zip(
+        has_gen = "_sgen" in pdf.columns
+        gens = pdf["_sgen"] if has_gen else None
+        for i, (term, d_buf, c_buf, p_buf) in enumerate(zip(
             pdf["term"], pdf["docs"], pdf["counts"], pdf["positions"]
-        ):
+        )):
             d = np.cumsum(decode_varint(d_buf), dtype=np.uint64).astype(np.int64)
             if not len(d):
                 continue
@@ -193,15 +198,14 @@ def decode_position_rows(
             m = (doc_rep >= lo) & (doc_rep <= hi)
             if not m.any():
                 continue
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "term": np.repeat(np.asarray(term, dtype=object), int(m.sum())),
-                        "doc_id": doc_rep[m],
-                        "pos": pos[m],
-                    }
-                )
-            )
+            cols = {
+                "term": np.repeat(np.asarray(term, dtype=object), int(m.sum())),
+                "doc_id": doc_rep[m],
+                "pos": pos[m],
+            }
+            if has_gen:
+                cols["_sgen"] = np.repeat(np.int64(gens.iloc[i]), int(m.sum()))
+            outs.append(pd.DataFrame(cols))
         if outs:
             yield pd.concat(outs, ignore_index=True)
 
@@ -214,17 +218,31 @@ def positions_dir(store: SegmentStore, segment_id: str) -> str:
 
 
 def read_positions(
-    spark: SparkSession, store: SegmentStore, segment_ids: list[str] | None = None
+    spark: SparkSession,
+    store: SegmentStore,
+    segment_ids: list[str] | None = None,
+    with_gen: bool = False,
 ) -> DataFrame:
     """Multi-segment scan of the positions datasets (M3/M4 analog).
 
     Every live segment must carry positions — a partial positional
     index would silently return incomplete phrase matches, so missing
-    datasets raise instead."""
+    datasets raise instead.
+
+    ``with_gen`` adds the ``_sgen`` scan-class generation (a literal
+    per class scan, same shape as store.read_postings) so decoded
+    occurrences can be delete-filtered with generation scoping."""
     live = store.live_segments()
     ids = list(segment_ids or live["segment_id"])
     if not ids:
-        return spark.createDataFrame([], POSITIONS_SCHEMA)
+        schema = POSITIONS_SCHEMA
+        if with_gen:
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                list(POSITIONS_SCHEMA.fields) + [T.StructField("_sgen", T.LongType())]
+            )
+        return spark.createDataFrame([], schema)
     missing = [s for s in ids if not os.path.isdir(positions_dir(store, s))]
     if missing:
         raise ValueError(
@@ -232,7 +250,47 @@ def read_positions(
             "build_index(..., positions=True) (phrase results would be "
             "incomplete otherwise)"
         )
+    if with_gen:
+        parts = []
+        for cls_ids, rep in store.delete_scan_classes(ids):
+            parts.append(
+                spark.read.parquet(*[positions_dir(store, s) for s in cls_ids])
+                .withColumn("_sgen", F.lit(int(rep)))
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
     return spark.read.parquet(*[positions_dir(store, s) for s in ids])
+
+
+def decoded_occurrences(
+    spark: SparkSession,
+    store: SegmentStore,
+    rows: DataFrame,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """Decode a positions scan into (term, doc_id, pos) occurrences,
+    delete-filtered BEFORE any phrase/proximity kernel sees them.
+
+    Scoped semantics (store.read_deletes): when ``rows`` carries
+    ``_sgen`` (a with_gen=True scan), occurrences from segments OLDER
+    than a tombstone are dropped while a reindexed doc's NEW positions
+    survive — stale-copy rows must never reach a kernel, where they
+    would manufacture phantom matches. Without deletes this is exactly
+    the plain decode."""
+    scoped = "_sgen" in rows.columns
+    occ = rows.mapInPandas(
+        lambda b: decode_position_rows(b, min_doc, max_doc),
+        schema="term string, doc_id long, pos long"
+        + (", _sgen long" if scoped else ""),
+    )
+    if scoped:
+        from inverted_index_spark.sources.store import scoped_minus_deletes
+
+        occ = scoped_minus_deletes(spark, store, occ)
+    return occ
 
 
 def merge_positions(
@@ -252,16 +310,14 @@ def merge_positions(
             f"cannot merge mixed positional coverage: {sorted(set(victims) - set(have))} "
             "lack positions"
         )
-    rows = read_positions(spark, store, victims)
-    occurrences = rows.mapInPandas(
-        lambda b: decode_position_rows(b), schema="term string, doc_id long, pos long"
+    # compaction physically purges tombstoned docs' positions, with
+    # generation scoping — a reindexed doc's NEW positions (segment
+    # newer than its tombstone batch) survive the rewrite (the
+    # postings purge in merge._merge_bucket_pdf applies the same rule)
+    rows = read_positions(
+        spark, store, victims, with_gen=store.has_deletes()
     )
-    if store.has_deletes():
-        # compaction physically purges tombstoned docs' positions (the
-        # postings purge is in merge._merge_bucket_pdf's delete mask)
-        occurrences = occurrences.join(
-            store.read_deletes(spark), "doc_id", "left_anti"
-        )
+    occurrences = decoded_occurrences(spark, store, rows)
     bucket_size = store.pinned_bucket_size()
     if bucket_size is None:
         # a guessed width would re-encode positions into buckets
@@ -311,15 +367,13 @@ def phrase_match(
     fans out once per phrase offset that term occupies). Empty phrase →
     empty result; any phrase term absent from the index → no matches.
     """
-    from inverted_index_spark.operators.query import minus_deletes
-
-    return minus_deletes(
-        spark,
-        store,
-        phrase_match_rows(
-            spark, read_positions(spark, store) if phrase else None,
-            phrase, min_doc, max_doc, slop,
-        ),
+    rows = (
+        read_positions(spark, store, with_gen=store.has_deletes())
+        if phrase
+        else None
+    )
+    return phrase_match_rows(
+        spark, rows, phrase, min_doc, max_doc, slop, store=store
     )
 
 
@@ -364,9 +418,14 @@ def phrase_match_rows(
     min_doc: int | None = None,
     max_doc: int | None = None,
     slop: int = 0,
+    store: SegmentStore | None = None,
 ) -> DataFrame:
     """phrase_match over an explicit POSITIONS_SCHEMA DataFrame — the
-    building block Searcher.phrase uses with its cached scan."""
+    building block Searcher.phrase uses with its cached scan. ``store``
+    enables the generation-scoped delete filter when the rows carry
+    ``_sgen`` provenance (a with_gen scan); the filter runs on decoded
+    occurrences BEFORE the kernels, so a reindexed doc's stale
+    positions can never manufacture phantom matches."""
     if not phrase:
         return spark.createDataFrame([], "doc_id long, n_matches long")
     if slop < 0:
@@ -378,10 +437,13 @@ def phrase_match_rows(
         rows = rows.where(F.col("max_doc") >= F.lit(int(min_doc)))
     if max_doc is not None:
         rows = rows.where(F.col("min_doc") <= F.lit(int(max_doc)))
-    occ = rows.mapInPandas(
-        lambda b: decode_position_rows(b, min_doc, max_doc),
-        schema="term string, doc_id long, pos long",
-    )
+    if store is not None and "_sgen" in rows.columns:
+        occ = decoded_occurrences(spark, store, rows, min_doc, max_doc)
+    else:
+        occ = rows.mapInPandas(
+            lambda b: decode_position_rows(b, min_doc, max_doc),
+            schema="term string, doc_id long, pos long",
+        )
     # term → its offsets within the phrase, as an in-plan literal map
     offsets = [(t, [i for i, pt in enumerate(phrase) if pt == t]) for t in uniq]
     off_df = spark.createDataFrame(offsets, "term string, offs array<int>")
@@ -453,15 +515,17 @@ def phrase_starts(
         return spark.createDataFrame([], "doc_id long, pos long")
     k = len(phrase)
     uniq = sorted(set(phrase))
-    rows = read_positions(spark, store).where(F.col("term").isin(uniq))
+    rows = read_positions(
+        spark, store, with_gen=store.has_deletes()
+    ).where(F.col("term").isin(uniq))
     if min_doc is not None:
         rows = rows.where(F.col("max_doc") >= F.lit(int(min_doc)))
     if max_doc is not None:
         rows = rows.where(F.col("min_doc") <= F.lit(int(max_doc)))
-    occ = rows.mapInPandas(
-        lambda b: decode_position_rows(b, min_doc, max_doc),
-        schema="term string, doc_id long, pos long",
-    )
+    # delete filter on the decoded occurrences, BEFORE the offset agg
+    # (generation-scoped: a reindexed doc's stale positions are gone,
+    # its new ones count)
+    occ = decoded_occurrences(spark, store, rows, min_doc, max_doc)
     offsets = [(t, [i for i, pt in enumerate(phrase) if pt == t]) for t in uniq]
     off_df = spark.createDataFrame(offsets, "term string, offs array<int>")
     fanned = (
@@ -470,15 +534,11 @@ def phrase_starts(
         .select("doc_id", (F.col("pos") - F.col("off")).alias("adj"), "off")
         .where(F.col("adj") >= 0)
     )
-    from inverted_index_spark.operators.query import minus_deletes
-
-    return minus_deletes(
-        spark,
-        store,
+    return (
         fanned.groupBy("doc_id", "adj")
         .agg(F.countDistinct("off").alias("_n"))
         .where(F.col("_n") == k)
-        .select("doc_id", F.col("adj").alias("pos")),
+        .select("doc_id", F.col("adj").alias("pos"))
     )
 
 
@@ -576,10 +636,10 @@ def term_snippets(
         return spark.createDataFrame(
             [], "doc_id long, first_pos long, snippet string"
         )
-    rows = read_positions(spark, store).where(F.col("term").isin(uniq))
-    occ = rows.mapInPandas(
-        lambda b: decode_position_rows(b), schema="term string, doc_id long, pos long"
-    )
+    rows = read_positions(
+        spark, store, with_gen=store.has_deletes()
+    ).where(F.col("term").isin(uniq))
+    occ = decoded_occurrences(spark, store, rows)
     firsts = occ.groupBy("doc_id").agg(F.min("pos").alias("first_pos"))
     texts = store.read_docs(spark).select("doc_id", "text")
     joined = firsts.join(texts, "doc_id")
@@ -615,15 +675,16 @@ def terms_within_window(
         return spark.createDataFrame([], "doc_id long, min_span long")
     k = len(uniq)
     tmap = {t: i for i, t in enumerate(uniq)}
-    rows = read_positions(spark, store).where(F.col("term").isin(uniq))
+    rows = read_positions(
+        spark, store, with_gen=store.has_deletes()
+    ).where(F.col("term").isin(uniq))
     if min_doc is not None:
         rows = rows.where(F.col("max_doc") >= F.lit(int(min_doc)))
     if max_doc is not None:
         rows = rows.where(F.col("min_doc") <= F.lit(int(max_doc)))
-    occ = rows.mapInPandas(
-        lambda b: decode_position_rows(b, min_doc, max_doc),
-        schema="term string, doc_id long, pos long",
-    )
+    # scoped delete filter BEFORE the span kernel (stale reindexed
+    # positions would otherwise distort min spans)
+    occ = decoded_occurrences(spark, store, rows, min_doc, max_doc)
     n_groups = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def min_window(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -647,11 +708,7 @@ def terms_within_window(
             lambda _key, pdf: min_window(pdf), schema="doc_id long, min_span long"
         )
     )
-    from inverted_index_spark.operators.query import minus_deletes
-
-    return minus_deletes(
-        spark, store, spans.where(F.col("min_span") <= int(window))
-    ).orderBy("doc_id")
+    return spans.where(F.col("min_span") <= int(window)).orderBy("doc_id")
 
 
 def phrase_bm25_topk(

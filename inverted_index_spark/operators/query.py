@@ -31,11 +31,18 @@ def _decode_rows(
     max_doc: int | None,
     with_tf: bool,
 ) -> Iterator[pd.DataFrame]:
-    """Segment rows → exploded (term, doc_id[, tf, dl]) with block pruning."""
+    """Segment rows → exploded (term, doc_id[, tf, dl]) with block pruning.
+
+    A ``_sgen`` provenance column (scan-class generation, present when
+    the scan ran ``with_gen=True`` on a store with live deletes) rides
+    through to every exploded row — store.scoped_minus_deletes consumes
+    it downstream."""
     for pdf in batches:
         outs = []
-        for term, p, t, l, blocks in zip(
-            pdf["term"], pdf["postings"], pdf["tfs"], pdf["dls"], pdf["blocks"]
+        has_gen = "_sgen" in pdf.columns
+        gens = pdf["_sgen"] if has_gen else None
+        for i, (term, p, t, l, blocks) in enumerate(
+            zip(pdf["term"], pdf["postings"], pdf["tfs"], pdf["dls"], pdf["blocks"])
         ):
             d, tf, dl = decode_postings(p, t, l, blocks, min_doc, max_doc)
             if not len(d):
@@ -44,6 +51,8 @@ def _decode_rows(
             if with_tf:
                 cols["tf"] = tf.astype(np.int64)
                 cols["dl"] = dl.astype(np.int64)
+            if has_gen:
+                cols["_sgen"] = np.repeat(np.int64(gens.iloc[i]), len(d))
             outs.append(pd.DataFrame(cols))
         if outs:
             yield pd.concat(outs, ignore_index=True)
@@ -55,31 +64,21 @@ def matching_rows(
     terms: list[str],
     min_doc: int | None = None,
     max_doc: int | None = None,
+    with_gen: bool = False,
 ) -> DataFrame:
     """Pruned segment rows for a term set: predicate pushdown on term
     (sorted/partitioned layout → file + row-group skipping) plus
     row-level [min_doc, max_doc] envelope pruning — the reference's
-    readTermsBitmaps + preselectSegments (single/single.go:548-657)."""
-    seg = store.read_postings(spark)
+    readTermsBitmaps + preselectSegments (single/single.go:548-657).
+    ``with_gen`` adds the ``_sgen`` scan-class column (delete
+    scoping); filters still push into every per-class scan."""
+    seg = store.read_postings(spark, with_gen=with_gen)
     out = seg.where(F.col("term").isin(list(terms)))
     if min_doc is not None:
         out = out.where(F.col("max_doc") >= F.lit(int(min_doc)))
     if max_doc is not None:
         out = out.where(F.col("min_doc") <= F.lit(int(max_doc)))
     return out
-
-
-def minus_deletes(
-    spark: SparkSession, store: SegmentStore, df: DataFrame
-) -> DataFrame:
-    """Subtract the store's live delete set from a (…, doc_id, …)
-    DataFrame. No-op (and zero plan change) when the store has no
-    deletes — the common path pays nothing. The anti-join's small side
-    is the delete set; AQE broadcasts it when it fits, else it is an
-    ordinary shuffled anti-join — no driver-side materialization."""
-    if not store.has_deletes():
-        return df
-    return df.join(store.read_deletes(spark), "doc_id", "left_anti")
 
 
 def postings_df(
@@ -92,14 +91,25 @@ def postings_df(
 ) -> DataFrame:
     """Decoded (term, doc_id, tf, dl) rows for a term set (range-pruned,
     minus any live deletes — every downstream read/score path is
-    delete-aware through this one filter)."""
-    rows = matching_rows(spark, store, terms, min_doc, max_doc)
+    delete-aware through this one filter). Deletes are generation-
+    scoped (store.read_deletes): rows decoded from a segment NEWER
+    than a tombstone survive it, which is what makes reindex (delete +
+    re-add) read correctly."""
+    dels = store.has_deletes()
+    rows = matching_rows(spark, store, terms, min_doc, max_doc, with_gen=dels)
     schema = "term string, doc_id long" + (", tf long, dl long" if with_tf else "")
+    if dels:
+        schema += ", _sgen long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return _decode_rows(batches, min_doc, max_doc, with_tf)
 
-    return minus_deletes(spark, store, rows.mapInPandas(run, schema=schema))
+    decoded = rows.mapInPandas(run, schema=schema)
+    if not dels:
+        return decoded
+    from inverted_index_spark.sources.store import scoped_minus_deletes
+
+    return scoped_minus_deletes(spark, store, decoded)
 
 
 def read_terms(spark: SparkSession, store: SegmentStore) -> DataFrame:
@@ -264,15 +274,17 @@ def top_terms(spark: SparkSession, store: SegmentStore, k: int = 20) -> DataFram
         )
     else:
         # overlap (or live deletes) → metadata df is stale; count
-        # decoded distinct surviving docs
-        decoded = minus_deletes(
-            spark,
-            store,
-            store.read_postings(spark).mapInPandas(
-                lambda it: _decode_rows(it, None, None, False),
-                schema="term string, doc_id long",
-            ),
+        # decoded distinct surviving docs (scoped: reindexed copies in
+        # newer segments survive their tombstones)
+        from inverted_index_spark.sources.store import scoped_minus_deletes
+
+        dels = store.has_deletes()
+        decoded = store.read_postings(spark, with_gen=dels).mapInPandas(
+            lambda it: _decode_rows(it, None, None, False),
+            schema="term string, doc_id long" + (", _sgen long" if dels else ""),
         )
+        if dels:
+            decoded = scoped_minus_deletes(spark, store, decoded)
         dfs = decoded.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     return dfs.orderBy(F.desc("df"), F.asc("term")).limit(k)
 
@@ -377,7 +389,10 @@ def read_values_prefix(
     """R10 semantics with a term-prefix predicate instead of a term
     list: OR-union of every term matching the prefix, range-scoped,
     sorted unique doc ids (wildcard queries à la Lucene PrefixQuery)."""
-    rows = store.read_postings(spark).where(F.col("term").startswith(prefix))
+    dels = store.has_deletes()
+    rows = store.read_postings(spark, with_gen=dels).where(
+        F.col("term").startswith(prefix)
+    )
     if min_doc is not None:
         rows = rows.where(F.col("max_doc") >= F.lit(int(min_doc)))
     if max_doc is not None:
@@ -386,9 +401,13 @@ def read_values_prefix(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return _decode_rows(batches, min_doc, max_doc, False)
 
-    decoded = minus_deletes(
-        spark, store, rows.mapInPandas(run, schema="term string, doc_id long")
+    decoded = rows.mapInPandas(
+        run, schema="term string, doc_id long" + (", _sgen long" if dels else "")
     )
+    if dels:
+        from inverted_index_spark.sources.store import scoped_minus_deletes
+
+        decoded = scoped_minus_deletes(spark, store, decoded)
     return decoded.select("doc_id").distinct().orderBy("doc_id")
 
 

@@ -42,6 +42,11 @@ def _purged_postings(spark: SparkSession, store: SegmentStore, raw: DataFrame) -
     batch, read_values) then sees only surviving docs and exact
     surviving df, with zero per-query cost.
 
+    Deletes are GENERATION-SCOPED (store.read_deletes): ``raw`` must
+    carry the ``_sgen`` scan-class column (read_postings
+    with_gen=True), and a tombstone only masks rows whose source
+    segment predates it — a reindexed doc's new postings survive.
+
     Scale shape: the delete set ships as per-bucket sorted arrays via a
     co-partitioned equi-join on bucket (NOT a broadcast — a 100 TB
     corpus can carry billions of tombstones); rows in buckets with no
@@ -62,13 +67,21 @@ def _purged_postings(spark: SparkSession, store: SegmentStore, raw: DataFrame) -
             "store has live deletes but no pinned bucket_size — "
             "cannot map delete doc_ids onto postings buckets"
         )
+    if "_sgen" not in raw.columns:
+        raise ValueError("_purged_postings needs a with_gen=True scan (_sgen)")
     dmap = (
-        store.read_deletes(spark)
-        .select(F.expr(f"cast(doc_id div {int(bs)} as long)").alias("bucket"), "doc_id")
+        store.read_deletes(spark, with_gen=True)
+        .select(F.expr(f"cast(doc_id div {int(bs)} as long)").alias("bucket"),
+                "doc_id", "del_gen")
         .groupBy("bucket")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("dels_arr"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "del_gen"))
+            ).alias("dels_arr")
+        )
     )
-    joined = raw.join(dmap, "bucket", "left")
+    # itertuples drops underscore-prefixed names → rename for the kernel
+    joined = raw.withColumnRenamed("_sgen", "sgen").join(dmap, "bucket", "left")
     cols = list(POSTINGS_SCHEMA.fieldNames())
 
     def run(batches):
@@ -79,11 +92,14 @@ def _purged_postings(spark: SparkSession, store: SegmentStore, raw: DataFrame) -
             if len(clean):
                 outs.append(clean[cols])
             for row in pdf[hit].itertuples(index=False):
-                dels = np.asarray(row.dels_arr, dtype=np.int64)
-                # prune the delete array to this row's doc envelope
+                # struct array sorted by doc_id (first struct field)
+                dels = np.asarray([s["doc_id"] for s in row.dels_arr], np.int64)
+                gens = np.asarray([s["del_gen"] for s in row.dels_arr], np.int64)
+                # scope: only tombstones NEWER than this row's segment
+                # apply; prune to the row's doc envelope
                 lo = int(np.searchsorted(dels, row.min_doc, "left"))
                 hi = int(np.searchsorted(dels, row.max_doc, "right"))
-                sub = dels[lo:hi]
+                sub = dels[lo:hi][gens[lo:hi] > np.int64(row.sgen)]
                 if row.df == 0 or not len(sub):
                     # empty-postings term registration, or no overlap
                     outs.append(pd.DataFrame([{c: getattr(row, c) for c in cols}]))
@@ -143,13 +159,19 @@ class Searcher:
         # per-query exchange — a WAND/topk query becomes ONE stage over
         # cached columnar batches plus a TakeOrdered merge (one-time
         # shuffle here instead of one per query)
-        raw = self.store.read_postings(self.spark)
         if self.store.has_deletes():
             # physically purge live deletes into the cache ONCE —
             # every kernel (WAND, exhaustive, batch, read_values) then
             # scores only surviving docs with exact surviving df, and
-            # per-query paths pay nothing for delete support
-            raw = _purged_postings(self.spark, self.store, raw)
+            # per-query paths pay nothing for delete support. The scan
+            # carries _sgen so the purge is generation-scoped (a
+            # reindexed doc's new postings survive its tombstone).
+            raw = _purged_postings(
+                self.spark, self.store,
+                self.store.read_postings(self.spark, with_gen=True),
+            )
+        else:
+            raw = self.store.read_postings(self.spark)
         self._postings = raw.repartition("bucket").cache()
         self._postings.count()  # materialize
         self._stats = _bm25.corpus_stats(self.spark, self.store)
@@ -276,16 +298,16 @@ class Searcher:
         )
 
         if getattr(self, "_positions", None) is None:
-            self._positions = read_positions(self.spark, self.store).cache()
+            # with_gen when deletes are live: the cached rows carry
+            # _sgen so phrase_match_rows applies the scoped filter on
+            # decoded occurrences (pre-kernel)
+            self._positions = read_positions(
+                self.spark, self.store, with_gen=self.store.has_deletes()
+            ).cache()
             self._positions.count()
-        from inverted_index_spark.operators.query import minus_deletes
-
-        return minus_deletes(
-            self.spark,
-            self.store,
-            phrase_match_rows(
-                self.spark, self._positions, phrase, min_doc, max_doc, slop
-            ),
+        return phrase_match_rows(
+            self.spark, self._positions, phrase, min_doc, max_doc, slop,
+            store=self.store,
         )
 
     # ------------------------------------------------------------ boolean ---

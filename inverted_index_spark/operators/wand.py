@@ -261,14 +261,18 @@ def bm25_topk_wand(
         return spark.range(0).select(
             F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
         )
-    rows = matching_rows(spark, store, list(idf_map))
     if store.has_deletes():
         # the WAND kernel truncates per bucket, so a post-filter would
         # under-fill k — purge tombstones from the matched rows first
-        # (same rewrite Searcher.open applies to its cache)
+        # (same generation-scoped rewrite Searcher.open applies to its
+        # cache; needs the _sgen provenance column)
         from inverted_index_spark.operators.search import _purged_postings
 
-        rows = _purged_postings(spark, store, rows)
+        rows = _purged_postings(
+            spark, store, matching_rows(spark, store, list(idf_map), with_gen=True)
+        )
+    else:
+        rows = matching_rows(spark, store, list(idf_map))
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         return _wand_bucket(pdf, idf_map, avgdl, k)

@@ -133,10 +133,21 @@ class IcebergSegmentStore(SegmentStore):
         stats: dict,
         replaces: list[str] | None = None,
         retire_deletes: list[str] | None = None,
+        attach_deletes: tuple[str, int] | None = None,
     ) -> int:
         """Append-only commit with a validated victim flip (module
         docstring has the full protocol). Raises ErrMergeConflict when
-        a racing compactor already consumed a victim."""
+        a racing compactor already consumed a victim.
+
+        ``generation_added`` is read as manifest-size+1 just before the
+        append (the parquet store's gen counter is the CAS file number;
+        here two RACING appends can observe the same size and tie).
+        Generation ties are harmless between segments (segments never
+        scope against each other) and conservative between a delete
+        batch and a racing segment (equal gen ⇒ the batch does NOT
+        apply — the reindex-safe direction). ``attach_deletes`` lands
+        the staged batch row in the SAME append as the segment row
+        (one Iceberg snapshot → atomic), at the same generation."""
         self._ensure()
         tbl = self._table()
         if replaces:
@@ -163,12 +174,13 @@ class IcebergSegmentStore(SegmentStore):
                     f"{len(set(replaces)) - flipped} merge victim(s) no longer "
                     "live — a racing compaction already consumed them"
                 )
+        gen = len(self.read_manifest()) + 1
         row = {c: None for c in MANIFEST_COLS}
         row.update(
             {
                 "segment_id": segment_id,
                 "path": self.seg_dir(segment_id),
-                "generation_added": 0,
+                "generation_added": gen,
                 "status": LIVE,
                 "created_ts": time.time(),
                 "tombstone_ts": 0.0,
@@ -187,31 +199,40 @@ class IcebergSegmentStore(SegmentStore):
                 },
             }
         )
-        self.spark.createDataFrame(pd.DataFrame([row])[MANIFEST_COLS]).writeTo(
+        rows = [row]
+        if attach_deletes is not None:
+            d_id, d_n = attach_deletes
+            rows.append(
+                self._delete_row(d_id, d_n, gen).iloc[0].to_dict()
+            )
+        self.spark.createDataFrame(pd.DataFrame(rows)[MANIFEST_COLS]).writeTo(
             tbl
         ).append()
         if retire_deletes:
-            # retire absorbed delete batches only when the merged
-            # segment is now the SOLE live one. Unlike the parquet
-            # store's single-transaction check, this is check-then-
-            # update across two statements: it can only race a
+            # retire absorbed delete batches with the generation-scoped
+            # rule (parquet twin in store.commit_segment): a batch may
+            # retire iff no OTHER live segment PREDATES it. Unlike the
+            # parquet store's single-transaction check, this is check-
+            # then-update across two statements: it can only race a
             # concurrent APPEND, and the worst case is retiring a batch
-            # while a racing segment still carries the ids — the same
-            # delete-then-reindex caveat delete_docs documents. Victim
+            # a racing older-gen segment still needs — the same
+            # eventual-consistency caveat delete_docs documents. Victim
             # flips (the correctness-critical race) stay serializable.
-            others = int(
-                self.spark.sql(
-                    f"SELECT count(*) AS n FROM {tbl} WHERE status = '{LIVE}' "
-                    f"AND segment_id != '{segment_id}'"
-                ).collect()[0]["n"]
+            floor_row = self.spark.sql(
+                f"SELECT min(generation_added) AS g FROM {tbl} "
+                f"WHERE status = '{LIVE}' AND segment_id != '{segment_id}'"
+            ).collect()[0]
+            floor = floor_row["g"]
+            ids = ", ".join(f"'{s}'" for s in retire_deletes)
+            scope = (
+                "" if floor is None
+                else f" AND generation_added <= {int(floor)}"
             )
-            if others == 0:
-                ids = ", ".join(f"'{s}'" for s in retire_deletes)
-                self.spark.sql(
-                    f"UPDATE {tbl} SET status = '{MERGED}', "
-                    f"tombstone_ts = {time.time()!r} "
-                    f"WHERE segment_id IN ({ids}) AND status = '{DELETES}'"
-                )
+            self.spark.sql(
+                f"UPDATE {tbl} SET status = '{MERGED}', "
+                f"tombstone_ts = {time.time()!r} "
+                f"WHERE segment_id IN ({ids}) AND status = '{DELETES}'{scope}"
+            )
         return self.current_generation()
 
     def _commit_manifest(self, transform) -> int:

@@ -83,6 +83,24 @@ LIVE, MERGED = "live", "merged"
 DELETES = "deletes"
 
 
+def scoped_minus_deletes(
+    spark: SparkSession, store: "SegmentStore", df: DataFrame
+) -> DataFrame:
+    """Generation-scoped delete filter: ``df`` carries doc-level rows
+    with an ``_sgen`` provenance column (read_* ``with_gen=True`` →
+    decode passthrough). A row is dropped iff SOME live delete batch
+    newer than its source segment tombstones its doc — i.e. the doc's
+    max live ``del_gen`` exceeds ``_sgen``. Equi anti-join on doc_id
+    with the gen comparison as the residual condition (AQE broadcasts
+    the delete side when it fits); ``_sgen`` is consumed here and
+    dropped."""
+    if not store.has_deletes():
+        return df.drop("_sgen")
+    dels = store.read_deletes(spark, with_gen=True)
+    cond = (df["doc_id"] == dels["doc_id"]) & (dels["del_gen"] > df["_sgen"])
+    return df.join(dels, cond, "left_anti").drop("_sgen")
+
+
 class ErrMergeConflict(RuntimeError):
     """A compaction commit found one of its victims already tombstoned
     by a racing committer. Committing anyway would leave TWO live
@@ -255,6 +273,7 @@ class SegmentStore:
         stats: dict,
         replaces: list[str] | None = None,
         retire_deletes: list[str] | None = None,
+        attach_deletes: tuple[str, int] | None = None,
     ) -> int:
         """Append a live manifest row (optionally tombstoning inputs) —
         the analog of filesList add + merged-list move
@@ -264,7 +283,12 @@ class SegmentStore:
         When ``replaces`` is non-empty, EVERY victim must still be LIVE
         in the retry-time snapshot; raises :class:`ErrMergeConflict`
         otherwise (a racing merger already consumed one — committing
-        would double-count the shared docs)."""
+        would double-count the shared docs).
+
+        ``attach_deletes=(del_id, n)``: commit a STAGED delete batch in
+        the SAME transaction at the SAME generation as the new segment
+        — the atomic delete+add a reindex needs (the batch scopes over
+        every earlier segment, gen < batch gen, but not its pair)."""
 
         def transform(m: pd.DataFrame, base: int) -> pd.DataFrame:
             m = m.copy()
@@ -301,21 +325,38 @@ class SegmentStore:
                 },
             }
             row_df = pd.DataFrame([row])
+            if attach_deletes is not None:
+                d_id, d_n = attach_deletes
+                row_df = pd.concat(
+                    [row_df, self._delete_row(d_id, d_n, base + 1)],
+                    ignore_index=True,
+                )
             nxt = row_df if not len(m) else pd.concat([m, row_df], ignore_index=True)
             if retire_deletes:
                 # retire delete batches the merge physically absorbed —
-                # ATOMIC with the segment swap, and only when no OTHER
-                # live segment remains in THIS transaction's snapshot
-                # (a concurrently committed segment may still contain
-                # the deleted docs; then the batches must stay live).
-                # Batches committed after the merge started are not in
-                # the list and stay live regardless.
+                # ATOMIC with the swap. A batch stays live iff some
+                # OTHER live segment in THIS transaction's snapshot
+                # still PREDATES it (gen-scoped: the batch applies only
+                # to segments with generation_added < its own; the
+                # merged output postdates everything, and its rows were
+                # purged under the same scoping). Concurrently
+                # committed segments are in the snapshot and keep the
+                # batches they need; batches committed after the merge
+                # started are not in the list and stay live regardless.
                 others = nxt[
                     (nxt["status"] == LIVE) & (nxt["segment_id"] != segment_id)
                 ]
-                if not len(others):
-                    hit = nxt["segment_id"].isin(retire_deletes) & (
-                        nxt["status"] == DELETES
+                floor = (
+                    int(others["generation_added"].min()) if len(others) else None
+                )
+                for b in retire_deletes:
+                    hit = (
+                        (nxt["segment_id"] == b)
+                        & (nxt["status"] == DELETES)
+                        & (
+                            (floor is None)
+                            | (nxt["generation_added"] <= (floor if floor is not None else 0))
+                        )
                     )
                     nxt.loc[hit, "status"] = MERGED
                     nxt.loc[hit, "tombstone_ts"] = time.time()
@@ -337,15 +378,37 @@ class SegmentStore:
         (N, avgdl, df) — see Searcher.open's purge and bm25.corpus_stats.
         The term DICTIONARY (read_terms) keeps a term until a
         compaction rewrites its last posting away, like Lucene's.
-        Deletes are permanent until a full compaction retires them:
-        re-indexing a deleted doc_id only takes effect after the
-        compaction that physically purges the tombstone (ids in a
-        transcript corpus are minted monotonically, so reuse is the
-        exception, not the rule).
+        Batches are GENERATION-SCOPED (read_deletes docstring): a
+        batch only tombstones segments committed BEFORE it, so a doc
+        re-added in a LATER segment is visible again with its new
+        content — reindex_docs builds the atomic delete+add on this.
+        Compaction physically purges tombstoned rows and retires
+        fully-absorbed batches.
 
         ``doc_ids`` is a DataFrame with a ``doc_id`` column or an
         iterable of ints. Returns the delete-batch id, or None for an
         empty set."""
+        staged = self.stage_delete_batch(spark, doc_ids)
+        if staged is None:
+            return None
+        del_id, n = staged
+
+        def transform(m: pd.DataFrame, base: int) -> pd.DataFrame:
+            row = self._delete_row(del_id, n, base + 1)
+            return row if not len(m) else pd.concat([m, row], ignore_index=True)
+
+        self._commit_manifest(transform)
+        return del_id
+
+    def stage_delete_batch(self, spark: SparkSession, doc_ids) -> tuple[str, int] | None:
+        """Write a delete batch's parquet WITHOUT committing it —
+        reindex_docs stages the tombstones, then commit_segment
+        attaches the batch row and the new segment row in ONE manifest
+        transaction (same generation: the batch scopes over every
+        prior segment but not its paired one). Returns (del_id, n) or
+        None for an empty set; an uncommitted staged dir is invisible
+        to readers and harmless if the paired build fails (remove with
+        drop_staged_delete_batch)."""
         if isinstance(doc_ids, DataFrame):
             df = doc_ids.select(F.col("doc_id").cast("long")).distinct()
         else:
@@ -360,24 +423,26 @@ class SegmentStore:
         if n == 0:
             shutil.rmtree(self.seg_dir(del_id), ignore_errors=True)
             return None
+        return del_id, n
 
-        def transform(m: pd.DataFrame, base: int) -> pd.DataFrame:
-            row = pd.DataFrame(
-                [{
-                    "segment_id": del_id,
-                    "path": path,
-                    "generation_added": base + 1,
-                    "status": DELETES,
-                    "created_ts": time.time(),
-                    "tombstone_ts": 0.0,
-                    "n_docs": n,
-                    "bytes": dir_bytes(self.seg_dir(del_id)),
-                }]
-            ).reindex(columns=MANIFEST_COLS)
-            return row if not len(m) else pd.concat([m, row], ignore_index=True)
+    def drop_staged_delete_batch(self, del_id: str) -> None:
+        """Remove a staged-but-uncommitted delete batch (reindex_docs
+        failure path)."""
+        shutil.rmtree(self.seg_dir(del_id), ignore_errors=True)
 
-        self._commit_manifest(transform)
-        return del_id
+    def _delete_row(self, del_id: str, n: int, gen: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{
+                "segment_id": del_id,
+                "path": os.path.join(self.seg_dir(del_id), "deletes"),
+                "generation_added": gen,
+                "status": DELETES,
+                "created_ts": time.time(),
+                "tombstone_ts": 0.0,
+                "n_docs": n,
+                "bytes": dir_bytes(self.seg_dir(del_id)),
+            }]
+        ).reindex(columns=MANIFEST_COLS)
 
     def live_deletes(self) -> pd.DataFrame:
         m = self.read_manifest()
@@ -386,15 +451,67 @@ class SegmentStore:
     def has_deletes(self) -> bool:
         return len(self.live_deletes()) > 0
 
-    def read_deletes(self, spark: SparkSession) -> DataFrame:
-        """Union of live delete batches → distinct doc_id DataFrame."""
+    def read_deletes(self, spark: SparkSession, with_gen: bool = False) -> DataFrame:
+        """Union of live delete batches → distinct doc_id DataFrame.
+
+        ``with_gen`` adds ``del_gen`` — per doc, the HIGHEST
+        generation among live batches tombstoning it. A batch is
+        GENERATION-SCOPED (Lucene per-segment liveness / Iceberg
+        equality-delete sequence numbers): it applies only to segments
+        with ``generation_added`` strictly below the batch's own, so a
+        doc re-added AFTER its delete (reindex) is visible from the
+        newer segment. "exists a batch with gen > seg_gen containing
+        d" ⇔ "max batch gen over d > seg_gen", so the max is the only
+        number readers need."""
         dels = self.live_deletes()
         if not len(dels):
-            return spark.createDataFrame([], "doc_id long")
-        paths = [
-            os.path.join(self.seg_dir(s), "deletes") for s in dels["segment_id"]
-        ]
-        return spark.read.parquet(*paths).select("doc_id").distinct()
+            return spark.createDataFrame(
+                [], "doc_id long" + (", del_gen long" if with_gen else "")
+            )
+        if not with_gen:
+            paths = [
+                os.path.join(self.seg_dir(s), "deletes") for s in dels["segment_id"]
+            ]
+            return spark.read.parquet(*paths).select("doc_id").distinct()
+        parts = []
+        for sid, gen in zip(dels["segment_id"], dels["generation_added"]):
+            parts.append(
+                spark.read.parquet(os.path.join(self.seg_dir(sid), "deletes"))
+                .select("doc_id")
+                .withColumn("del_gen", F.lit(int(gen)))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("doc_id").agg(F.max("del_gen").alias("del_gen"))
+
+    def delete_scan_classes(
+        self, segment_ids: list[str] | None = None
+    ) -> list[tuple[list[str], int]]:
+        """Partition segments into scan classes that share the same set
+        of applicable delete batches (batch applies ⇔ batch gen >
+        segment gen). Returns ``[(segment_ids, rep_gen)]`` where
+        ``rep_gen`` is the max segment generation in the class —
+        comparing any batch gen against it answers "does this batch
+        apply" for EVERY member (equal applicable sets by
+        construction). With k live batches there are at most k+1
+        classes, and 1 when no segment postdates any batch (the common
+        case — one scan, exactly the no-deletes plan)."""
+        import bisect
+
+        live = self.live_segments()
+        if segment_ids is not None:
+            live = live[live["segment_id"].isin(list(segment_ids))]
+        if not len(live):
+            return []
+        batch_gens = sorted(int(g) for g in self.live_deletes()["generation_added"])
+        groups: dict[int, tuple[list[str], int]] = {}
+        for sid, gen in zip(live["segment_id"], live["generation_added"]):
+            key = bisect.bisect_right(batch_gens, int(gen))
+            ids, rep = groups.get(key, ([], -1))
+            ids.append(sid)
+            groups[key] = (ids, max(rep, int(gen)))
+        return [groups[k] for k in sorted(groups)]
 
     def cleanup(self, grace_s: float = 0.0) -> list[str]:
         """Delete merged segments' data (reference Cleanup,
@@ -466,6 +583,7 @@ class SegmentStore:
         spark: SparkSession,
         segment_ids: list[str] | None = None,
         with_segment_id: bool = False,
+        with_gen: bool = False,
     ) -> DataFrame:
         """Union of live segments' postings as ONE multi-path parquet
         scan → predicate pushdown + file pruning apply across all
@@ -474,6 +592,13 @@ class SegmentStore:
         segment_id (recovered from the file path) is opt-in: the
         input_file_name() projection is non-deterministic to Catalyst
         and would block filter pushdown into the scan.
+
+        ``with_gen`` adds ``_sgen`` — the scan-class representative
+        generation (delete_scan_classes), the provenance scoped delete
+        filtering needs. It is a LITERAL per class scan (one scan per
+        class, unioned), so pushdown/pruning still reach every scan —
+        unlike an input_file_name projection. One class → one scan,
+        exactly the plain plan plus a constant column.
         """
         live = self.live_segments()
         ids = list(segment_ids or live["segment_id"])
@@ -484,7 +609,22 @@ class SegmentStore:
                     list(POSTINGS_SCHEMA.fields)
                     + [T.StructField("segment_id", T.StringType())]
                 )
+            if with_gen:
+                schema = T.StructType(
+                    list(schema.fields) + [T.StructField("_sgen", T.LongType())]
+                )
             return spark.createDataFrame([], schema)
+        if with_gen:
+            parts = []
+            for cls_ids, rep in self.delete_scan_classes(ids):
+                p = spark.read.parquet(
+                    *[os.path.join(self.seg_dir(s), "postings") for s in cls_ids]
+                ).withColumn("_sgen", F.lit(int(rep)))
+                parts.append(p)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            return df
         paths = [os.path.join(self.seg_dir(s), "postings") for s in ids]
         df = spark.read.parquet(*paths)
         if with_segment_id:
@@ -509,11 +649,22 @@ class SegmentStore:
                                   T.StructField("dl", T.LongType())])
             )
         paths = [os.path.join(self.seg_dir(s), "docstats") for s in ids]
-        # same doc may appear in several segments pre-compaction → dedup
-        out = spark.read.parquet(*paths).dropDuplicates(["doc_id"])
         if not include_deleted and self.has_deletes():
-            out = out.join(self.read_deletes(spark), "doc_id", "left_anti")
-        return out
+            # scoped filter BEFORE the dedup: a reindexed doc has
+            # DIFFERENT dl in old vs new segments, and only the old
+            # copy is tombstoned — dedup-first could keep either
+            parts = [
+                spark.read.parquet(
+                    *[os.path.join(self.seg_dir(s), "docstats") for s in cls_ids]
+                ).withColumn("_sgen", F.lit(int(rep)))
+                for cls_ids, rep in self.delete_scan_classes(ids)
+            ]
+            raw = parts[0]
+            for p in parts[1:]:
+                raw = raw.unionByName(p)
+            return scoped_minus_deletes(spark, self, raw).dropDuplicates(["doc_id"])
+        # same doc may appear in several segments pre-compaction → dedup
+        return spark.read.parquet(*paths).dropDuplicates(["doc_id"])
 
     def read_docs(
         self,
@@ -547,13 +698,26 @@ class SegmentStore:
                 f"segments without a doc store: {missing} — rebuild with "
                 "build_index(..., store_text=True)"
             )
+        if not include_deleted and self.has_deletes():
+            # scoped filter BEFORE dedup (reindexed docs: old copy is
+            # tombstoned, new copy has different text — dedup-first
+            # could keep either)
+            parts = [
+                spark.read.parquet(
+                    *[os.path.join(self.seg_dir(s), "docs") for s in cls_ids]
+                ).withColumn("_sgen", F.lit(int(rep)))
+                for cls_ids, rep in self.delete_scan_classes(ids)
+            ]
+            raw = parts[0]
+            for p in parts[1:]:
+                raw = raw.unionByName(p)
+            if buckets is not None:
+                raw = raw.where(F.col("bucket").isin([int(b) for b in buckets]))
+            return scoped_minus_deletes(spark, self, raw).dropDuplicates(["doc_id"])
         raw = spark.read.parquet(*paths)
         if buckets is not None:
             raw = raw.where(F.col("bucket").isin([int(b) for b in buckets]))
-        out = raw.dropDuplicates(["doc_id"])
-        if not include_deleted and self.has_deletes():
-            out = out.join(self.read_deletes(spark), "doc_id", "left_anti")
-        return out
+        return raw.dropDuplicates(["doc_id"])
 
     # ------------------------------------------------------------ merger
     def pick_merge_candidates(self, min_files: int = 2, max_files: int = 8) -> list[str]:

@@ -105,16 +105,32 @@ class FakeIcebergSpark:
             )
             return _Rows([{"n": n}])
         m = re.match(
-            r"UPDATE \S+ SET status = '(\w+)', tombstone_ts = (\S+) "
-            r"WHERE segment_id IN \(([^)]*)\) AND status = '(\w+)'",
+            r"SELECT min\(generation_added\) AS g FROM \S+ "
+            r"WHERE status = '(\w+)' AND segment_id != '(\S+)'",
             s,
         )
         if m:
-            to_status, mark, ids, from_status = m.groups()
+            status, sid = m.groups()
+            hit = self.manifest[
+                (self.manifest["status"] == status)
+                & (self.manifest["segment_id"] != sid)
+            ]
+            g = int(hit["generation_added"].min()) if len(hit) else None
+            return _Rows([{"g": g}])
+        m = re.match(
+            r"UPDATE \S+ SET status = '(\w+)', tombstone_ts = (\S+) "
+            r"WHERE segment_id IN \(([^)]*)\) AND status = '(\w+)'"
+            r"(?: AND generation_added <= (\d+))?$",
+            s,
+        )
+        if m:
+            to_status, mark, ids, from_status, gen_cap = m.groups()
             idset = {x.strip().strip("'") for x in ids.split(",")}
             hit = self.manifest["segment_id"].isin(idset) & (
                 self.manifest["status"] == from_status
             )
+            if gen_cap is not None:
+                hit &= self.manifest["generation_added"] <= int(gen_cap)
             self.manifest.loc[hit, "status"] = to_status
             self.manifest.loc[hit, "tombstone_ts"] = float(mark)
             self.n_snapshots += 1

@@ -305,7 +305,9 @@ def test_purged_postings_codec_roundtrip(spark, tmp_path):
     )
     victims = [int(x) for x in d.view(np.int64)[::3]]
     store.delete_docs(spark, victims)
-    purged = _purged_postings(spark, store, raw)
+    purged = _purged_postings(
+        spark, store, store.read_postings(spark, with_gen=True)
+    )
     prow = purged.where(
         (F.col("term") == row["term"]) & (F.col("bucket") == row["bucket"])
     ).collect()[0]
