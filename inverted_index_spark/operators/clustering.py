@@ -64,11 +64,57 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return _normalize(moved.unionByName(self_edge))
 
 
+# Edge sets at or below this ship to the driver and resolve with
+# union-find in one pass — the same small-side decision a broadcast
+# join makes. 2^18 edges is ~4 MB of longs; far below any driver
+# memory concern, far above what LSH candidate graphs produce at
+# test scale. At 100 TB the candidate graph blows past this and the
+# distributed star iteration runs unchanged.
+SMALL_EDGE_CUTOFF = 1 << 18
+
+
+def _cc_driver(edges: DataFrame) -> DataFrame:
+    """Union-find over a collected edge list (small-graph fast path).
+
+    Identical output contract to the star iteration: every node of the
+    (self-loop-free, distinct) edge set labeled with its component's
+    min node id. One collect + one createDataFrame replaces O(log² n)
+    shuffle rounds — at a few hundred thousand edges the star
+    iteration's per-round job overhead dwarfs the actual work."""
+    rows = edges.collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        u, v = row["u"], row["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min id: the smaller root stays root, so the
+            # final root of every tree IS the component minimum
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    spark = edges.sparkSession
+    out = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(out, "node long, component long")
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
     max_rounds: int = 64,
+    small_cutoff: int = SMALL_EDGE_CUTOFF,
 ) -> DataFrame:
     """pairs(a, b) → (node, component) with component = min node id of
     the connected component. Deterministic; raises if the star
@@ -77,13 +123,22 @@ def connected_components(
     (a == b) carry no duplicate signal and are dropped; a node
     appearing ONLY in self-loops is absent from the output (it forms
     no cluster), matching what dedup_survivors needs.
-    """
+
+    Size-adaptive: the normalized edge count is measured first (the
+    one extra job is noise next to the iteration it informs). At or
+    below ``small_cutoff`` edges the graph resolves with driver-side
+    union-find (:func:`_cc_driver`) — same output, one job; above it
+    the alternating-star dataflow runs, which never materializes the
+    graph on the driver. Pass ``small_cutoff=0`` to force the
+    distributed path (tests equate both)."""
     edges = _normalize(
         pairs.select(
             F.col(a_col).cast("long").alias("u"),
             F.col(b_col).cast("long").alias("v"),
         )
     ).localCheckpoint(eager=False)
+    if small_cutoff > 0 and edges.limit(small_cutoff + 1).count() <= small_cutoff:
+        return _cc_driver(edges)
 
     def _sig(df: DataFrame) -> tuple[int, int]:
         row = df.agg(

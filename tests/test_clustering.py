@@ -34,14 +34,18 @@ def uf_oracle(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
-def run_cc(spark, pairs):
+def run_cc(spark, pairs, small_cutoff):
     df = spark.createDataFrame(pairs, "a long, b long")
     return {
         r["node"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, small_cutoff=small_cutoff).collect()
     }
 
 
+# small_cutoff=0 forces the distributed star iteration; the default
+# routes these tiny graphs through the driver union-find fast path —
+# both must match the oracle (and therefore each other)
+@pytest.mark.parametrize("cutoff", [0, 1 << 18])
 @pytest.mark.parametrize(
     "pairs",
     [
@@ -52,18 +56,29 @@ def run_cc(spark, pairs):
         [(100, 1), (2, 100), (3, 2), (50, 51)],                    # mixed orientation
     ],
 )
-def test_cc_matches_union_find(spark, pairs):
-    assert run_cc(spark, pairs) == uf_oracle(pairs)
+def test_cc_matches_union_find(spark, pairs, cutoff):
+    assert run_cc(spark, pairs, cutoff) == uf_oracle(pairs)
 
 
-def test_cc_random_graph(spark):
+@pytest.mark.parametrize("cutoff", [0, 1 << 18])
+def test_cc_random_graph(spark, cutoff):
     rng = random.Random(7)
     nodes = list(range(200))
     pairs = [
         (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
     ]
     pairs = [(a, b) for a, b in pairs if a != b]
-    assert run_cc(spark, pairs) == uf_oracle(pairs)
+    assert run_cc(spark, pairs, cutoff) == uf_oracle(pairs)
+
+
+def test_cc_cutoff_boundary(spark):
+    # a graph JUST over a tiny cutoff takes the distributed path and
+    # still matches; the same graph under the default takes the driver
+    # path — outputs identical
+    pairs = [(i, i + 1) for i in range(0, 40, 2)] + [(0, 39)]
+    dist = run_cc(spark, pairs, small_cutoff=5)
+    drv = run_cc(spark, pairs, small_cutoff=1 << 18)
+    assert dist == drv == uf_oracle(pairs)
 
 
 def test_dedup_survivors(spark):
