@@ -775,6 +775,37 @@ def _q_reindex_read_values(spark, sf):
     )
 
 
+def _q_time_travel_read_values(spark, sf):
+    """Snapshot time travel (sources/store.py at(), Iceberg VERSION AS
+    OF over the manifest commit log): pin the reindexed store to its
+    FIRST generation — the pre-upsert corpus — and read. The oracle is
+    the plain original-corpus query: the pinned view must contain no
+    trace of the reindex ('reindexed' matches nothing, superseded
+    copies are back)."""
+    store = _rx_store_for(spark, sf)
+    pinned = store.at(min(store.generations()))
+    return _query.read_values(spark, pinned, ["reindexed", "merge"])
+
+
+_DBQ_STORES: dict[str, SegmentStore] = {}
+_DBQ_QUERY = "window merge"  # adjacency = AND in the search grammar
+
+
+def _q_delete_by_query_read(spark, sf):
+    """operators.boolean delete_by_query (Lucene deleteDocuments(Query)
+    analog): tombstone every doc matching a boolean query, then read —
+    the oracle recomputes the match set in SQL (docs containing BOTH
+    terms) and excludes it from the read."""
+    from inverted_index_spark.operators.boolean import delete_by_query
+
+    if sf not in _DBQ_STORES:
+        store = SegmentStore(tempfile.mkdtemp(prefix="ii_entry_dbq_") + "/idx")
+        build_index(spark, _docs(spark, sf), store, bucket_size=1 << 14)
+        delete_by_query(spark, store, _DBQ_QUERY)
+        _DBQ_STORES[sf] = store
+    return _query.read_values(spark, _DBQ_STORES[sf], ["spark", "window"])
+
+
 def _q_reindex_bm25_topk(spark, sf):
     """BM25 top-k via a Searcher over the reindexed store: the
     open()-time cache purge is generation-scoped, so scores equal a
@@ -926,6 +957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_bm25_topk": _q_delete_bm25_topk,
         "reindex_read_values": _q_reindex_read_values,
         "reindex_bm25_topk": _q_reindex_bm25_topk,
+        "time_travel_read_values": _q_time_travel_read_values,
+        "delete_by_query_read": _q_delete_by_query_read,
         "bm25f_topk": _q_bm25f_topk,
         "media_stats": _q_media_stats,
         "index_summary": _q_index_summary,
@@ -1391,6 +1424,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(raw_score, 4) AS score FROM "
             f"({_bm25_contrib_sql(_RX_TERMS, src=_RX_SRC)}) "
             "ORDER BY raw_score DESC, doc_id ASC LIMIT 10"
+        ),
+        # the pinned pre-upsert snapshot IS the original corpus — the
+        # plain documents query, no reindex trace
+        "time_travel_read_values": (
+            f"SELECT DISTINCT doc_id FROM ({_TOK}) "
+            "WHERE term IN ('reindexed','merge') ORDER BY doc_id"
+        ),
+        # match set of 'window merge' (adjacency=AND) excluded from the read
+        "delete_by_query_read": (
+            f"SELECT DISTINCT doc_id FROM ({_TOK}) "
+            "WHERE term IN ('spark','window') AND doc_id NOT IN ("
+            f"SELECT a.doc_id FROM ({_TOK}) a JOIN ({_TOK}) b USING (doc_id) "
+            "WHERE a.term = 'window' AND b.term = 'merge') "
+            "ORDER BY doc_id"
         ),
         "bm25f_topk": _bm25f_sql(_BM25F_TERMS),
         "dedup_fingerprints": (

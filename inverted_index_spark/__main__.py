@@ -104,16 +104,42 @@ def main(argv: list[str] | None = None) -> int:
     s_reindex.add_argument("--positions", action="store_true")
     s_reindex.add_argument("--store-text", action="store_true")
     s_delete = sub.add_parser(
-        "delete", help="tombstone documents by id (results exclude them "
-        "immediately; compact physically purges and retires the batch)"
+        "delete", help="tombstone documents by id or by boolean query "
+        "(results exclude them immediately; compact physically purges "
+        "and retires the batch)"
     )
     s_delete.add_argument("store_root")
-    s_delete.add_argument("doc_ids", nargs="+", type=int)
+    s_delete.add_argument("doc_ids", nargs="*", type=int)
+    s_delete.add_argument(
+        "--query", help="tombstone every doc matching this boolean query "
+        "instead of listing ids (search grammar)",
+    )
+    s_snap = sub.add_parser(
+        "snapshots", help="list readable manifest generations (time-travel "
+        "targets for --as-of; no Spark needed)"
+    )
+    s_snap.add_argument("store_root")
+    for sp in (s_search, s_query):
+        sp.add_argument(
+            "--as-of", type=int, metavar="GEN",
+            help="evaluate against the snapshot at this manifest generation "
+            "(read-only time travel; see the snapshots subcommand)",
+        )
     args = p.parse_args(argv)
 
     from inverted_index_spark.sources.store import SegmentStore
 
     store = SegmentStore(args.store_root if args.cmd != "build" else args.store_root)
+
+    if args.cmd == "snapshots":
+        gens = store.generations()
+        if not gens:
+            print("no committed generations")
+            return 1
+        cur = store.current_generation()
+        for g in gens:
+            print(f"gen {g}{'  (current)' if g == cur else ''}")
+        return 0
 
     if args.cmd == "inspect":
         # driver-side only — no Spark session needed (manifest is the
@@ -150,6 +176,19 @@ def main(argv: list[str] | None = None) -> int:
         print(f"committed segment {sid}")
         return 0
     if args.cmd == "delete":
+        if args.query and args.doc_ids:
+            raise SystemExit("give doc ids OR --query, not both")
+        if args.query:
+            from inverted_index_spark.operators.boolean import delete_by_query
+
+            del_id = delete_by_query(spark, store, args.query)
+            if del_id is None:
+                print("no documents matched; nothing tombstoned")
+                return 0
+            print(f"committed delete batch {del_id} (query: {args.query!r})")
+            return 0
+        if not args.doc_ids:
+            raise SystemExit("give doc ids or --query")
         del_id = store.delete_docs(spark, args.doc_ids)
         print(f"committed delete batch {del_id} ({len(set(args.doc_ids))} ids)")
         return 0
@@ -172,6 +211,8 @@ def main(argv: list[str] | None = None) -> int:
             evaluate, parse_query, ranked_topk,
         )
 
+        if args.as_of:
+            store = store.at(args.as_of)
         field_stores = None
         if args.field:
             field_stores = {}
@@ -215,6 +256,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "query":
         from inverted_index_spark.operators.search import Searcher
 
+        if args.as_of:
+            store = store.at(args.as_of)
         searcher = Searcher(spark, store).open()
         for row in searcher.topk(args.terms, args.k).collect():
             print(f"{row['doc_id']}\t{row['score']:.6f}")

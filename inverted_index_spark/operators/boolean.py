@@ -483,6 +483,30 @@ def ranked_topk(
     )
 
 
+def delete_by_query(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> str | None:
+    """Tombstone every document matching a boolean query — Lucene's
+    IndexWriter.deleteDocuments(Query), an extension over the
+    insert-only reference. Accepts a tree or a query string
+    (parse_query grammar, including phrases/prefix/fuzzy/fielded
+    clauses). The match set is evaluated against the CURRENT snapshot
+    and committed as one delete batch (store.delete_docs), so results
+    and BM25 stats exclude the matches immediately; compaction
+    physically purges them. Returns the delete-batch id, or None when
+    nothing matched. The match set never lands on the driver — it
+    flows as a DataFrame into the batch write."""
+    if isinstance(q, str):
+        q = parse_query(q)
+    ids = _matches(spark, store, q, None, None, None, field_stores).select(
+        "doc_id"
+    )
+    return store.delete_docs(spark, ids)
+
+
 def facet_counts(
     spark: SparkSession,
     store: SegmentStore,

@@ -112,8 +112,57 @@ class IcebergSegmentStore(SegmentStore):
             "'write.update.isolation-level'='serializable')"
         )
 
+    def _snapshot_ids(self) -> list[int]:
+        """Snapshot ids in commit order — position k (1-based) is the
+        table state after the k-th commit, the Iceberg image of the
+        parquet backend's gen-k.parquet."""
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._table()}.snapshots "
+            "ORDER BY committed_at, snapshot_id"
+        ).collect()
+        return [int(r["snapshot_id"]) for r in rows]
+
+    def at(self, generation: int) -> "IcebergSegmentStore":
+        """Time travel via Iceberg's own snapshot log (VERSION AS OF);
+        generation numbering matches current_generation (snapshot
+        count). Expired snapshots (expire_snapshots) raise, exactly
+        like the parquet backend after expire_generations."""
+        self._ensure()
+        gen = int(generation)
+        if gen < 1:
+            raise ValueError(f"generation must be >= 1, got {generation}")
+        snaps = self._snapshot_ids()
+        if gen > len(snaps):
+            raise FileNotFoundError(
+                f"generation {gen} not available (current={len(snaps)}; "
+                "older snapshots may have been expired)"
+            )
+        return IcebergSegmentStore(
+            root=self.root, pin_generation=gen, spark=self.spark,
+            catalog=self.catalog, namespace=self.namespace,
+        )
+
+    def generations(self) -> list[int]:
+        self._ensure()
+        return list(range(1, len(self._snapshot_ids()) + 1))
+
     def read_manifest(self) -> pd.DataFrame:
         self._ensure()
+        if self.pin_generation is not None:
+            snaps = self._snapshot_ids()
+            if self.pin_generation > len(snaps):
+                raise FileNotFoundError(
+                    f"pinned generation {self.pin_generation} has no "
+                    "snapshot (expired or never committed)"
+                )
+            sid = snaps[self.pin_generation - 1]
+            return (
+                self.spark.sql(
+                    f"SELECT * FROM {self._table()} VERSION AS OF {sid}"
+                )
+                .toPandas()
+                .reindex(columns=MANIFEST_COLS)
+            )
         return (
             self.spark.table(self._table()).toPandas().reindex(columns=MANIFEST_COLS)
         )
@@ -148,6 +197,10 @@ class IcebergSegmentStore(SegmentStore):
         apply — the reindex-safe direction). ``attach_deletes`` lands
         the staged batch row in the SAME append as the segment row
         (one Iceberg snapshot → atomic), at the same generation."""
+        if self.pin_generation is not None:
+            raise PermissionError(
+                "store is a read-only snapshot (at()); cannot commit segments"
+            )
         self._ensure()
         tbl = self._table()
         if replaces:
@@ -240,6 +293,12 @@ class IcebergSegmentStore(SegmentStore):
         removed rows become row-level DELETEs (cleanup), added rows
         become APPENDs (delete_docs' tombstone-batch row) — both
         compose with concurrent commits instead of overwriting them."""
+        if self.pin_generation is not None:
+            raise PermissionError(
+                f"store is a read-only snapshot pinned at generation "
+                f"{self.pin_generation} (at()); commits must go through "
+                "an unpinned store"
+            )
         self._ensure()
         base = self.read_manifest()
         nxt = transform(base, len(base))[MANIFEST_COLS]
@@ -258,4 +317,8 @@ class IcebergSegmentStore(SegmentStore):
 
     def expire_generations(self, keep: int = 8, grace_s: float = 0.0) -> int:
         """Iceberg's own expire_snapshots owns snapshot retention."""
+        if self.pin_generation is not None:
+            raise PermissionError(
+                "store is a read-only snapshot (at()); expiry is a write"
+            )
         return 0

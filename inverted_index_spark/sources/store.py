@@ -113,6 +113,12 @@ class ErrMergeConflict(RuntimeError):
 @dataclass
 class SegmentStore:
     root: str
+    # a read-only snapshot pin (see at()): manifest reads resolve this
+    # exact generation instead of the current max, and every mutation
+    # is refused — Iceberg time travel over the gen-N.parquet commit
+    # log this store already keeps (expire_generations bounds the
+    # horizon, like expire_snapshots)
+    pin_generation: int | None = None
 
     def __post_init__(self) -> None:
         # M1 parity (multiple/multiple_index.go:448,466-487): opening an
@@ -163,7 +169,56 @@ class SegmentStore:
         ]
         return max(gens, default=0)
 
+    def at(self, generation: int) -> "SegmentStore":
+        """A read-only view of this store pinned to ``generation`` —
+        Iceberg time travel (VERSION AS OF) over the manifest commit
+        log. Every read (read_postings, Searcher, deletes scoping,
+        summary) resolves the pinned snapshot; every write raises.
+        Fails fast if the generation was never committed or its
+        snapshot file has been expired (expire_generations keeps the
+        last K — the time-travel horizon, exactly expire_snapshots').
+        Note data liveness: cleanup() physically deletes segments
+        tombstoned before the pinned snapshot's grace window, so pin
+        horizons and cleanup grace should be aligned, as in Iceberg."""
+        gen = int(generation)
+        if gen < 1:
+            raise ValueError(f"generation must be >= 1, got {generation}")
+        path = os.path.join(self._manifest_dir(), f"gen-{gen}.parquet")
+        if not os.path.exists(path):
+            cur = self.current_generation()
+            raise FileNotFoundError(
+                f"generation {gen} not available (current={cur}; older "
+                "snapshots may have been expired by expire_generations)"
+            )
+        return SegmentStore(self.root, pin_generation=gen)
+
+    def generations(self) -> list[int]:
+        """Committed snapshot generations still readable (sorted) —
+        the valid arguments to at()."""
+        try:
+            names = os.listdir(self._manifest_dir())
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[4:-8])
+            for n in names
+            if n.startswith("gen-") and n.endswith(".parquet")
+        )
+
     def read_manifest(self) -> pd.DataFrame:
+        if self.pin_generation is not None:
+            try:
+                return pd.read_parquet(
+                    os.path.join(
+                        self._manifest_dir(),
+                        f"gen-{self.pin_generation}.parquet",
+                    )
+                ).reindex(columns=MANIFEST_COLS)
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"pinned generation {self.pin_generation} has been "
+                    "expired (expire_generations) — the snapshot is gone"
+                ) from None
         # retry: under extreme contention the resolved gen file can be
         # expired (expire_generations keeps the last K) between the
         # listdir and the read — re-resolve to the new max
@@ -193,6 +248,12 @@ class SegmentStore:
 
         CURRENT remains as a best-effort monotone pointer for humans;
         readers resolve via the max-gen scan above."""
+        if self.pin_generation is not None:
+            raise PermissionError(
+                f"store is a read-only snapshot pinned at generation "
+                f"{self.pin_generation} (at()); commits must go through "
+                "an unpinned SegmentStore"
+            )
         os.makedirs(self._manifest_dir(), exist_ok=True)
         for _ in range(1000):
             base = self.current_generation()
@@ -409,6 +470,10 @@ class SegmentStore:
         None for an empty set; an uncommitted staged dir is invisible
         to readers and harmless if the paired build fails (remove with
         drop_staged_delete_batch)."""
+        if self.pin_generation is not None:
+            raise PermissionError(
+                "store is a read-only snapshot (at()); cannot stage deletes"
+            )
         if isinstance(doc_ids, DataFrame):
             df = doc_ids.select(F.col("doc_id").cast("long")).distinct()
         else:
@@ -514,6 +579,13 @@ class SegmentStore:
         return [groups[k] for k in sorted(groups)]
 
     def cleanup(self, grace_s: float = 0.0) -> list[str]:
+        if self.pin_generation is not None:
+            raise PermissionError(
+                "store is a read-only snapshot (at()); cleanup is a write"
+            )
+        return self._cleanup(grace_s)
+
+    def _cleanup(self, grace_s: float = 0.0) -> list[str]:
         """Delete merged segments' data (reference Cleanup,
         multiple/multiple_index.go:218-252). ``grace_s`` keeps
         tombstoned segments on disk for a window after the merge commit
@@ -542,6 +614,13 @@ class SegmentStore:
         return deleted
 
     def expire_generations(self, keep: int = 8, grace_s: float = 0.0) -> int:
+        if self.pin_generation is not None:
+            raise PermissionError(
+                "store is a read-only snapshot (at()); expiry is a write"
+            )
+        return self._expire_generations(keep, grace_s)
+
+    def _expire_generations(self, keep: int = 8, grace_s: float = 0.0) -> int:
         """Delete old gen-N.parquet snapshot files, keeping the last
         ``keep`` (Iceberg's expire_snapshots; the reference's analog is
         its bounded in-RAM filesList). Without this, a streaming sink

@@ -49,7 +49,7 @@ class _FakeWriteTo:
                 if not len(base)
                 else pd.concat([base, self.pdf], ignore_index=True)
             )
-            self.spark.n_snapshots += 1
+            self.spark._commit()
 
     def toPandas(self):
         return self.pdf.copy()
@@ -69,10 +69,18 @@ class FakeIcebergSpark:
     def __init__(self):
         self.manifest = pd.DataFrame(columns=MANIFEST_COLS)
         self.n_snapshots = 0
+        # full manifest image per commit — the mock's snapshot log
+        # (position k, 1-based, = table state after the k-th commit),
+        # what VERSION AS OF resolves against
+        self.snapshots: list[pd.DataFrame] = []
         self.conf = _FakeConf()
         self._jvm = _Name()
         self.log: list[str] = []
         self.lock = threading.RLock()
+
+    def _commit(self) -> None:
+        self.n_snapshots += 1
+        self.snapshots.append(self.manifest.copy())
 
     def sql(self, stmt: str):
         with self.lock:
@@ -86,6 +94,14 @@ class FakeIcebergSpark:
         m = re.match(r"SELECT count\(\*\) AS n FROM \S+\.snapshots", s)
         if m:
             return _Rows([{"n": self.n_snapshots}])
+        m = re.match(r"SELECT snapshot_id FROM \S+\.snapshots ORDER BY", s)
+        if m:
+            return _Rows([{"snapshot_id": i + 1} for i in range(self.n_snapshots)])
+        m = re.match(r"SELECT \* FROM \S+ VERSION AS OF (\d+)", s)
+        if m:
+            sid = int(m.group(1))
+            assert 1 <= sid <= len(self.snapshots), f"unknown snapshot {sid}"
+            return _FakeWriteTo(self, self.snapshots[sid - 1].copy())
         m = re.match(r"SELECT count\(\*\) AS n FROM \S+ WHERE tombstone_ts = (\S+)", s)
         if m:
             mark = float(m.group(1))
@@ -133,7 +149,7 @@ class FakeIcebergSpark:
                 hit &= self.manifest["generation_added"] <= int(gen_cap)
             self.manifest.loc[hit, "status"] = to_status
             self.manifest.loc[hit, "tombstone_ts"] = float(mark)
-            self.n_snapshots += 1
+            self._commit()
             return _Rows([])
         m = re.match(
             r"UPDATE \S+ SET status = '(\w+)', tombstone_ts = (\S+) "
@@ -145,7 +161,7 @@ class FakeIcebergSpark:
             hit = self.manifest["tombstone_ts"] == float(mark)
             self.manifest.loc[hit, "status"] = to_status
             self.manifest.loc[hit, "tombstone_ts"] = float(new_ts)
-            self.n_snapshots += 1
+            self._commit()
             return _Rows([])
         m = re.match(r"DELETE FROM \S+ WHERE segment_id IN \(([^)]*)\)", s)
         if m:
@@ -153,7 +169,7 @@ class FakeIcebergSpark:
             self.manifest = self.manifest[
                 ~self.manifest["segment_id"].isin(idset)
             ].reset_index(drop=True)
-            self.n_snapshots += 1
+            self._commit()
             return _Rows([])
         raise AssertionError(f"mock got unexpected SQL: {stmt}")
 
