@@ -923,6 +923,98 @@ def _q_media_stats(spark, sf):
     return out.select("media_id", "kind", "fmt", "width", "height").orderBy("media_id")
 
 
+def _q_contamination(spark, sf):
+    """Benchmark decontamination: every 13th doc is the held-out
+    benchmark; flag training docs sharing any token 3-gram with it
+    (broadcast join on the n-gram — the benchmark side is always the
+    tiny side at scale)."""
+    from inverted_index_spark.operators.contamination import ngram_contamination
+
+    docs = _docs(spark, sf)
+    bench = docs.where(F.col("doc_id") % 13 == 0)
+    train = docs.where(F.col("doc_id") % 13 != 0)
+    out = ngram_contamination(train, bench, n=3)
+    return out.orderBy("doc_id")
+
+
+def _q_pii_scrub(spark, sf):
+    """PII redaction over a deterministically PII-augmented corpus
+    slice (the synthetic docs carry no PII, so both engines append the
+    same doc_id-derived email/IP/phone before scrubbing)."""
+    from inverted_index_spark.functions.pii import scrubbed_col, EMAIL_RE, IPV4_RE, PHONE_RE
+
+    d = _docs(spark, sf).where(F.col("doc_id") < 300)
+    did = F.col("doc_id")
+    suffix = (
+        F.when(did % 3 == 0, F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")))
+        .when(did % 3 == 1, F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit("."), (did % 100).cast("string")))
+        .otherwise(F.concat(F.lit(" call +1-555-"), F.lpad((did % 10000).cast("string"), 4, "0")))
+    )
+    t = F.concat(F.col("text"), suffix)
+    after_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
+    return d.select(
+        did.alias("doc_id"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(after_email, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        scrubbed_col(t).alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
+def _q_kmeans_assign(spark, sf):
+    """Nearest-centroid assignment (the oracle-exact kernel both Lloyd
+    iteration and IVF coarse quantization run on): centroids = the 8
+    smallest-id embeddings, squared-L2, ties to the lowest cluster."""
+    from inverted_index_spark.operators.kmeans import assign_clusters
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents_rows = emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    cents = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    # cluster label = the centroid's vec_id (robust if ids aren't 0..7)
+    id_arr = F.array(*[F.lit(int(r["vec_id"])) for r in cents_rows])
+    out = assign_clusters(emb, cents)
+    return out.select(
+        "vec_id",
+        F.element_at(id_arr, F.col("cluster") + 1).cast("int").alias("cluster"),
+        F.round("dist", 4).alias("dist"),
+    ).orderBy("vec_id")
+
+
+def _q_embed_kmeans(spark, sf):
+    """Full distributed Lloyd k-means (k=8, 3 iterations,
+    deterministic init) — rows-only entry, self-checking: the
+    distributed fit must reproduce a pure-numpy Lloyd on the collected
+    vectors (same init, same iteration count)."""
+    import numpy as np
+
+    from inverted_index_spark.operators.kmeans import kmeans_clusters, kmeans_fit
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    k, iters = 8, 3
+    cents = kmeans_fit(emb, k=k, iters=iters)
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ref = x[:k].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - ref[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for c in range(k):
+            if (lab == c).any():
+                ref[c] = x[lab == c].mean(axis=0)
+    assert np.allclose(np.array(cents), ref, atol=1e-6), "distributed Lloyd != numpy Lloyd"
+    out = kmeans_clusters(emb, k=k, iters=iters)
+    got = {r["vec_id"]: r["cluster"] for r in out.select("vec_id", "cluster").collect()}
+    want = ((x[:, None, :] - ref[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    mismatch = sum(1 for i, r in enumerate(rows) if got[r["vec_id"]] != int(want[i]))
+    assert mismatch == 0, f"{mismatch} assignment mismatches vs numpy Lloyd"
+    return (
+        out.groupBy("cluster")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cluster")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters for the driver's time-budgeted correctness gate:
     # the core index reads come first (they also pay the one-time
@@ -963,6 +1055,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _q_media_stats,
         "index_summary": _q_index_summary,
         "transcripts_bm25": _q_transcripts_bm25,
+        # --- round-5 additions (need their first rows) ---
+        "contamination_overlap": _q_contamination,
+        "pii_scrub": _q_pii_scrub,
+        "embed_kmeans_assign": _q_kmeans_assign,
+        "embed_kmeans": _q_embed_kmeans,
         # --- the rest (green r4 rows) ---
         "dedup_fingerprints": _q_dedup_fingerprints,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -1364,6 +1461,15 @@ FROM z GROUP BY vec_id
 """
 
 
+# PII regex contract (functions/pii.py) — Java-regex/RE2 common subset,
+# parity-tested in tests/test_corpus_hygiene.py
+from inverted_index_spark.functions.pii import (  # noqa: E402
+    EMAIL_RE as _PII_EMAIL,
+    IPV4_RE as _PII_IP,
+    PHONE_RE as _PII_PHONE,
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ii_read_terms": (
@@ -1736,5 +1842,56 @@ def oracle_sql() -> dict[str, str]:
             "/ len(list_distinct(a.sh || b.sh)), 6) AS jaccard "
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
             "WHERE len(list_intersect(a.sh, b.sh)) > 0"
+        ),
+        "contamination_overlap": (
+            # token 3-grams, whole-doc shingle when < 3 tokens (the
+            # engine's _shingles_col contract); bench = doc_id % 13 == 0
+            r"WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t"
+            " FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct("
+            "CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] "
+            "ELSE list_transform(generate_series(1, len(t) - 2), "
+            "i -> array_to_string(t[i:i+2], ' ')) END) AS g FROM tok), "
+            "ex AS (SELECT doc_id, unnest(g) AS g FROM sh), "
+            "bench AS (SELECT doc_id AS bench_id, g FROM ex "
+            "WHERE doc_id % 13 = 0 AND g <> ''), "
+            "train AS (SELECT doc_id, g FROM ex WHERE doc_id % 13 <> 0 AND g <> '') "
+            "SELECT t.doc_id, count(DISTINCT t.g) AS n_hit_ngrams, "
+            "count(DISTINCT b.bench_id) AS n_bench_docs "
+            "FROM train t JOIN bench b USING (g) "
+            "GROUP BY t.doc_id ORDER BY t.doc_id"
+        ),
+        "pii_scrub": (
+            "WITH aug AS (SELECT doc_id, text || "
+            "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' "
+            "WHEN doc_id % 3 = 1 THEN ' host 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) "
+            "ELSE ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') END AS t "
+            "FROM documents WHERE doc_id < 300) "
+            "SELECT doc_id, "
+            f"len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails, "
+            f"len(regexp_extract_all(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),"
+            f" '{_PII_IP}')) AS n_ips, "
+            f"len(regexp_extract_all(regexp_replace(regexp_replace(t, '{_PII_EMAIL}',"
+            f" '<EMAIL>', 'g'), '{_PII_IP}', '<IP>', 'g'), '{_PII_PHONE}')) AS n_phones, "
+            f"regexp_replace(regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>',"
+            f" 'g'), '{_PII_IP}', '<IP>', 'g'), '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed "
+            "FROM aug ORDER BY doc_id"
+        ),
+        "embed_kmeans_assign": (
+            # squared-L2 argmin over the 8 smallest-id centroids; the
+            # engine folds (a-b)^2 left in element order in float64 —
+            # list_sum over the same float64 terms agrees far beyond
+            # the round-4 output precision
+            "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings"
+            " WHERE vec_id < 8), "
+            "d AS (SELECT e.vec_id, c.cid, "
+            "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+            "i -> (e.embedding[i]::DOUBLE - c.ce[i]::DOUBLE)"
+            " * (e.embedding[i]::DOUBLE - c.ce[i]::DOUBLE))) AS dist "
+            "FROM embeddings e CROSS JOIN c), "
+            "r AS (SELECT vec_id, cid, dist, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) "
+            "SELECT vec_id, cid::INT AS cluster, round(dist, 4) AS dist "
+            "FROM r WHERE rn = 1 ORDER BY vec_id"
         ),
     }

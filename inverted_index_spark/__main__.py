@@ -125,7 +125,88 @@ def main(argv: list[str] | None = None) -> int:
             help="evaluate against the snapshot at this manifest generation "
             "(read-only time travel; see the snapshots subcommand)",
         )
+    s_pii = sub.add_parser(
+        "pii-scrub", help="redact emails/IPs/phones from a parquet corpus"
+    )
+    s_pii.add_argument("docs_parquet")
+    s_pii.add_argument("--out", help="write scrubbed parquet here (else just count)")
+    s_pii.add_argument("--id-col", default="doc_id")
+    s_pii.add_argument("--text-col", default="text")
+    s_decon = sub.add_parser(
+        "decontaminate",
+        help="drop training docs sharing token n-grams with a benchmark set",
+    )
+    s_decon.add_argument("train_parquet")
+    s_decon.add_argument("bench_parquet")
+    s_decon.add_argument("--n", type=int, default=3, help="n-gram width")
+    s_decon.add_argument("--out", help="write the clean corpus here (else just count)")
+    s_kmeans = sub.add_parser(
+        "kmeans", help="distributed Lloyd k-means over an embedding column"
+    )
+    s_kmeans.add_argument("embeddings_parquet")
+    s_kmeans.add_argument("-k", type=int, default=8)
+    s_kmeans.add_argument("--iters", type=int, default=5)
+    s_kmeans.add_argument("--id-col", default="vec_id")
+    s_kmeans.add_argument("--vec-col", default="embedding")
+    s_kmeans.add_argument("--out", help="write (vec_id, cluster, dist) parquet here")
     args = p.parse_args(argv)
+
+    # corpus-level commands take parquet paths, not a segment store
+    if args.cmd in ("pii-scrub", "decontaminate", "kmeans"):
+        from pyspark.sql import functions as F
+
+        from inverted_index_spark import get_spark
+
+        spark = get_spark("ii-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.cmd == "pii-scrub":
+            from inverted_index_spark.functions.pii import pii_scrub, pii_stats
+
+            docs = spark.read.parquet(args.docs_parquet)
+            stats = pii_stats(docs, args.id_col, args.text_col)
+            agg = stats.agg(
+                F.sum("n_emails").alias("emails"),
+                F.sum("n_ips").alias("ips"),
+                F.sum("n_phones").alias("phones"),
+                F.sum(F.col("any_pii").cast("long")).alias("docs_with_pii"),
+                F.count("*").alias("docs"),
+            ).collect()[0]
+            print(
+                f"{agg['docs']} docs, {agg['docs_with_pii']} with PII "
+                f"({agg['emails']} emails, {agg['ips']} IPs, {agg['phones']} phones)"
+            )
+            if args.out:
+                pii_scrub(docs, args.id_col, args.text_col).write.parquet(args.out)
+                print(f"scrubbed corpus -> {args.out}")
+            return 0
+        if args.cmd == "decontaminate":
+            from inverted_index_spark.operators.contamination import (
+                decontaminate,
+                ngram_contamination,
+            )
+
+            train = spark.read.parquet(args.train_parquet)
+            bench = spark.read.parquet(args.bench_parquet)
+            flagged = ngram_contamination(train, bench, n=args.n).count()
+            print(f"{flagged} training docs overlap the benchmark (n={args.n})")
+            if args.out:
+                decontaminate(train, bench, n=args.n).write.parquet(args.out)
+                print(f"clean corpus -> {args.out}")
+            return 0
+        from inverted_index_spark.operators.kmeans import kmeans_clusters
+
+        emb = spark.read.parquet(args.embeddings_parquet)
+        out = kmeans_clusters(
+            emb, k=args.k, iters=args.iters, id_col=args.id_col, vec_col=args.vec_col
+        )
+        if args.out:
+            out.write.parquet(args.out)
+            print(f"assignments -> {args.out}")
+        for row in (
+            out.groupBy("cluster").agg(F.count("*").alias("n")).orderBy("cluster").collect()
+        ):
+            print(f"cluster {row['cluster']}\t{row['n']}")
+        return 0
 
     from inverted_index_spark.sources.store import SegmentStore
 
