@@ -923,6 +923,30 @@ def _q_media_stats(spark, sf):
     return out.select("media_id", "kind", "fmt", "width", "height").orderBy("media_id")
 
 
+def _q_spell_suggest(spark, sf):
+    """Did-you-mean over the index dictionary: top-5 df-ranked terms
+    within edit distance 2 of the misspelling 'tble' (Lucene
+    DirectSpellChecker popularity mode)."""
+    from inverted_index_spark.operators.query import spell_suggest
+
+    return spell_suggest(spark, _store_for(spark, sf), "tble", max_edits=2, k=5)
+
+
+TS_BUCKET_US = 6 * 3_600_000_000  # 6-hour histogram buckets
+
+
+def _q_ts_histogram(spark, sf):
+    """Date-histogram facet over the timestamp value index: distinct
+    indexed event timestamps per 6h bucket within the query window
+    (one pruned R10 read -> one k-group aggregate)."""
+    from inverted_index_spark.operators.query import value_histogram
+
+    _q_ts_index_range(spark, sf)  # ensures the shared ts value index exists
+    return value_histogram(
+        spark, _TS_STORES[sf], TS_TYPES, TS_BUCKET_US, *TS_RANGE
+    ).select(F.col("bucket").alias("bucket_us"), "n")
+
+
 def _q_contamination(spark, sf):
     """Benchmark decontamination: every 13th doc is the held-out
     benchmark; flag training docs sharing any token 3-gram with it
@@ -1056,6 +1080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_summary": _q_index_summary,
         "transcripts_bm25": _q_transcripts_bm25,
         # --- round-5 additions (need their first rows) ---
+        "spell_suggest": _q_spell_suggest,
+        "ts_date_histogram": _q_ts_histogram,
         "contamination_overlap": _q_contamination,
         "pii_scrub": _q_pii_scrub,
         "embed_kmeans_assign": _q_kmeans_assign,
@@ -1842,6 +1868,20 @@ def oracle_sql() -> dict[str, str]:
             "/ len(list_distinct(a.sh || b.sh)), 6) AS jaccard "
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
             "WHERE len(list_intersect(a.sh, b.sh)) > 0"
+        ),
+        "spell_suggest": (
+            "SELECT term, df FROM (SELECT term, count(DISTINCT doc_id) AS df "
+            f"FROM ({_TOK}) GROUP BY term) "
+            "WHERE levenshtein(term, 'tble') <= 2 "
+            "ORDER BY df DESC, term LIMIT 5"
+        ),
+        "ts_date_histogram": (
+            "SELECT us - us % " + str(TS_BUCKET_US) + " AS bucket_us, "
+            "count(*) AS n FROM "
+            "(SELECT DISTINCT epoch_us(ts) AS us FROM events "
+            f"WHERE event_type IN ('{TS_TYPES[0]}', '{TS_TYPES[1]}') "
+            f"AND epoch_us(ts) BETWEEN {TS_RANGE[0]} AND {TS_RANGE[1]}) "
+            "GROUP BY bucket_us ORDER BY bucket_us"
         ),
         "contamination_overlap": (
             # token 3-grams, whole-doc shingle when < 3 tokens (the

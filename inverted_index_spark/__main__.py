@@ -125,6 +125,14 @@ def main(argv: list[str] | None = None) -> int:
             help="evaluate against the snapshot at this manifest generation "
             "(read-only time travel; see the snapshots subcommand)",
         )
+    s_suggest = sub.add_parser(
+        "suggest", help="did-you-mean: df-ranked dictionary terms within "
+        "edit distance of a (mis)spelled term"
+    )
+    s_suggest.add_argument("store_root")
+    s_suggest.add_argument("term")
+    s_suggest.add_argument("--max-edits", type=int, default=2, choices=(1, 2))
+    s_suggest.add_argument("-k", type=int, default=5)
     s_pii = sub.add_parser(
         "pii-scrub", help="redact emails/IPs/phones from a parquet corpus"
     )
@@ -327,6 +335,14 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()
         for row in rows:
             print(f"{row['doc_id']}\t{row['score']:.6f}")
+        return 0
+    if args.cmd == "suggest":
+        from inverted_index_spark.operators.query import spell_suggest
+
+        for row in spell_suggest(
+            spark, store, args.term, max_edits=args.max_edits, k=args.k
+        ).collect():
+            print(f"{row['term']}\t{row['df']}")
         return 0
     if args.cmd == "top-terms":
         from inverted_index_spark.operators.query import top_terms

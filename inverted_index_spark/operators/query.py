@@ -379,6 +379,67 @@ def fuzzy_values(
     return read_values(spark, store, matched, min_doc, max_doc)
 
 
+def spell_suggest(
+    spark: SparkSession,
+    store: SegmentStore,
+    term: str,
+    max_edits: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Did-you-mean: (term, df) for the k most frequent dictionary
+    terms within Levenshtein ``max_edits`` of the probe — Lucene
+    DirectSpellChecker's popularity ranking over the same EXACT fuzzy
+    candidate set :func:`fuzzy_terms` computes. Ties (df DESC, term
+    ASC). The candidate neighborhood is tiny, so the df lookup is an
+    isin-pushed metadata read; under segment overlap or live deletes
+    it counts decoded distinct docs (same branch as top_terms)."""
+    cand = [r["term"] for r in fuzzy_terms(spark, store, term, max_edits).collect()]
+    if not cand:
+        return spark.createDataFrame([], "term string, df long")
+    if len(store.live_segments()) <= 1 and not store.has_deletes():
+        dfs = (
+            store.read_postings(spark)
+            .where(F.col("term").isin(cand))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+    else:
+        dfs = (
+            postings_df(spark, store, cand, with_tf=False)
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+        )
+    return dfs.orderBy(F.desc("df"), F.asc("term")).limit(k)
+
+
+def value_histogram(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    bucket: int,
+    min_val: int | None = None,
+    max_val: int | None = None,
+) -> DataFrame:
+    """Date-histogram facet over an ordered-V value index: one R10
+    read (OR-union, range-scoped) → one groupBy on the fixed-width
+    bucket. The value index stores a sorted-UNIQUE value set per term
+    (reference R10 semantics), so counts are of distinct indexed
+    values per bucket — the ES date_histogram analog over an index of
+    event timestamps. Non-negative values only (bucket floor is
+    ``v - v % bucket``). Scale shape: the heavy work is the pruned
+    index read; the histogram itself is a k-group aggregate."""
+    if bucket <= 0:
+        raise ValueError("bucket must be positive")
+    vals = read_values(spark, store, terms, min_val, max_val)
+    b = (F.col("doc_id") - (F.col("doc_id") % F.lit(int(bucket)))).cast("long")
+    return (
+        vals.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
 def read_values_prefix(
     spark: SparkSession,
     store: SegmentStore,

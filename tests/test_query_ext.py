@@ -287,3 +287,73 @@ def test_value_index_unsigned_full_uint64(spark):
             SegmentStore(tempfile.mkdtemp(prefix="ii_neg_") + "/idx"),
             bucket_size=4,
         )
+
+
+def test_spell_suggest_ranked_by_df(spark, prefix_store):
+    from inverted_index_spark.operators.query import spell_suggest
+
+    # probe 'aple': d1 = apple(3); d2 = app(1), apply(2)
+    got = [
+        (r["term"], r["df"])
+        for r in spell_suggest(spark, prefix_store, "aple", max_edits=2, k=5).collect()
+    ]
+    assert got == [("apple", 3), ("apply", 2), ("app", 1)]
+    # k truncates after the df-desc/term-asc order
+    top1 = spell_suggest(spark, prefix_store, "aple", max_edits=2, k=1).collect()
+    assert [(r["term"], r["df"]) for r in top1] == [("apple", 3)]
+    # no candidates -> empty frame with the contract schema
+    none = spell_suggest(spark, prefix_store, "qqqqqqqq", max_edits=2)
+    assert none.columns == ["term", "df"] and none.count() == 0
+
+
+def test_spell_suggest_multi_segment_exact_df(spark):
+    """Under segment overlap the metadata-df shortcut is invalid;
+    spell_suggest must count decoded distinct docs."""
+    from inverted_index_spark.operators.query import spell_suggest
+
+    store = SegmentStore(tempfile.mkdtemp(prefix="ii_sgg_") + "/idx")
+    w = SegmentWriter(spark, store, bucket_size=8)
+    w.put("table", [1, 2])
+    w.close()
+    w2 = SegmentWriter(spark, store, bucket_size=8)
+    w2.put("table", [2, 3])  # doc 2 overlaps -> df is 3, not 4
+    w2.put("fable", [9])
+    w2.close()
+    got = [
+        (r["term"], r["df"])
+        for r in spell_suggest(spark, store, "tble", max_edits=2, k=5).collect()
+    ]
+    assert got == [("table", 3), ("fable", 1)]
+    # at d=1 only 'table' is reachable ('fable' is two edits away)
+    d1 = [
+        (r["term"], r["df"])
+        for r in spell_suggest(spark, store, "tble", max_edits=1, k=5).collect()
+    ]
+    assert d1 == [("table", 3)]
+
+
+def test_value_histogram(spark):
+    from inverted_index_spark.operators.query import value_histogram
+
+    store = SegmentStore(tempfile.mkdtemp(prefix="ii_hist_") + "/idx")
+    w = SegmentWriter(spark, store, bucket_size=1 << 30)
+    # values double as ordered V (e.g. timestamps); duplicates across
+    # terms collapse (R10 sorted-unique read)
+    w.put("click", [5, 15, 25, 105])
+    w.put("view", [15, 35, 205])
+    w.close()
+    got = [
+        (r["bucket"], r["n"])
+        for r in value_histogram(spark, store, ["click", "view"], bucket=100).collect()
+    ]
+    # distinct values {5,15,25,35,105,205} -> buckets 0:4, 100:1, 200:1
+    assert got == [(0, 4), (100, 1), (200, 1)]
+    scoped = [
+        (r["bucket"], r["n"])
+        for r in value_histogram(
+            spark, store, ["click", "view"], bucket=100, min_val=10, max_val=110
+        ).collect()
+    ]
+    assert scoped == [(0, 3), (100, 1)]
+    with pytest.raises(ValueError):
+        value_histogram(spark, store, ["click"], bucket=0)
