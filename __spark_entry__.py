@@ -923,6 +923,36 @@ def _q_media_stats(spark, sf):
     return out.select("media_id", "kind", "fmt", "width", "height").orderBy("media_id")
 
 
+def _q_search_after(spark, sf):
+    """Keyset pagination (Lucene/ES searchAfter): page 2 of the ranked
+    stream, fetched with the (score, doc_id) cursor of page 1's last
+    hit — must equal rows 11-20 of the global order."""
+    from inverted_index_spark.operators.boolean import search_after
+
+    store = _store_for(spark, sf)
+    page1 = search_after(spark, store, "spark OR merge", k=10).collect()
+    cur = page1[-1]
+    t = search_after(
+        spark, store, "spark OR merge", k=10, after=(cur["score"], cur["doc_id"])
+    )
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_facet_stats(spark, sf):
+    """Numeric stats facet (ES stats aggregation): per-lang doc count
+    + min/max/sum/avg of n_chars over the match set."""
+    from inverted_index_spark.operators.boolean import facet_stats
+
+    t = facet_stats(
+        spark, _store_for(spark, sf), "spark OR merge",
+        _docs(spark, sf), "lang", "n_chars",
+    )
+    return t.select(
+        "lang", "n_docs", "min_v", "max_v",
+        F.round("sum_v", 4).alias("sum_v"), F.round("avg_v", 4).alias("avg_v"),
+    )
+
+
 def _q_spell_suggest(spark, sf):
     """Did-you-mean over the index dictionary: top-5 df-ranked terms
     within edit distance 2 of the misspelling 'tble' (Lucene
@@ -1082,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions (need their first rows) ---
         "spell_suggest": _q_spell_suggest,
         "ts_date_histogram": _q_ts_histogram,
+        "search_after_page2": _q_search_after,
+        "facet_stats": _q_facet_stats,
         "contamination_overlap": _q_contamination,
         "pii_scrub": _q_pii_scrub,
         "embed_kmeans_assign": _q_kmeans_assign,
@@ -1868,6 +1900,23 @@ def oracle_sql() -> dict[str, str]:
             "/ len(list_distinct(a.sh || b.sh)), 6) AS jaccard "
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
             "WHERE len(list_intersect(a.sh, b.sh)) > 0"
+        ),
+        "search_after_page2": (
+            "SELECT m.doc_id, round(coalesce(s.raw_score, 0), 4) AS score "
+            "FROM (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark')) m "
+            f"LEFT JOIN ({_bm25_contrib_sql(['merge', 'spark'])}) s USING (doc_id) "
+            "ORDER BY coalesce(s.raw_score, 0) DESC, m.doc_id ASC "
+            "LIMIT 10 OFFSET 10"
+        ),
+        "facet_stats": (
+            "SELECT lang, count(*) AS n_docs, "
+            "min(n_chars)::DOUBLE AS min_v, max(n_chars)::DOUBLE AS max_v, "
+            "round(sum(n_chars)::DOUBLE, 4) AS sum_v, "
+            "round(avg(n_chars::DOUBLE), 4) AS avg_v "
+            "FROM documents WHERE doc_id IN (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark')) "
+            "GROUP BY lang ORDER BY lang"
         ),
         "spell_suggest": (
             "SELECT term, df FROM (SELECT term, count(DISTINCT doc_id) AS df "

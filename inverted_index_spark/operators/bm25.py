@@ -78,8 +78,16 @@ def bm25_scores(
     terms: list[str],
     min_doc: int | None = None,
     max_doc: int | None = None,
+    deterministic: bool = False,
 ) -> DataFrame:
-    """(doc_id, score) for every matching doc (exhaustive scorer)."""
+    """(doc_id, score) for every matching doc (exhaustive scorer).
+
+    ``deterministic=True`` folds each doc's term contributions in
+    sorted term order (sort_array + aggregate) instead of F.sum, so
+    the float result is BIT-IDENTICAL across runs and partitionings —
+    required wherever a score is compared exactly later (search_after
+    cursors). Default off: the plain shuffle-order sum is faster and
+    rank order is unaffected beyond ~1e-11 tie noise."""
     uniq = sorted(set(terms))
     n_docs, avgdl = corpus_stats(spark, store)
     dfs = term_dfs(spark, store, uniq)
@@ -105,7 +113,15 @@ def bm25_scores(
         * F.col("tf")
         / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(float(avgdl)))),
     )
-    return contrib.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    if not deterministic:
+        return contrib.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    pairs = contrib.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("_c")
+    )
+    return pairs.select(
+        "doc_id",
+        F.aggregate("_c", F.lit(0.0), lambda a, x: a + x["contrib"]).alias("score"),
+    )
 
 
 def bm25_topk(

@@ -483,6 +483,93 @@ def ranked_topk(
     )
 
 
+def search_after(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    k: int = 10,
+    after: tuple[float, int] | None = None,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """Keyset pagination over the ranked stream (Lucene/ES
+    searchAfter): page N+1 = the top k results strictly after the
+    ``(score, doc_id)`` cursor in the global (score DESC, doc_id ASC)
+    order. ``after=None`` is page 1 ≡ ranked_topk. Stateless and
+    deep-page-safe at scale: every page is the same one-pass plan with
+    a cursor predicate + TakeOrdered(k) — no offset scan grows with
+    page depth, no scroll context is held anywhere. Cursors must come
+    from a previous page of the same engine: the score stream uses
+    bm25_scores(deterministic=True) — sorted-fold summation — so the
+    float compared against the cursor is bit-identical across runs
+    (the plain shuffle-order sum drifts ~1e-11 run-to-run, which
+    breaks exact cursor equality)."""
+    from inverted_index_spark.operators.bm25 import bm25_scores
+
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    terms = sorted(set(_scoring_terms(q)))
+    if not terms:
+        ranked = matches.select("doc_id", F.lit(0.0).alias("score"))
+    else:
+        scores = bm25_scores(
+            spark, store, terms, min_doc, max_doc, deterministic=True
+        )
+        ranked = matches.join(scores, "doc_id", "left").select(
+            "doc_id", F.coalesce("score", F.lit(0.0)).alias("score")
+        )
+    if after is not None:
+        s, d = float(after[0]), int(after[1])
+        ranked = ranked.where(
+            (F.col("score") < s) | ((F.col("score") == s) & (F.col("doc_id") > d))
+        )
+    return ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def facet_stats(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    col: str,
+    stat_col: str,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """Numeric stats facet (ES stats aggregation): per facet-column
+    value over the match set — doc count, min/max/sum/avg of a numeric
+    metadata column. Same shuffle shape as facet_counts: one semi-join
+    of the narrow (doc_id, facet, stat) projection against the match
+    set, one groupBy on facet keys."""
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    narrow = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(col),
+        F.col(stat_col).cast("double").alias("_stat"),
+    )
+    return (
+        narrow.join(matches, "doc_id", "leftsemi")
+        .groupBy(col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("_stat").alias("min_v"),
+            F.max("_stat").alias("max_v"),
+            F.sum("_stat").alias("sum_v"),
+            F.avg("_stat").alias("avg_v"),
+        )
+        .orderBy(col)
+    )
+
+
 def delete_by_query(
     spark: SparkSession,
     store: SegmentStore,

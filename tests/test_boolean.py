@@ -465,3 +465,69 @@ def test_ranked_and_facets_with_field_filters(spark, bstore, tmp_path):
         ).collect()
     }
     assert fc == {"en": len(want_set)}
+
+
+def test_search_after_pagination(spark, bstore):
+    from inverted_index_spark.operators.boolean import ranked_topk, search_after
+
+    q = "quick OR dog"
+    full = [
+        (r["doc_id"], r["score"])
+        for r in search_after(spark, bstore, q, k=100).collect()
+    ]
+    assert len(full) >= 4
+    # same docs and order as ranked_topk (scores may differ ~1e-11:
+    # deterministic sorted-fold vs shuffle-order sum)
+    rt = [
+        (r["doc_id"], r["score"])
+        for r in ranked_topk(spark, bstore, q, k=100).collect()
+    ]
+    assert [d for d, _ in rt] == [d for d, _ in full]
+    assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(rt, full))
+    # pages of 2 stitched via cursors == the full ranked stream,
+    # bit-exact (the deterministic scorer is run-stable)
+    pages, cur = [], None
+    while True:
+        page = [
+            (r["doc_id"], r["score"])
+            for r in search_after(spark, bstore, q, k=2, after=cur).collect()
+        ]
+        if not page:
+            break
+        pages.extend(page)
+        cur = (page[-1][1], page[-1][0])  # (score, doc_id)
+    assert pages == full
+    # after=None is page 1
+    assert [
+        (r["doc_id"], r["score"])
+        for r in search_after(spark, bstore, q, k=2).collect()
+    ] == full[:2]
+    # cursor past the end -> empty
+    tail = search_after(spark, bstore, q, k=2, after=(full[-1][1], full[-1][0]))
+    assert tail.count() == 0
+
+
+def test_facet_stats(spark, bstore):
+    from inverted_index_spark.operators.boolean import facet_stats
+
+    docs = spark.createDataFrame(
+        [(d, t, ["en", "de"][d % 2], len(t)) for d, t in DOCS],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    got = {
+        r["lang"]: r
+        for r in facet_stats(
+            spark, bstore, "quick OR dog", docs, "lang", "n_chars"
+        ).collect()
+    }
+    match = py_eval(Or(Term("quick"), Term("dog")))
+    by_lang: dict[str, list[int]] = {}
+    for d in match:
+        by_lang.setdefault(["en", "de"][d % 2], []).append(len(dict(DOCS)[d]))
+    assert set(got) == set(by_lang)
+    for lang, vals in by_lang.items():
+        r = got[lang]
+        assert r["n_docs"] == len(vals)
+        assert r["min_v"] == min(vals) and r["max_v"] == max(vals)
+        assert r["sum_v"] == sum(vals)
+        assert abs(r["avg_v"] - sum(vals) / len(vals)) < 1e-9
