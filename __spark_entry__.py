@@ -953,6 +953,23 @@ def _q_facet_stats(spark, sf):
     )
 
 
+def _q_facet_percentiles(spark, sf):
+    """Percentiles facet (ES percentiles aggregation): exact p50/p90/p99
+    of n_chars per lang over the match set."""
+    from inverted_index_spark.operators.boolean import facet_percentiles
+
+    t = facet_percentiles(
+        spark, _store_for(spark, sf), "spark OR merge",
+        _docs(spark, sf), "lang", "n_chars",
+    )
+    return t.select(
+        "lang", "n_docs",
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+        F.round("p99", 4).alias("p99"),
+    )
+
+
 def _q_spell_suggest(spark, sf):
     """Did-you-mean over the index dictionary: top-5 df-ranked terms
     within edit distance 2 of the misspelling 'tble' (Lucene
@@ -1114,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_date_histogram": _q_ts_histogram,
         "search_after_page2": _q_search_after,
         "facet_stats": _q_facet_stats,
+        "facet_percentiles": _q_facet_percentiles,
         "contamination_overlap": _q_contamination,
         "pii_scrub": _q_pii_scrub,
         "embed_kmeans_assign": _q_kmeans_assign,
@@ -1914,6 +1932,15 @@ def oracle_sql() -> dict[str, str]:
             "min(n_chars)::DOUBLE AS min_v, max(n_chars)::DOUBLE AS max_v, "
             "round(sum(n_chars)::DOUBLE, 4) AS sum_v, "
             "round(avg(n_chars::DOUBLE), 4) AS avg_v "
+            "FROM documents WHERE doc_id IN (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark')) "
+            "GROUP BY lang ORDER BY lang"
+        ),
+        "facet_percentiles": (
+            "SELECT lang, count(*) AS n_docs, "
+            "round(quantile_cont(n_chars::DOUBLE, 0.5), 4) AS p50, "
+            "round(quantile_cont(n_chars::DOUBLE, 0.9), 4) AS p90, "
+            "round(quantile_cont(n_chars::DOUBLE, 0.99), 4) AS p99 "
             "FROM documents WHERE doc_id IN (SELECT DISTINCT doc_id FROM "
             f"({_TOK}) WHERE term IN ('merge', 'spark')) "
             "GROUP BY lang ORDER BY lang"

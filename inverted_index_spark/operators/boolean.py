@@ -570,6 +570,47 @@ def facet_stats(
     )
 
 
+def facet_percentiles(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    col: str,
+    stat_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """Percentiles facet (ES percentiles aggregation): exact
+    linear-interpolated percentiles of a numeric column per facet
+    value over the match set. Same shuffle shape as facet_counts.
+    Uses Spark's exact `percentile` (NOT percentile_approx): at a
+    facet-key group size where exact sort-based percentiles hurt,
+    swap in percentile_approx(col, p, accuracy) — the plan shape is
+    identical, the result is then approximate."""
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    narrow = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(col),
+        F.col(stat_col).cast("double").alias("_stat"),
+    )
+    pct = F.percentile("_stat", F.lit(list(percentiles)))
+    agg = (
+        narrow.join(matches, "doc_id", "leftsemi")
+        .groupBy(col)
+        .agg(F.count("*").alias("n_docs"), pct.alias("_p"))
+    )
+    cols = [F.col(col), F.col("n_docs")] + [
+        F.col("_p")[i].alias(f"p{int(p * 100)}") for i, p in enumerate(percentiles)
+    ]
+    return agg.select(*cols).orderBy(col)
+
+
 def delete_by_query(
     spark: SparkSession,
     store: SegmentStore,

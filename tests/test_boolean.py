@@ -531,3 +531,32 @@ def test_facet_stats(spark, bstore):
         assert r["min_v"] == min(vals) and r["max_v"] == max(vals)
         assert r["sum_v"] == sum(vals)
         assert abs(r["avg_v"] - sum(vals) / len(vals)) < 1e-9
+
+
+def test_facet_percentiles(spark, bstore):
+    import numpy as np
+
+    from inverted_index_spark.operators.boolean import facet_percentiles
+
+    docs = spark.createDataFrame(
+        [(d, t, ["en", "de"][d % 2], len(t)) for d, t in DOCS],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    got = {
+        r["lang"]: r
+        for r in facet_percentiles(
+            spark, bstore, "quick OR dog", docs, "lang", "n_chars",
+            percentiles=(0.5, 0.9),
+        ).collect()
+    }
+    match = py_eval(Or(Term("quick"), Term("dog")))
+    by_lang: dict[str, list[int]] = {}
+    for d in match:
+        by_lang.setdefault(["en", "de"][d % 2], []).append(len(dict(DOCS)[d]))
+    assert set(got) == set(by_lang)
+    for lang, vals in by_lang.items():
+        r = got[lang]
+        assert r["n_docs"] == len(vals)
+        # numpy 'linear' interpolation == Spark exact percentile
+        assert abs(r["p50"] - float(np.percentile(vals, 50))) < 1e-9
+        assert abs(r["p90"] - float(np.percentile(vals, 90))) < 1e-9
