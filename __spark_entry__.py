@@ -953,6 +953,29 @@ def _q_facet_stats(spark, sf):
     )
 
 
+def _q_synonym_topk(spark, sf):
+    """Lucene SynonymQuery scoring: {spark} and {merge, window} each
+    score as one pseudo-term (tf summed, idf from max member df)."""
+    from inverted_index_spark.operators.bm25 import synonym_topk
+
+    t = synonym_topk(
+        spark, _store_for(spark, sf), [["spark"], ["merge", "window"]], k=10
+    )
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_collapse_topk(spark, sf):
+    """ES field collapsing: best hit per lang over the match set, then
+    global top-5."""
+    from inverted_index_spark.operators.boolean import collapse_topk
+
+    t = collapse_topk(
+        spark, _store_for(spark, sf), "spark OR merge",
+        _docs(spark, sf), "lang", k=5,
+    )
+    return t.select("doc_id", "lang", F.round("score", 4).alias("score"))
+
+
 def _q_facet_percentiles(spark, sf):
     """Percentiles facet (ES percentiles aggregation): exact p50/p90/p99
     of n_chars per lang over the match set."""
@@ -1132,6 +1155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_page2": _q_search_after,
         "facet_stats": _q_facet_stats,
         "facet_percentiles": _q_facet_percentiles,
+        "synonym_topk": _q_synonym_topk,
+        "collapse_topk": _q_collapse_topk,
         "contamination_overlap": _q_contamination,
         "pii_scrub": _q_pii_scrub,
         "embed_kmeans_assign": _q_kmeans_assign,
@@ -1935,6 +1960,39 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id IN (SELECT DISTINCT doc_id FROM "
             f"({_TOK}) WHERE term IN ('merge', 'spark')) "
             "GROUP BY lang ORDER BY lang"
+        ),
+        "synonym_topk": (
+            f"WITH tf AS ({_TF}), dl AS ({_DL}), "
+            "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+            f"(SELECT sum(len({_TOKS_SQL})) FROM documents)::DOUBLE "
+            "/ (SELECT count(*) FROM documents) AS avgdl), "
+            "gmap AS (SELECT * FROM (VALUES ('spark', 0), ('merge', 1), "
+            "('window', 1)) AS t(term, g)), "
+            # tf has one row per (doc, term) -> count(*) = df
+            "dfs AS (SELECT term, count(*) AS df FROM tf "
+            "WHERE term IN ('spark', 'merge', 'window') GROUP BY term), "
+            "gdf AS (SELECT g, max(df) AS df FROM dfs JOIN gmap USING (term) "
+            "GROUP BY g), "
+            "gtf AS (SELECT tf.doc_id, gmap.g, sum(tf.tf) AS tf FROM tf "
+            "JOIN gmap USING (term) GROUP BY tf.doc_id, gmap.g), "
+            "contrib AS (SELECT gtf.doc_id, "
+            "ln((s.n - gdf.df + 0.5) / (gdf.df + 0.5) + 1.0) * gtf.tf "
+            "/ (gtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c "
+            "FROM gtf JOIN gdf USING (g) JOIN dl ON dl.doc_id = gtf.doc_id "
+            "CROSS JOIN stats s) "
+            "SELECT doc_id, round(sum(c), 4) AS score FROM contrib "
+            "GROUP BY doc_id ORDER BY sum(c) DESC, doc_id ASC LIMIT 10"
+        ),
+        "collapse_topk": (
+            "SELECT doc_id, lang, round(score, 4) AS score FROM ("
+            "SELECT m.doc_id, d.lang, coalesce(s.raw_score, 0) AS score, "
+            "row_number() OVER (PARTITION BY d.lang "
+            "ORDER BY coalesce(s.raw_score, 0) DESC, m.doc_id ASC) AS rn "
+            "FROM (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark')) m "
+            f"LEFT JOIN ({_bm25_contrib_sql(['merge', 'spark'])}) s USING (doc_id) "
+            "JOIN documents d ON d.doc_id = m.doc_id) "
+            "WHERE rn = 1 ORDER BY score DESC, doc_id ASC LIMIT 5"
         ),
         "facet_percentiles": (
             "SELECT lang, count(*) AS n_docs, "

@@ -143,6 +143,82 @@ def bm25_topk(
     )
 
 
+def synonym_scores(
+    spark: SparkSession,
+    store: SegmentStore,
+    groups: list[list[str]],
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """Lucene SynonymQuery scoring: each group of terms scores as ONE
+    pseudo-term — tf' = Σ tf over the group's members in the doc,
+    idf from df' = max member df (Lucene's docFreq approximation,
+    SynonymQuery javadoc) — so a synonym match never outscores a
+    single-term match just by hitting several variants.
+
+        score(d) = Σ_groups idf(max df) · tf'/(tf' + k1·(1-b+b·dl/avgdl))
+
+    One decode pass over the union of all member terms, one per-group
+    tf-sum, one per-doc sum — same shuffle count as bm25_scores."""
+    flat = sorted({t for g in groups for t in g})
+    if len(flat) != sum(len(set(g)) for g in groups):
+        raise ValueError("synonym groups must be disjoint")
+    n_docs, avgdl = corpus_stats(spark, store)
+    dfs = term_dfs(spark, store, flat)
+    group_w = {}
+    for gi, g in enumerate(groups):
+        df_max = max((dfs.get(t, 0) for t in g), default=0)
+        if df_max > 0:
+            group_w[gi] = idf(n_docs, df_max)
+    if not group_w or n_docs == 0:
+        return spark.range(0).select(
+            F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+        )
+    live = [t for gi in group_w for t in groups[gi] if t in dfs]
+    posts = postings_df(spark, store, sorted(set(live)), min_doc, max_doc, with_tf=True)
+    if len(store.live_segments()) > 1:
+        posts = posts.dropDuplicates(["term", "doc_id"])
+    term_group = F.create_map(
+        *[
+            x
+            for gi in group_w
+            for t in groups[gi]
+            for x in (F.lit(t), F.lit(gi))
+        ]
+    )
+    idf_by_group = F.create_map(
+        *[x for gi, w in group_w.items() for x in (F.lit(gi), F.lit(float(w)))]
+    )
+    grouped = (
+        posts.withColumn("_g", term_group[F.col("term")])
+        .groupBy("doc_id", "_g")
+        .agg(F.sum("tf").alias("tf"), F.first("dl").alias("dl"))
+    )
+    contrib = grouped.withColumn(
+        "contrib",
+        idf_by_group[F.col("_g")]
+        * F.col("tf")
+        / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(float(avgdl)))),
+    )
+    return contrib.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+
+
+def synonym_topk(
+    spark: SparkSession,
+    store: SegmentStore,
+    groups: list[list[str]],
+    k: int = 10,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """Top-k over :func:`synonym_scores`, ties (score DESC, doc_id ASC)."""
+    return (
+        synonym_scores(spark, store, groups, min_doc, max_doc)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def more_like_this(
     spark: SparkSession,
     store: SegmentStore,

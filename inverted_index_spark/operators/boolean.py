@@ -570,6 +570,56 @@ def facet_stats(
     )
 
 
+def collapse_topk(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    field: str,
+    k: int = 10,
+    per_field: int = 1,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES field collapsing: the BM25-ranked stream reduced to the best
+    ``per_field`` hits per value of a metadata column (dedup results
+    by domain/source/author), then global top-k. One window over the
+    (field, score) pairs — the shuffle carries (doc_id, field, score)
+    for MATCHES only, never documents; the window partitions by field
+    key so skewed fields are the only skew surface (same profile as
+    facet_counts)."""
+    from pyspark.sql import Window
+
+    from inverted_index_spark.operators.bm25 import bm25_scores
+
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    terms = sorted(set(_scoring_terms(q)))
+    if not terms:
+        ranked = matches.select("doc_id", F.lit(0.0).alias("score"))
+    else:
+        scores = bm25_scores(spark, store, terms, min_doc, max_doc)
+        ranked = matches.join(scores, "doc_id", "left").select(
+            "doc_id", F.coalesce("score", F.lit(0.0)).alias("score")
+        )
+    narrow = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col(field)
+    )
+    w = Window.partitionBy(field).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        ranked.join(narrow, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= per_field)
+        .select("doc_id", field, "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def facet_percentiles(
     spark: SparkSession,
     store: SegmentStore,

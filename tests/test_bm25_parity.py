@@ -83,3 +83,62 @@ def test_text_equality_invariant(spark, corpus):
     pd.testing.assert_frame_equal(back, orig)
     # doc_id is the dense rank of that ordering
     assert (orig["doc_id"].to_numpy() == np.arange(len(orig))).all()
+
+
+def test_synonym_scoring(spark):
+    """Lucene SynonymQuery semantics vs a hand-computed oracle:
+    tf summed over group members, idf from the max member df."""
+    import math
+    import tempfile
+
+    from inverted_index_spark.functions.tokenizer import tokenize_text
+    from inverted_index_spark.operators.bm25 import synonym_topk, synonym_scores
+    from inverted_index_spark.operators.build import build_index
+    from inverted_index_spark.sources.store import SegmentStore
+
+    DOCS = [
+        (0, "fast fast car"),
+        (1, "quick car and quick driver"),
+        (2, "fast quick fast"),
+        (3, "slow walk home"),
+        (4, "car car car"),
+    ]
+    store = SegmentStore(tempfile.mkdtemp(prefix="ii_syn_") + "/idx")
+    build_index(
+        spark, spark.createDataFrame(DOCS, "doc_id long, text string"),
+        store, bucket_size=4,
+    )
+    groups = [["fast", "quick"], ["car"]]
+    toks = {d: tokenize_text(t) for d, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(v) for v in toks.values()) / n
+
+    def df(t):
+        return sum(1 for v in toks.values() if t in v)
+
+    def idf(d):
+        return math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+
+    want = {}
+    for d, v in toks.items():
+        s = 0.0
+        for g in groups:
+            tfp = sum(v.count(t) for t in g)
+            if tfp == 0:
+                continue
+            dfp = max(df(t) for t in g)
+            s += idf(dfp) * tfp / (tfp + 1.2 * (1 - 0.75 + 0.75 * len(v) / avgdl))
+        if s > 0:
+            want[d] = s
+    got = {r["doc_id"]: r["score"] for r in synonym_scores(spark, store, groups).collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9
+    # topk ordering + tie contract
+    order = [r["doc_id"] for r in synonym_topk(spark, store, groups, k=5).collect()]
+    assert order == sorted(want, key=lambda d: (-want[d], d))
+    # overlapping groups rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="disjoint"):
+        synonym_scores(spark, store, [["fast"], ["fast", "car"]])

@@ -560,3 +560,39 @@ def test_facet_percentiles(spark, bstore):
         # numpy 'linear' interpolation == Spark exact percentile
         assert abs(r["p50"] - float(np.percentile(vals, 50))) < 1e-9
         assert abs(r["p90"] - float(np.percentile(vals, 90))) < 1e-9
+
+
+def test_collapse_topk(spark, bstore):
+    from inverted_index_spark.operators.boolean import collapse_topk, ranked_topk
+
+    docs = spark.createDataFrame(
+        [(d, t, ["en", "de"][d % 2]) for d, t in DOCS],
+        "doc_id long, text string, lang string",
+    )
+    q = "quick OR dog"
+    ranked = [
+        (r["doc_id"], r["score"])
+        for r in ranked_topk(spark, bstore, q, k=100).collect()
+    ]
+    got = [
+        (r["doc_id"], r["lang"], r["score"])
+        for r in collapse_topk(spark, bstore, q, docs, "lang", k=10).collect()
+    ]
+    # best hit per lang, in global rank order
+    best: dict[str, tuple[int, float]] = {}
+    for d, s in ranked:  # ranked is (score desc, doc_id asc)
+        lang = ["en", "de"][d % 2]
+        best.setdefault(lang, (d, s))
+    want = sorted(
+        [(d, lang, s) for lang, (d, s) in best.items()],
+        key=lambda x: (-x[2], x[0]),
+    )
+    assert [(d, lang) for d, lang, _ in got] == [(d, lang) for d, lang, _ in want]
+    for (_, _, a), (_, _, b) in zip(got, want):
+        assert abs(a - b) < 1e-9
+    # per_field=2 keeps two best hits per lang
+    got2 = collapse_topk(spark, bstore, q, docs, "lang", k=10, per_field=2).collect()
+    from collections import Counter
+
+    assert max(Counter(r["lang"] for r in got2).values()) <= 2
+    assert len(got2) >= len(got)
