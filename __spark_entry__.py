@@ -1109,6 +1109,73 @@ def _q_embed_kmeans(spark, sf):
     )
 
 
+def _q_boosted_topk(spark, sf):
+    """Round-5: Lucene query-time boosts — `spark^2 merge window^0.5`
+    re-weights per-term BM25 contributions without touching matching."""
+    from inverted_index_spark.operators.boolean import ranked_topk
+
+    t = ranked_topk(
+        spark, _store_for(spark, sf), "spark^2 merge window^0.5", k=10
+    )
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_msm_values(spark, sf):
+    """Round-5: minimum_should_match — docs matching >= 2 of the three
+    query terms (Lucene msm on a should-group)."""
+    from inverted_index_spark.operators.boolean import Or, Term, evaluate
+
+    q = Or(*[Term(t) for t in Q_TERMS], minimum_should_match=2)
+    return evaluate(spark, _store_for(spark, sf), q)
+
+
+def _q_significant_terms(spark, sf):
+    """Round-5: ES significant_terms (JLH) over the `spark merge`
+    match set, foreground+background counted from ONE postings decode."""
+    from inverted_index_spark.operators.aggregations import significant_terms
+
+    t = significant_terms(
+        spark, _store_for(spark, sf), "spark merge", k=10, min_doc_count=3
+    )
+    return t.select(
+        "term", "fg_df", "bg_df", F.round("score", 6).alias("score")
+    )
+
+
+def _q_term_vectors(spark, sf):
+    """Round-5: Lucene TermVectors — per-doc (term, tf) re-read from
+    the index itself."""
+    from inverted_index_spark.operators.aggregations import term_vectors
+
+    return term_vectors(spark, _store_for(spark, sf), [3, 7, 11])
+
+
+def _q_bm25_explain(spark, sf):
+    """Round-5: Lucene Explanation — per-(doc, term) BM25 component
+    breakdown whose contributions sum back to bm25_scores exactly."""
+    from inverted_index_spark.operators.aggregations import bm25_explain
+
+    t = bm25_explain(spark, _store_for(spark, sf), Q_TERMS, doc_ids=list(range(50)))
+    return t.select(
+        "doc_id", "term", "tf", "dl", "df",
+        F.round("idf", 6).alias("idf"),
+        "boost",
+        F.round("tf_norm", 6).alias("tf_norm"),
+        F.round("contribution", 6).alias("contribution"),
+    )
+
+
+def _q_facet_cardinality(spark, sf):
+    """Round-5: ES cardinality aggregation — distinct langs in the
+    `spark OR merge` match set (exact path; the HLL path is
+    recall-tested in tests/test_aggregations.py)."""
+    from inverted_index_spark.operators.aggregations import facet_cardinality
+
+    return facet_cardinality(
+        spark, _store_for(spark, sf), "spark OR merge", _docs(spark, sf), "lang"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters for the driver's time-budgeted correctness gate:
     # the core index reads come first (they also pay the one-time
@@ -1161,6 +1228,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "embed_kmeans_assign": _q_kmeans_assign,
         "embed_kmeans": _q_embed_kmeans,
+        "boosted_topk": _q_boosted_topk,
+        "msm_values": _q_msm_values,
+        "significant_terms": _q_significant_terms,
+        "term_vectors": _q_term_vectors,
+        "bm25_explain": _q_bm25_explain,
+        "facet_cardinality": _q_facet_cardinality,
         # --- the rest (green r4 rows) ---
         "dedup_fingerprints": _q_dedup_fingerprints,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -1251,6 +1324,42 @@ SELECT doc_id, sum(c) AS raw_score FROM contrib GROUP BY doc_id
 
 
 _BM25_CONTRIB = _bm25_contrib_sql(Q_TERMS)
+
+
+def _bm25_weighted_contrib_sql(weights: dict[str, float]) -> str:
+    """_bm25_contrib_sql with Lucene query-time boosts: each term's
+    contribution is (boost * idf) * tf_norm — the same literal fold and
+    multiplication order as bm25_scores(boosts=...), so the doubles
+    agree bit-for-bit before rounding."""
+    terms = sorted(weights)
+    qt = "('" + "','".join(terms) + "')"
+    case = (
+        "CASE term "
+        + " ".join(
+            f"WHEN '{t}' THEN {float(weights[t])!r}::DOUBLE" for t in terms
+        )
+        + " END"
+    )
+    return f"""
+WITH tf AS ({_TF}),
+     dl AS ({_DL}),
+     stats AS (
+       SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len({_TOKS_SQL})) FROM documents)::DOUBLE
+              / (SELECT count(*) FROM documents) AS avgdl),
+     dfq AS (
+       SELECT term, count(*) AS df FROM tf WHERE term IN {qt} GROUP BY term),
+     contrib AS (
+       SELECT tf.doc_id,
+              (({case}) * ln((s.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0))
+                * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+       FROM tf
+       JOIN dfq USING (term)
+       JOIN dl USING (doc_id)
+       CROSS JOIN stats s
+       WHERE tf.term IN {qt})
+SELECT doc_id, sum(c) AS raw_score FROM contrib GROUP BY doc_id
+"""
 
 def _toks_sql(col: str) -> str:
     """The pinned tokenizer over an arbitrary SQL text expression."""
@@ -2067,5 +2176,66 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) "
             "SELECT vec_id, cid::INT AS cluster, round(dist, 4) AS dist "
             "FROM r WHERE rn = 1 ORDER BY vec_id"
+        ),
+        "boosted_topk": (
+            # match set = AND of the three terms; score = boosted BM25
+            "SELECT doc_id, round(raw_score, 4) AS score FROM ("
+            f"{_bm25_weighted_contrib_sql({'spark': 2.0, 'merge': 1.0, 'window': 0.5})}"
+            ") WHERE doc_id IN ("
+            f"SELECT doc_id FROM ({_TOK}) WHERE term = 'spark' "
+            f"INTERSECT SELECT doc_id FROM ({_TOK}) WHERE term = 'merge' "
+            f"INTERSECT SELECT doc_id FROM ({_TOK}) WHERE term = 'window') "
+            "ORDER BY raw_score DESC, doc_id ASC LIMIT 10"
+        ),
+        "msm_values": (
+            "SELECT doc_id FROM ("
+            f"SELECT doc_id, count(DISTINCT term) AS nmatched FROM ({_TOK}) "
+            f"WHERE term IN {_QTERMS} GROUP BY doc_id) "
+            "WHERE nmatched >= 2 ORDER BY doc_id"
+        ),
+        "significant_terms": (
+            # JLH vs the whole-corpus background, fg floor 3, top 10
+            "WITH td AS (SELECT DISTINCT doc_id, term FROM ("
+            f"{_TOK})), "
+            "m AS (SELECT doc_id, 1 AS _m FROM ("
+            "SELECT doc_id FROM td WHERE term = 'spark' "
+            "INTERSECT SELECT doc_id FROM td WHERE term = 'merge')), "
+            "tot AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+            "(SELECT count(*) FROM m)::DOUBLE AS f), "
+            "c AS (SELECT td.term, count(*) AS bg_df, count(m._m) AS fg_df "
+            "FROM td LEFT JOIN m USING (doc_id) GROUP BY td.term) "
+            "SELECT term, fg_df, bg_df, round(score, 6) AS score FROM ("
+            "SELECT term, fg_df, bg_df, "
+            "(fg_df / t.f - bg_df / t.n) * ((fg_df / t.f) / (bg_df / t.n)) AS score "
+            "FROM c CROSS JOIN tot t WHERE fg_df >= 3) "
+            "ORDER BY score DESC, term ASC LIMIT 10"
+        ),
+        "term_vectors": (
+            f"SELECT doc_id, term, tf FROM ({_TF}) "
+            "WHERE doc_id IN (3, 7, 11) ORDER BY doc_id, term"
+        ),
+        "bm25_explain": (
+            f"WITH tf AS ({_TF}), dl AS ({_DL}), "
+            "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+            f"(SELECT sum(len({_TOKS_SQL})) FROM documents)::DOUBLE "
+            "/ (SELECT count(*) FROM documents) AS avgdl), "
+            "dfq AS (SELECT term, count(*) AS df FROM tf "
+            f"WHERE term IN {_QTERMS} GROUP BY term) "
+            "SELECT tf.doc_id, tf.term, tf.tf, dl.dl, dfq.df, "
+            "round(ln((s.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 6) AS idf, "
+            "1.0::DOUBLE AS boost, "
+            "round(tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)"
+            " AS tf_norm, "
+            "round((1.0::DOUBLE * ln((s.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0))"
+            " * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6)"
+            " AS contribution "
+            "FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) "
+            f"CROSS JOIN stats s WHERE tf.term IN {_QTERMS} "
+            "AND tf.doc_id BETWEEN 0 AND 49 ORDER BY doc_id, term"
+        ),
+        "facet_cardinality": (
+            "SELECT count(DISTINCT lang) AS cardinality FROM documents "
+            "WHERE doc_id IN ("
+            f"SELECT doc_id FROM ({_TOK}) WHERE term IN ('spark', 'merge'))"
         ),
     }

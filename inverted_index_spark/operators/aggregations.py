@@ -1,0 +1,225 @@
+"""Index-native analytics aggregations (ES/Lucene surface beyond the
+reference's read path — SURVEY.md §2 extensions):
+
+    significant_terms   ES significant_terms: terms overrepresented in
+                        a query's match set vs the whole corpus (JLH)
+    term_vectors        Lucene TermVectors API: per-doc (term, tf)
+                        re-read from the INDEX, not the source text
+    bm25_explain        Lucene Explanation: per-(doc, term) score
+                        breakdown — tf, df, idf, norm, contribution
+    facet_cardinality   ES cardinality aggregation over a facet column
+                        (exact countDistinct or HLL approx)
+
+All four compile to one decode pass over the postings scan plus one
+aggregation exchange — no driver-side set math. The whole-index scans
+(significant_terms, term_vectors) decode every posting row the doc
+range [min_doc, max_doc] envelope keeps, which is exactly what these
+operations cost on any engine that stores postings term-major; at
+cluster scale the scan is embarrassingly parallel over segments and
+the shuffle carries (term, counts) pairs, never documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inverted_index_spark.operators import bm25 as _bm25
+from inverted_index_spark.operators.boolean import _matches, parse_query
+from inverted_index_spark.operators.query import postings_df
+from inverted_index_spark.sources.store import SegmentStore
+
+
+def _needs_pair_dedup(store: SegmentStore) -> bool:
+    """Pre-compaction multi-segment overlap can replay a (term, doc)
+    pair from two live segments; a single live segment has disjoint
+    buckets, so the dedup exchange is skipped on the common path."""
+    return len(store.live_segments()) > 1
+
+
+def significant_terms(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    k: int = 10,
+    min_doc_count: int = 3,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES significant_terms aggregation: the k terms most
+    overrepresented in the query's match set (foreground) relative to
+    the whole corpus (background), scored with JLH:
+
+        jlh = (fg% - bg%) * (fg% / bg%),   fg% = fg_df/|matches|,
+                                           bg% = bg_df/N
+
+    Plan: ONE whole-index decode (term, doc_id) pairs → left join the
+    match set (a marker column, so foreground AND background counts
+    come out of the same groupBy(term) — the postings are decoded
+    once) → score → TakeOrdered(k). ``min_doc_count`` drops noise
+    terms below a foreground floor (ES default 3). Ties break
+    (score DESC, term ASC).
+    """
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    n_docs, _ = _bm25.corpus_stats(spark, store)
+    fg_total = matches.count()
+    if fg_total == 0 or n_docs == 0:
+        return spark.createDataFrame(
+            [], "term string, fg_df long, bg_df long, score double"
+        )
+    pairs = postings_df(spark, store, None, min_doc, max_doc, with_tf=False)
+    if _needs_pair_dedup(store):
+        pairs = pairs.dropDuplicates(["term", "doc_id"])
+    marked = pairs.join(
+        matches.withColumn("_m", F.lit(1)), "doc_id", "left"
+    )
+    counts = marked.groupBy("term").agg(
+        F.count("*").alias("bg_df"),
+        F.count("_m").alias("fg_df"),
+    )
+    fg_pct = F.col("fg_df") / F.lit(float(fg_total))
+    bg_pct = F.col("bg_df") / F.lit(float(n_docs))
+    return (
+        counts.where(F.col("fg_df") >= int(min_doc_count))
+        .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+        .select("term", "fg_df", "bg_df", "score")
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def term_vectors(
+    spark: SparkSession,
+    store: SegmentStore,
+    doc_ids: list[int],
+) -> DataFrame:
+    """Lucene TermVectors API: (doc_id, term, tf) for the requested
+    docs, re-read from the INDEX (round-trip evidence: what the index
+    holds, not what a fresh tokenize of the source would say).
+
+    The doc-range envelope [min(ids), max(ids)] prunes segments and
+    posting blocks before decode; the final isin filter is evaluated
+    on the decoded stream. Request-sized doc lists only — this is the
+    per-doc inspection surface, not a corpus scan."""
+    ids = sorted({int(d) for d in doc_ids})
+    if not ids:
+        return spark.createDataFrame([], "doc_id long, term string, tf long")
+    pairs = postings_df(spark, store, None, ids[0], ids[-1], with_tf=True)
+    if _needs_pair_dedup(store):
+        pairs = pairs.dropDuplicates(["term", "doc_id"])
+    return (
+        pairs.where(F.col("doc_id").isin(ids))
+        .select("doc_id", "term", "tf")
+        .orderBy("doc_id", "term")
+    )
+
+
+def bm25_explain(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    doc_ids: list[int] | None = None,
+    boosts: dict[str, float] | None = None,
+) -> DataFrame:
+    """Lucene Explanation for the engine's pinned BM25: one row per
+    (doc_id, term) with every score component —
+
+        tf, dl, df, idf = ln((N-df+.5)/(df+.5)+1), boost,
+        tf_norm = tf/(tf + k1*(1-b+b*dl/avgdl)),
+        contribution = boost * idf * tf_norm
+
+    so that sum(contribution) GROUP BY doc_id reproduces bm25_scores
+    exactly. ``doc_ids`` restricts to the docs being explained (the
+    usual call shape: explain the top hit)."""
+    uniq = sorted(set(terms))
+    n_docs, avgdl = _bm25.corpus_stats(spark, store)
+    dfs = _bm25.term_dfs(spark, store, uniq)
+    _b = boosts or {}
+    known = [t for t in uniq if t in dfs]
+    if not known or n_docs == 0:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, term string, tf long, dl long, df long, "
+            "idf double, boost double, tf_norm double, contribution double",
+        )
+    lo = min(doc_ids) if doc_ids else None
+    hi = max(doc_ids) if doc_ids else None
+    posts = postings_df(spark, store, known, lo, hi, with_tf=True)
+    if _needs_pair_dedup(store):
+        posts = posts.dropDuplicates(["term", "doc_id"])
+    if doc_ids:
+        posts = posts.where(F.col("doc_id").isin([int(d) for d in doc_ids]))
+    df_expr = F.create_map(
+        *[x for t in known for x in (F.lit(t), F.lit(int(dfs[t])))]
+    )
+    idf_expr = F.create_map(
+        *[
+            x
+            for t in known
+            for x in (F.lit(t), F.lit(float(_bm25.idf(n_docs, dfs[t]))))
+        ]
+    )
+    boost_expr = F.create_map(
+        *[x for t in known for x in (F.lit(t), F.lit(float(_b.get(t, 1.0))))]
+    )
+    tf_norm = F.col("tf") / (
+        F.col("tf")
+        + _bm25.K1
+        * (1 - _bm25.B + _bm25.B * F.col("dl") / F.lit(float(avgdl)))
+    )
+    return (
+        posts.select(
+            "doc_id",
+            "term",
+            "tf",
+            "dl",
+            df_expr[F.col("term")].alias("df"),
+            idf_expr[F.col("term")].alias("idf"),
+            boost_expr[F.col("term")].alias("boost"),
+            tf_norm.alias("tf_norm"),
+        )
+        .withColumn(
+            "contribution", F.col("boost") * F.col("idf") * F.col("tf_norm")
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+def facet_cardinality(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    col: str,
+    exact: bool = True,
+    rsd: float = 0.05,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES cardinality aggregation: how many distinct values of a
+    metadata column the match set spans. ``exact=True`` is
+    countDistinct (two-stage partial agg); ``exact=False`` uses
+    Spark's HyperLogLog++ (approx_count_distinct, ``rsd`` relative
+    error) — the constant-memory sketch that never shuffles values,
+    the right default at 100 TB where the exact path's distinct
+    exchange is the bottleneck."""
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    narrow = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col(col)
+    ).join(matches, "doc_id", "leftsemi")
+    agg = (
+        F.countDistinct(col)
+        if exact
+        else F.approx_count_distinct(col, rsd)
+    )
+    return narrow.agg(agg.alias("cardinality"))

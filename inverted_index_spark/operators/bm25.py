@@ -79,6 +79,7 @@ def bm25_scores(
     min_doc: int | None = None,
     max_doc: int | None = None,
     deterministic: bool = False,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """(doc_id, score) for every matching doc (exhaustive scorer).
 
@@ -87,11 +88,21 @@ def bm25_scores(
     the float result is BIT-IDENTICAL across runs and partitionings —
     required wherever a score is compared exactly later (search_after
     cursors). Default off: the plain shuffle-order sum is faster and
-    rank order is unaffected beyond ~1e-11 tie noise."""
+    rank order is unaffected beyond ~1e-11 tie noise.
+
+    ``boosts`` maps term → query-time boost (Lucene ``term^2``): the
+    term's contribution is multiplied by the weight. Folding the boost
+    into the per-term idf literal keeps the posting-stream plan
+    unchanged — no extra column, no extra shuffle."""
     uniq = sorted(set(terms))
     n_docs, avgdl = corpus_stats(spark, store)
     dfs = term_dfs(spark, store, uniq)
-    idf_map = {t: idf(n_docs, dfs.get(t, 0)) for t in uniq if t in dfs}
+    _b = boosts or {}
+    idf_map = {
+        t: idf(n_docs, dfs.get(t, 0)) * float(_b.get(t, 1.0))
+        for t in uniq
+        if t in dfs
+    }
     if not idf_map or n_docs == 0:
         return spark.range(0).select(
             F.col("id").alias("doc_id"), F.lit(0.0).alias("score")

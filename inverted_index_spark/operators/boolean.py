@@ -66,15 +66,36 @@ class And:
 
 @dataclass(frozen=True)
 class Or:
-    clauses: tuple = field(default_factory=tuple)
+    """Union of clauses. ``minimum_should_match`` (Lucene msm) demands
+    a doc satisfy at least m of the clauses instead of any one —
+    ``Or(a, b, c, minimum_should_match=2)``. m=1 is the plain union
+    and keeps the union-distinct plan; m>1 compiles to a tagged union
+    + one groupBy(doc_id) HAVING count(distinct clause) >= m."""
 
-    def __init__(self, *clauses):
+    clauses: tuple = field(default_factory=tuple)
+    minimum_should_match: int = 1
+
+    def __init__(self, *clauses, minimum_should_match: int = 1):
         object.__setattr__(self, "clauses", tuple(clauses))
+        object.__setattr__(
+            self, "minimum_should_match", int(minimum_should_match)
+        )
 
 
 @dataclass(frozen=True)
 class Not:
     clause: object
+
+
+@dataclass(frozen=True)
+class Boost:
+    """Query-time boost (Lucene ``term^2``, ``"a b"^0.5``): transparent
+    for MATCHING (the wrapped clause filters unchanged) but multiplies
+    the wrapped subtree's BM25 contributions when ranking. Nested
+    boosts multiply."""
+
+    clause: object
+    weight: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -123,7 +144,15 @@ def _lex(s: str) -> list:
                     k += 1
                 slop = int(s[i + 1 : k]) if k > i + 1 else 0
                 i = k
-            out.append(('"', text, slop))
+            boost = None
+            if i < n and s[i] == "^":  # Lucene boost: "a b"^2, "a b"~1^0.5
+                k = i + 1
+                while k < n and (s[k].isdigit() or s[k] == "."):
+                    k += 1
+                if k > i + 1:
+                    boost = float(s[i + 1 : k])
+                    i = k
+            out.append(('"', text, slop, boost))
         elif c == "-" and i + 1 < n and not s[i + 1].isspace() and s[i + 1] != ")":
             out.append("-")
             i += 1
@@ -277,27 +306,45 @@ def parse_query(s: str):
         if t == "-":
             raise ValueError(f"expected a term after '-' in query: {s!r}")
         if t[0] == '"':
-            _, text, slop = t
+            _, text, slop, boost = t
             ptoks = tokenize_text(text)
             if not ptoks:
                 return None
             # slop on a single-token "phrase" is meaningless — it's a term
-            return Term(ptoks[0]) if len(ptoks) == 1 else Phrase(ptoks, slop)
-        word = t[1]
+            node = Term(ptoks[0]) if len(ptoks) == 1 else Phrase(ptoks, slop)
+            return Boost(node, boost) if boost is not None else node
+        word = orig = t[1]
         import re
+
+        boost = None
+        mb = re.match(r"^(.+)\^(\d+(?:\.\d+)?)$", word)
+        if mb:
+            word, boost = mb.group(1), float(mb.group(2))
+
+        def _maybe_boost(node):
+            if node is None or boost is None:
+                return node
+            return Boost(node, boost)
 
         m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$", word)
         if m:
             fname, rest = m.group(1), m.group(2)
             if rest:
                 node = _word_node(rest)
-                return None if node is None else Field(fname, node, raw=word)
+                # raw keeps the ORIGINAL word (boost suffix included) so
+                # the no-fields-registered fallback reproduces the
+                # pre-boost-grammar tokenization of the whole word
+                return (
+                    None
+                    if node is None
+                    else _maybe_boost(Field(fname, node, raw=orig))
+                )
             if peek() is not None and not isinstance(peek(), str) and peek()[0] == '"':
                 node = parse_primary()  # field:"quoted phrase"
             else:
                 raise ValueError(f"field {fname!r} has no value in query: {s!r}")
-            return None if node is None else Field(fname, node)
-        return _word_node(word)
+            return None if node is None else _maybe_boost(Field(fname, node))
+        return _maybe_boost(_word_node(word))
 
     node = parse_or()
     if peek() is not None:
@@ -390,11 +437,36 @@ def _eval(spark, store, q, lo, hi, searcher=None, field_stores=None) -> DataFram
         return phrase_match(
             spark, store, list(q.tokens), lo, hi, slop=q.slop
         ).select("doc_id")
+    if isinstance(q, Boost):
+        # boosts rank, they never filter
+        return _eval(spark, store, q.clause, lo, hi, searcher, field_stores)
     if isinstance(q, Or):
         if not q.clauses:
             return spark.createDataFrame([], "doc_id long")
         if any(isinstance(c, Not) for c in q.clauses):
             raise ValueError("Not() inside Or is unanswerable from an index")
+        msm = getattr(q, "minimum_should_match", 1)
+        if msm > 1:
+            if msm > len(q.clauses):
+                return spark.createDataFrame([], "doc_id long")
+            # tagged union → one groupBy(doc_id): the shuffle carries
+            # (doc_id, clause#) pairs of the TOUCHED postings only;
+            # countDistinct because a clause's stream may repeat a doc
+            # (multi-segment overlap) — never double-count a clause.
+            tagged = [
+                _eval(spark, store, c, lo, hi, searcher, field_stores)
+                .select("doc_id", F.lit(i).alias("_clause"))
+                for i, c in enumerate(q.clauses)
+            ]
+            out = tagged[0]
+            for t in tagged[1:]:
+                out = out.unionByName(t)
+            return (
+                out.groupBy("doc_id")
+                .agg(F.countDistinct("_clause").alias("_n"))
+                .where(F.col("_n") >= int(msm))
+                .select("doc_id")
+            )
         out = _eval(spark, store, q.clauses[0], lo, hi, searcher, field_stores)
         for c in q.clauses[1:]:
             out = out.unionByName(_eval(spark, store, c, lo, hi, searcher, field_stores))
@@ -431,6 +503,8 @@ def _scoring_terms(q) -> list[str]:
         return [q.term]
     if isinstance(q, Phrase):
         return list(q.tokens)
+    if isinstance(q, Boost):
+        return _scoring_terms(q.clause)
     if isinstance(q, Or):
         return [t for c in q.clauses for t in _scoring_terms(c)]
     if isinstance(q, And):
@@ -441,6 +515,30 @@ def _scoring_terms(q) -> list[str]:
             for t in _scoring_terms(c)
         ]
     return []  # Prefix, Fuzzy, Not
+
+
+def _scoring_weights(q, mult: float = 1.0) -> dict[str, float]:
+    """Per-term boost weights of a tree (Boost nodes multiply down the
+    subtree; nested boosts compose). A term reachable through several
+    clauses takes the MAX weight — the engine scores each distinct
+    term once (``_scoring_terms`` dedupes), so summing occurrence
+    boosts would change unboosted duplicate-term queries."""
+    if isinstance(q, Term):
+        return {q.term: mult}
+    if isinstance(q, Phrase):
+        return {t: mult for t in q.tokens}
+    if isinstance(q, Boost):
+        return _scoring_weights(q.clause, mult * float(q.weight))
+    if isinstance(q, Field):
+        return {}  # fielded terms score against the field index, not text
+    out: dict[str, float] = {}
+    if isinstance(q, (Or, And)):
+        for c in q.clauses:
+            if isinstance(c, Not):
+                continue
+            for t, w in _scoring_weights(c, mult).items():
+                out[t] = max(out.get(t, 0.0), w)
+    return out
 
 
 def ranked_topk(
@@ -474,7 +572,9 @@ def ranked_topk(
             .orderBy("doc_id")
             .limit(k)
         )
-    scores = bm25_scores(spark, store, terms, min_doc, max_doc)
+    weights = _scoring_weights(q)
+    boosts = {t: w for t, w in weights.items() if w != 1.0} or None
+    scores = bm25_scores(spark, store, terms, min_doc, max_doc, boosts=boosts)
     return (
         matches.join(scores, "doc_id", "left")
         .select("doc_id", F.coalesce("score", F.lit(0.0)).alias("score"))
@@ -516,8 +616,11 @@ def search_after(
     if not terms:
         ranked = matches.select("doc_id", F.lit(0.0).alias("score"))
     else:
+        weights = _scoring_weights(q)
+        boosts = {t: w for t, w in weights.items() if w != 1.0} or None
         scores = bm25_scores(
-            spark, store, terms, min_doc, max_doc, deterministic=True
+            spark, store, terms, min_doc, max_doc,
+            deterministic=True, boosts=boosts,
         )
         ranked = matches.join(scores, "doc_id", "left").select(
             "doc_id", F.coalesce("score", F.lit(0.0)).alias("score")
@@ -602,7 +705,9 @@ def collapse_topk(
     if not terms:
         ranked = matches.select("doc_id", F.lit(0.0).alias("score"))
     else:
-        scores = bm25_scores(spark, store, terms, min_doc, max_doc)
+        weights = _scoring_weights(q)
+        boosts = {t: w for t, w in weights.items() if w != 1.0} or None
+        scores = bm25_scores(spark, store, terms, min_doc, max_doc, boosts=boosts)
         ranked = matches.join(scores, "doc_id", "left").select(
             "doc_id", F.coalesce("score", F.lit(0.0)).alias("score")
         )

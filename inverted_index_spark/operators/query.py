@@ -61,7 +61,7 @@ def _decode_rows(
 def matching_rows(
     spark: SparkSession,
     store: SegmentStore,
-    terms: list[str],
+    terms: list[str] | None,
     min_doc: int | None = None,
     max_doc: int | None = None,
     with_gen: bool = False,
@@ -70,10 +70,12 @@ def matching_rows(
     (sorted/partitioned layout → file + row-group skipping) plus
     row-level [min_doc, max_doc] envelope pruning — the reference's
     readTermsBitmaps + preselectSegments (single/single.go:548-657).
+    ``terms=None`` keeps EVERY term (whole-index scans: term vectors,
+    significant-terms — doc-range pruning still applies).
     ``with_gen`` adds the ``_sgen`` scan-class column (delete
     scoping); filters still push into every per-class scan."""
     seg = store.read_postings(spark, with_gen=with_gen)
-    out = seg.where(F.col("term").isin(list(terms)))
+    out = seg if terms is None else seg.where(F.col("term").isin(list(terms)))
     if min_doc is not None:
         out = out.where(F.col("max_doc") >= F.lit(int(min_doc)))
     if max_doc is not None:
@@ -84,12 +86,13 @@ def matching_rows(
 def postings_df(
     spark: SparkSession,
     store: SegmentStore,
-    terms: list[str],
+    terms: list[str] | None,
     min_doc: int | None = None,
     max_doc: int | None = None,
     with_tf: bool = True,
 ) -> DataFrame:
-    """Decoded (term, doc_id, tf, dl) rows for a term set (range-pruned,
+    """Decoded (term, doc_id, tf, dl) rows for a term set (range-pruned;
+    ``terms=None`` decodes ALL terms, for whole-index consumers),
     minus any live deletes — every downstream read/score path is
     delete-aware through this one filter). Deletes are generation-
     scoped (store.read_deletes): rows decoded from a segment NEWER

@@ -1,0 +1,171 @@
+"""Index-native aggregations (significant_terms, term_vectors,
+bm25_explain, facet_cardinality) vs brute-force python oracles."""
+
+from __future__ import annotations
+
+import math
+import tempfile
+from collections import Counter
+
+import pytest
+
+from inverted_index_spark.functions.tokenizer import tokenize_text
+from inverted_index_spark.operators.aggregations import (
+    bm25_explain,
+    facet_cardinality,
+    significant_terms,
+    term_vectors,
+)
+from inverted_index_spark.operators.build import build_index
+from inverted_index_spark.sources.store import SegmentStore
+
+DOCS = [
+    (0, "spark shuffle spark partition merge"),
+    (1, "spark merge window window"),
+    (2, "quiet river bank and a window"),
+    (3, "spark spark spark shuffle"),
+    (4, "river bank merge"),
+    (5, "window merge partition shuffle"),
+    (6, "a quiet dog by the river"),
+    (7, "partition pruning in spark window"),
+]
+
+
+def _toks(d):
+    return tokenize_text(dict(DOCS)[d])
+
+
+@pytest.fixture(scope="module")
+def astore(spark):
+    store = SegmentStore(tempfile.mkdtemp(prefix="ii_agg_") + "/idx")
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_index(spark, df, store, bucket_size=4)
+    return store
+
+
+@pytest.fixture(scope="module")
+def astore_multiseg(spark):
+    """Two overlapping live segments: doc 1 indexed in BOTH (identical
+    text), so (term, doc) pairs replay across segments — the dedup
+    path the aggregations must survive."""
+    store = SegmentStore(tempfile.mkdtemp(prefix="ii_agg_ms_") + "/idx")
+    df1 = spark.createDataFrame(DOCS[:4], "doc_id long, text string")
+    df2 = spark.createDataFrame(DOCS[1:2] + DOCS[4:], "doc_id long, text string")
+    build_index(spark, df1, store, bucket_size=4)
+    build_index(spark, df2, store, bucket_size=4)
+    return store
+
+
+def _sig_oracle(match_ids: set[int], min_doc_count: int = 1):
+    n = len(DOCS)
+    fg_total = len(match_ids)
+    bg = Counter(t for d, _ in DOCS for t in set(_toks(d)))
+    fg = Counter(t for d in match_ids for t in set(_toks(d)))
+    out = []
+    for t, bg_df in bg.items():
+        fg_df = fg.get(t, 0)
+        if fg_df < min_doc_count:
+            continue
+        fgp, bgp = fg_df / fg_total, bg_df / n
+        out.append((t, fg_df, bg_df, (fgp - bgp) * (fgp / bgp)))
+    return sorted(out, key=lambda x: (-x[3], x[0]))
+
+
+def test_significant_terms(spark, astore):
+    match_ids = {d for d, _ in DOCS if "spark" in _toks(d)}
+    got = significant_terms(
+        spark, astore, "spark", k=5, min_doc_count=1
+    ).collect()
+    want = _sig_oracle(match_ids)[:5]
+    assert [(r["term"], r["fg_df"], r["bg_df"]) for r in got] == [
+        (t, f, b) for t, f, b, _ in want
+    ]
+    for r, (_, _, _, s) in zip(got, want):
+        assert abs(r["score"] - s) < 1e-9
+    # 'spark' itself tops the list (fg% = 1.0, rarest in background
+    # among always-present terms); every fg_df <= matches
+    assert got[0]["term"] == "spark"
+    # min_doc_count floor drops the one-off terms
+    floored = significant_terms(
+        spark, astore, "spark", k=50, min_doc_count=3
+    ).collect()
+    assert all(r["fg_df"] >= 3 for r in floored)
+
+
+def test_significant_terms_multiseg_dedup(spark, astore_multiseg):
+    """Doc 1 lives in two segments — counts must not double."""
+    match_ids = {d for d, _ in DOCS if "spark" in _toks(d)}
+    got = significant_terms(
+        spark, astore_multiseg, "spark", k=5, min_doc_count=1
+    ).collect()
+    want = _sig_oracle(match_ids)[:5]
+    assert [(r["term"], r["fg_df"], r["bg_df"]) for r in got] == [
+        (t, f, b) for t, f, b, _ in want
+    ]
+
+
+def test_term_vectors(spark, astore, astore_multiseg):
+    for store in (astore, astore_multiseg):
+        got = [
+            (r["doc_id"], r["term"], r["tf"])
+            for r in term_vectors(spark, store, [1, 5]).collect()
+        ]
+        want = sorted(
+            (d, t, c)
+            for d in (1, 5)
+            for t, c in Counter(_toks(d)).items()
+        )
+        assert got == want
+    assert term_vectors(spark, astore, []).count() == 0
+
+
+def test_bm25_explain(spark, astore):
+    from inverted_index_spark.operators.bm25 import bm25_scores
+
+    terms = ["spark", "merge"]
+    rows = bm25_explain(spark, astore, terms).collect()
+    n = len(DOCS)
+    avgdl = sum(len(_toks(d)) for d, _ in DOCS) / n
+    dfs = Counter(t for d, _ in DOCS for t in set(_toks(d)))
+    for r in rows:
+        toks = _toks(r["doc_id"])
+        assert r["tf"] == toks.count(r["term"])
+        assert r["dl"] == len(toks)
+        assert r["df"] == dfs[r["term"]]
+        idf = math.log((n - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
+        assert abs(r["idf"] - idf) < 1e-12
+        tfn = r["tf"] / (r["tf"] + 1.2 * (1 - 0.75 + 0.75 * r["dl"] / avgdl))
+        assert abs(r["tf_norm"] - tfn) < 1e-12
+        assert abs(r["contribution"] - r["boost"] * idf * tfn) < 1e-12
+    # explanations sum back to the scorer, boosted and not
+    for boosts in (None, {"spark": 2.5}):
+        rows = bm25_explain(spark, astore, terms, boosts=boosts).collect()
+        per_doc: dict[int, float] = {}
+        for r in rows:
+            per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0.0) + r["contribution"]
+        ref = {
+            r["doc_id"]: r["score"]
+            for r in bm25_scores(spark, astore, terms, boosts=boosts).collect()
+        }
+        assert set(per_doc) == set(ref)
+        for d in ref:
+            assert abs(per_doc[d] - ref[d]) < 1e-9
+    # doc_ids restriction
+    only = bm25_explain(spark, astore, terms, doc_ids=[0]).collect()
+    assert {r["doc_id"] for r in only} == {0}
+
+
+def test_facet_cardinality(spark, astore):
+    docs = spark.createDataFrame(
+        [(d, t, ["en", "de", "fr"][d % 3]) for d, t in DOCS],
+        "doc_id long, text string, lang string",
+    )
+    match_ids = {d for d, _ in DOCS if "merge" in _toks(d)}
+    want = len({["en", "de", "fr"][d % 3] for d in match_ids})
+    got = facet_cardinality(spark, astore, "merge", docs, "lang").collect()
+    assert got[0]["cardinality"] == want
+    # HLL path: exact at this tiny cardinality
+    approx = facet_cardinality(
+        spark, astore, "merge", docs, "lang", exact=False
+    ).collect()
+    assert approx[0]["cardinality"] == want

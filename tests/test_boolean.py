@@ -596,3 +596,101 @@ def test_collapse_topk(spark, bstore):
 
     assert max(Counter(r["lang"] for r in got2).values()) <= 2
     assert len(got2) >= len(got)
+
+
+def test_parse_boost_grammar():
+    from inverted_index_spark.operators.boolean import Boost, parse_query
+
+    q = parse_query("spark^2 merge")
+    assert q == And(Boost(Term("spark"), 2.0), Term("merge"))
+    q = parse_query('"table hash"~1^0.5')
+    assert q == Boost(Phrase(["table", "hash"], slop=1), 0.5)
+    q = parse_query('"table hash"^3')
+    assert q == Boost(Phrase(["table", "hash"]), 3.0)
+    q = parse_query("riv*^2.5")
+    assert q == Boost(Prefix("riv"), 2.5)
+    q = parse_query("tble~2^1.5")
+    assert q == Boost(Fuzzy("tble", 2), 1.5)
+    # '^' not followed by a number stays part of the word (tokenizer
+    # then splits it): 'a^b' is not a boost
+    q = parse_query("a^b")
+    assert q == And(Term("a"), Term("b"))
+
+
+def test_boosted_ranked_topk(spark, bstore):
+    from inverted_index_spark.operators.bm25 import bm25_scores
+    from inverted_index_spark.operators.boolean import ranked_topk
+
+    # boost=1 in the grammar ≡ no boost at all
+    plain = [
+        (r["doc_id"], r["score"])
+        for r in ranked_topk(spark, bstore, "quick dog", k=10).collect()
+    ]
+    one = [
+        (r["doc_id"], r["score"])
+        for r in ranked_topk(spark, bstore, "quick^1 dog", k=10).collect()
+    ]
+    assert plain == one
+    # boosted scores = boosted-contribution sum from the scorer itself
+    # ('quick^3 dog^0.5' is an AND query — matches need BOTH terms)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in ranked_topk(spark, bstore, "quick^3 dog^0.5", k=10).collect()
+    }
+    ref = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(
+            spark, bstore, ["quick", "dog"], boosts={"quick": 3.0, "dog": 0.5}
+        ).collect()
+    }
+    assert set(got) == py_eval(And(Term("quick"), Term("dog")))
+    for d, s in got.items():
+        assert abs(s - ref[d]) < 1e-12
+    # and the boosted sum is the plain per-term sums re-weighted
+    q_only = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(spark, bstore, ["quick"]).collect()
+    }
+    d_only = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(spark, bstore, ["dog"]).collect()
+    }
+    for d, s in got.items():
+        want = 3.0 * q_only.get(d, 0.0) + 0.5 * d_only.get(d, 0.0)
+        assert abs(s - want) < 1e-9
+    # boosting must never change the MATCH set, only scores: the
+    # boosted AND matches exactly what the unboosted AND matches
+    unboosted = {
+        r["doc_id"]
+        for r in ranked_topk(spark, bstore, "quick dog", k=10).collect()
+    }
+    assert set(got) == unboosted
+
+
+def test_minimum_should_match(spark, bstore):
+    from inverted_index_spark.operators.boolean import evaluate
+
+    clauses = [Term("quick"), Term("dog"), Term("fox")]
+    sets = [py_eval(c) for c in clauses]
+    for m in (1, 2, 3, 4):
+        got = {
+            r["doc_id"]
+            for r in evaluate(
+                spark, bstore, Or(*clauses, minimum_should_match=m)
+            ).collect()
+        }
+        want = {
+            d
+            for d in {x for s in sets for x in s}
+            if sum(d in s for s in sets) >= m
+        }
+        assert got == want, f"msm={m}"
+    # msm composes inside a larger tree
+    q = And(Or(*clauses, minimum_should_match=2), Not(Term("lazy")))
+    got = {r["doc_id"] for r in evaluate(spark, bstore, q).collect()}
+    want2 = {
+        d
+        for d in {x for s in sets for x in s}
+        if sum(d in s for s in sets) >= 2
+    } - py_eval(Term("lazy"))
+    assert got == want2
