@@ -820,6 +820,21 @@ def _q_reindex_bm25_topk(spark, sf):
 
 
 _BM25F_STORES: dict[str, dict] = {}
+
+
+def _ensure_bm25f_stores(spark, sf):
+    """Build (once per process+sf) the two per-field text indexes the
+    multi-field scorers share: body = text, meta = 'source lang'."""
+    if sf not in _BM25F_STORES:
+        from inverted_index_spark.operators.bm25f import build_text_field_indexes
+
+        _BM25F_STORES[sf] = build_text_field_indexes(
+            spark,
+            _docs(spark, sf),
+            tempfile.mkdtemp(prefix="ii_bm25f_") + "/f",
+            {"body": "text", "meta": F.concat_ws(" ", "source", "lang")},
+        )
+    return _BM25F_STORES[sf]
 _BM25F_W = {"body": 1.0, "meta": 2.0}
 _BM25F_B = {"body": 0.75, "meta": 0.5}
 _BM25F_TERMS = ["spark", "merge", "en"]
@@ -831,15 +846,7 @@ def _q_bm25f_topk(spark, sf):
     ONE k1 saturation, any-field df): body = text (w=1), meta =
     'source lang' (w=2, b=0.5) — 'en' matches the boosted metadata
     field and any body occurrences, cross-field."""
-    if sf not in _BM25F_STORES:
-        from inverted_index_spark.operators.bm25f import build_text_field_indexes
-
-        _BM25F_STORES[sf] = build_text_field_indexes(
-            spark,
-            _docs(spark, sf),
-            tempfile.mkdtemp(prefix="ii_bm25f_") + "/f",
-            {"body": "text", "meta": F.concat_ws(" ", "source", "lang")},
-        )
+    _ensure_bm25f_stores(spark, sf)
     from inverted_index_spark.operators.bm25f import bm25f_topk
 
     t = bm25f_topk(
@@ -1176,6 +1183,40 @@ def _q_facet_cardinality(spark, sf):
     )
 
 
+def _q_dismax_topk(spark, sf):
+    """Round-5: ES multi_match best_fields / Lucene DisMax — per-field
+    independent BM25, max + tie_breaker * rest, title-style boost on
+    the meta field. Reuses the BM25F field stores (body=text,
+    meta='source lang')."""
+    from inverted_index_spark.operators.bm25f import dismax_topk
+
+    _ensure_bm25f_stores(spark, sf)
+    t = dismax_topk(
+        spark, _BM25F_STORES[sf], _BM25F_TERMS, k=10,
+        tie_breaker=0.3, boosts={"meta": 2.0},
+    )
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_wildcard_values(spark, sf):
+    """Round-5: Lucene WildcardQuery — `?`/mid-word `*` compile to the
+    two-phase dictionary-regex rewrite inside the boolean grammar."""
+    from inverted_index_spark.operators.boolean import evaluate, parse_query
+
+    return evaluate(spark, _store_for(spark, sf), parse_query("w?ndow OR sp*rk"))
+
+
+def _q_unigram_loglik(spark, sf):
+    """Round-5: per-doc average unigram log-likelihood (LM quality /
+    outlier signal for curation) computed from the index alone."""
+    from inverted_index_spark.operators.aggregations import unigram_loglik
+
+    t = unigram_loglik(spark, _store_for(spark, sf))
+    return t.select(
+        "doc_id", "dl", F.round("avg_loglik", 6).alias("avg_loglik")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters for the driver's time-budgeted correctness gate:
     # the core index reads come first (they also pay the one-time
@@ -1234,6 +1275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": _q_term_vectors,
         "bm25_explain": _q_bm25_explain,
         "facet_cardinality": _q_facet_cardinality,
+        "dismax_topk": _q_dismax_topk,
+        "wildcard_values": _q_wildcard_values,
+        "unigram_loglik": _q_unigram_loglik,
         # --- the rest (green r4 rows) ---
         "dedup_fingerprints": _q_dedup_fingerprints,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -1287,6 +1331,8 @@ _TOKS_SQL = (
 _TOK = f"SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents"
 _TF = f"SELECT doc_id, term, count(*) AS tf FROM ({_TOK}) GROUP BY doc_id, term"
 _DL = f"SELECT doc_id, count(*) AS dl FROM ({_TOK}) GROUP BY doc_id"
+# the BM25F/dis_max 'meta' field as a corpus relation (doc_id, text)
+_META_SRC = "(SELECT doc_id, concat(source, ' ', lang) AS text FROM documents)"
 _QTERMS = "('" + "','".join(Q_TERMS) + "')"
 _ORTERMS = "('" + "','".join(OR_TERMS) + "')"
 
@@ -2237,5 +2283,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(DISTINCT lang) AS cardinality FROM documents "
             "WHERE doc_id IN ("
             f"SELECT doc_id FROM ({_TOK}) WHERE term IN ('spark', 'merge'))"
+        ),
+        "dismax_topk": (
+            # per-field INDEPENDENT BM25 (field-local stats), then
+            # max + 0.3*(sum-max); meta field boosted 2x before the max
+            "WITH bf AS ("
+            f"{_bm25_contrib_sql(_BM25F_TERMS)}"
+            "), mf AS ("
+            f"{_bm25_contrib_sql(_BM25F_TERMS, src=_META_SRC)}"
+            "), u AS ("
+            "SELECT doc_id, raw_score AS s FROM bf "
+            "UNION ALL SELECT doc_id, raw_score * 2.0::DOUBLE AS s FROM mf), "
+            "g AS (SELECT doc_id, max(s) AS mx, sum(s) AS sm FROM u "
+            "GROUP BY doc_id) "
+            "SELECT doc_id, round(mx + 0.3 * (sm - mx), 4) AS score FROM g "
+            "ORDER BY mx + 0.3 * (sm - mx) DESC, doc_id ASC LIMIT 10"
+        ),
+        "wildcard_values": (
+            f"SELECT DISTINCT doc_id FROM ({_TOK}) "
+            "WHERE regexp_full_match(term, 'w.ndow') "
+            "OR regexp_full_match(term, 'sp.*rk') ORDER BY doc_id"
+        ),
+        "unigram_loglik": (
+            f"WITH tf AS ({_TF}), dl AS ({_DL}), "
+            "ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term), "
+            "tot AS (SELECT sum(tf)::DOUBLE AS T FROM tf) "
+            "SELECT tf.doc_id, dl.dl, "
+            "round(sum(tf.tf * ln(ctf.ctf / t.T)) / dl.dl, 6) AS avg_loglik "
+            "FROM tf JOIN ctf USING (term) JOIN dl USING (doc_id) "
+            "CROSS JOIN tot t GROUP BY tf.doc_id, dl.dl ORDER BY tf.doc_id"
         ),
     }

@@ -86,6 +86,29 @@ def main(argv: list[str] | None = None) -> int:
     )
     s_top.add_argument("store_root")
     s_top.add_argument("-k", type=int, default=20)
+    s_sig = sub.add_parser(
+        "significant-terms",
+        help="terms overrepresented in a query's matches vs the corpus "
+        "(ES significant_terms, JLH score)",
+    )
+    s_sig.add_argument("store_root")
+    s_sig.add_argument("query")
+    s_sig.add_argument("-k", type=int, default=10)
+    s_sig.add_argument("--min-doc-count", type=int, default=3)
+    s_tv = sub.add_parser(
+        "term-vectors",
+        help="per-doc (term, tf) re-read from the index (Lucene TermVectors)",
+    )
+    s_tv.add_argument("store_root")
+    s_tv.add_argument("doc_ids", type=int, nargs="+")
+    s_explain = sub.add_parser(
+        "explain",
+        help="per-(doc, term) BM25 score breakdown (Lucene Explanation)",
+    )
+    s_explain.add_argument("store_root")
+    s_explain.add_argument("terms", nargs="+")
+    s_explain.add_argument("--doc", type=int, action="append", default=None,
+                           help="restrict to these doc ids (repeatable)")
     s_compact = sub.add_parser(
         "compact", help="merge live segments (min_files=1 also consolidates "
         "a single fragmented segment) and delete tombstoned data"
@@ -349,6 +372,32 @@ def main(argv: list[str] | None = None) -> int:
 
         for row in top_terms(spark, store, k=args.k).collect():
             print(f"{row['term']}\t{row['df']}")
+        return 0
+    if args.cmd == "significant-terms":
+        from inverted_index_spark.operators.aggregations import significant_terms
+
+        for row in significant_terms(
+            spark, store, args.query, k=args.k, min_doc_count=args.min_doc_count
+        ).collect():
+            print(
+                f"{row['term']}\t{row['fg_df']}\t{row['bg_df']}\t{row['score']:.6f}"
+            )
+        return 0
+    if args.cmd == "term-vectors":
+        from inverted_index_spark.operators.aggregations import term_vectors
+
+        for row in term_vectors(spark, store, args.doc_ids).collect():
+            print(f"{row['doc_id']}\t{row['term']}\t{row['tf']}")
+        return 0
+    if args.cmd == "explain":
+        from inverted_index_spark.operators.aggregations import bm25_explain
+
+        for row in bm25_explain(spark, store, args.terms, doc_ids=args.doc).collect():
+            print(
+                f"{row['doc_id']}\t{row['term']}\ttf={row['tf']}\tdl={row['dl']}"
+                f"\tdf={row['df']}\tidf={row['idf']:.6f}"
+                f"\ttf_norm={row['tf_norm']:.6f}\tcontrib={row['contribution']:.6f}"
+            )
         return 0
     if args.cmd == "query":
         from inverted_index_spark.operators.search import Searcher

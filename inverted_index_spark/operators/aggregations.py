@@ -190,6 +190,53 @@ def bm25_explain(
     )
 
 
+def unigram_loglik(
+    spark: SparkSession,
+    store: SegmentStore,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """Per-doc average unigram log-likelihood — the classic
+    LM-quality / outlier signal for training-data curation, computed
+    from the INDEX alone (no source text needed):
+
+        p(t)   = ctf(t) / T          (MLE collection unigram model;
+                                      ctf = collection term frequency,
+                                      T = total tokens)
+        ll(d)  = Σ_t tf(t,d) · ln p(t) / dl(d)
+
+    Gibberish/boilerplate docs sit far below the corpus mode;
+    extremely repetitive docs sit above it. One whole-index decode →
+    a tiny (term, ctf) aggregate joined back by term (broadcast: the
+    dictionary is vocabulary-sized, not corpus-sized) → one
+    groupBy(doc_id). Returns (doc_id, dl, avg_loglik)."""
+    pairs = postings_df(spark, store, None, min_doc, max_doc, with_tf=True)
+    if _needs_pair_dedup(store):
+        pairs = pairs.dropDuplicates(["term", "doc_id"])
+    # collection stats from the SAME decoded stream (consistent under
+    # deletes/range): Spark reuses the scan via the self-join below
+    ctf = pairs.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = pairs.agg(F.sum("tf")).collect()[0][0]
+    if not total:
+        return spark.createDataFrame(
+            [], "doc_id long, dl long, avg_loglik double"
+        )
+    joined = pairs.join(F.broadcast(ctf), "term")
+    return (
+        joined.withColumn(
+            "_ll",
+            F.col("tf")
+            * F.log(F.col("ctf") / F.lit(float(total))),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.first("dl").alias("dl"),
+            (F.sum("_ll") / F.first("dl")).alias("avg_loglik"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def facet_cardinality(
     spark: SparkSession,
     store: SegmentStore,

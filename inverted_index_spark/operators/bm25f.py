@@ -170,3 +170,69 @@ def bm25f_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def dismax_scores(
+    spark: SparkSession,
+    field_stores: dict[str, SegmentStore],
+    terms: list[str],
+    tie_breaker: float = 0.0,
+    boosts: dict[str, float] | None = None,
+) -> DataFrame:
+    """Lucene DisjunctionMaxQuery / ES multi_match best_fields: each
+    field is scored as an INDEPENDENT BM25 index (its own N, avgdl,
+    df — the other multi-field model from BM25F's shared saturation),
+    then per doc
+
+        score = max_f(s_f) + tie_breaker * (Σ_f s_f − max_f(s_f))
+
+    tie_breaker=0 is pure best-field (a doc is as good as its best
+    field); 1.0 degrades to the plain per-field sum. ``boosts`` maps
+    field → multiplier applied to that field's score BEFORE the max
+    (ES ``fields: ["title^3", "body"]``).
+
+    Plan: per-field score streams (each a term-pruned scan + one
+    groupBy) union → ONE groupBy(doc_id) carrying (max, sum) — the
+    max/sum pair is computed in the same exchange, so dis_max costs
+    exactly one shuffle more than the per-field scorers it combines."""
+    _b = boosts or {}
+    parts = []
+    for name, store in field_stores.items():
+        s = _bm25.bm25_scores(spark, store, terms)
+        w = float(_b.get(name, 1.0))
+        if w != 1.0:
+            s = s.select("doc_id", (F.col("score") * F.lit(w)).alias("score"))
+        parts.append(s)
+    if not parts:
+        return spark.range(0).select(
+            F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    tie = float(tie_breaker)
+    g = allp.groupBy("doc_id").agg(
+        F.max("score").alias("_mx"), F.sum("score").alias("_sm")
+    )
+    return g.select(
+        "doc_id",
+        (
+            F.col("_mx") + F.lit(tie) * (F.col("_sm") - F.col("_mx"))
+        ).alias("score"),
+    )
+
+
+def dismax_topk(
+    spark: SparkSession,
+    field_stores: dict[str, SegmentStore],
+    terms: list[str],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    boosts: dict[str, float] | None = None,
+) -> DataFrame:
+    """Top-k dis_max, ties (score DESC, doc_id ASC)."""
+    return (
+        dismax_scores(spark, field_stores, terms, tie_breaker, boosts)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

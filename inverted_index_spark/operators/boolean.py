@@ -47,6 +47,16 @@ class Fuzzy:
 
 
 @dataclass(frozen=True)
+class Wildcard:
+    """Lucene WildcardQuery: ``?`` = one character, ``*`` = any run
+    (``te?t``, ``sp*k``). A PURE trailing-``*`` word parses as Prefix
+    instead (the FST range-seek analog is cheaper than the dictionary
+    regex scan this compiles to). Constant-score like Prefix/Fuzzy."""
+
+    pattern: str
+
+
+@dataclass(frozen=True)
 class Phrase:
     tokens: tuple
     slop: int = 0
@@ -165,6 +175,13 @@ def _lex(s: str) -> list:
     return out
 
 
+def _has_inner_wildcard(w: str) -> bool:
+    """True when a '*'/'?' appears anywhere but as the single trailing
+    '*' (which is the cheaper Prefix form)."""
+    body = w[:-1] if w.endswith("*") else w
+    return "*" in body or "?" in body
+
+
 def _word_node(w: str):
     """One bare word → leaf node, normalized through the PINNED
     tokenizer (tokenize_text) so query-side tokens can actually match
@@ -176,8 +193,20 @@ def _word_node(w: str):
     from inverted_index_spark.functions.tokenizer import tokenize_text
 
     stem, suffix, digits = w, None, None
-    if w.endswith("*") and len(w) > 1:
+    if w.endswith("*") and len(w) > 1 and not _has_inner_wildcard(w):
         stem, suffix = w[:-1], "*"
+    elif _has_inner_wildcard(w) or ("?" in w or "*" in w) and len(w) > 1:
+        # Lucene WildcardQuery: NOT analyzed (a '?'/'*' would be
+        # stripped by the tokenizer) — lowercase only, and validate
+        # the literal chars against the pinned term alphabet
+        pat = w.lower()
+        lit = re.sub(r"[*?]", "", pat)
+        if lit and not re.fullmatch(r"[\w]+", lit, re.UNICODE):
+            raise ValueError(
+                f"wildcard pattern {pat!r} mixes non-term characters; "
+                "only letters/digits/_ plus '*'/'?' are allowed"
+            )
+        return Wildcard(pat)
     else:
         m = re.match(r"^(.+)~([0-9]+)?$", w)
         if m:
@@ -427,6 +456,18 @@ def _eval(spark, store, q, lo, hi, searcher=None, field_stores=None) -> DataFram
         return _q.read_values_prefix(spark, store, q.prefix, lo, hi)
     if isinstance(q, Fuzzy):
         return _q.fuzzy_values(spark, store, q.term, q.max_edits, lo, hi)
+    if isinstance(q, Wildcard):
+        import re as _re
+
+        # '?' → any one term char, '*' → any run; everything else
+        # matched literally (the pattern alphabet was validated at
+        # parse time). Rides the two-phase regex rewrite: dictionary
+        # scan resolves terms, IN-pushed posting read fetches.
+        rx = "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in q.pattern
+        )
+        return _q.read_values_regex(spark, store, rx, lo, hi)
     if isinstance(q, Phrase):
         if searcher is not None:
             return searcher.phrase(list(q.tokens), lo, hi, slop=q.slop).select(

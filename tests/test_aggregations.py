@@ -169,3 +169,31 @@ def test_facet_cardinality(spark, astore):
         spark, astore, "merge", docs, "lang", exact=False
     ).collect()
     assert approx[0]["cardinality"] == want
+
+
+def test_unigram_loglik(spark, astore, astore_multiseg):
+    from inverted_index_spark.operators.aggregations import unigram_loglik
+
+    all_toks = [t for d, _ in DOCS for t in _toks(d)]
+    total = len(all_toks)
+    ctf = Counter(all_toks)
+    for store in (astore, astore_multiseg):
+        got = {
+            r["doc_id"]: (r["dl"], r["avg_loglik"])
+            for r in unigram_loglik(spark, store).collect()
+        }
+        assert set(got) == {d for d, _ in DOCS}
+        for d, _ in DOCS:
+            toks = _toks(d)
+            want = sum(
+                math.log(ctf[t] / total) for t in toks
+            ) / len(toks)
+            assert got[d][0] == len(toks)
+            assert abs(got[d][1] - want) < 1e-9, (d, got[d], want)
+    # repetitive docs (few distinct, common terms) score higher than
+    # the one with rare terms only — doc 6 has 4 hapaxes
+    scores = {
+        r["doc_id"]: r["avg_loglik"]
+        for r in unigram_loglik(spark, astore).collect()
+    }
+    assert scores[6] == min(scores.values())

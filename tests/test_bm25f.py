@@ -136,3 +136,83 @@ def test_bm25f_delete_aware(spark, tmp_path):
     # membership is the contract)
     assert set(after) == {4}
     assert after[4] != before[4]
+
+
+def _dismax_oracle(terms, tie, boosts=None):
+    """Pure-python dis_max: per-field independent BM25 (field-local N,
+    avgdl, df), then max + tie * (sum - max)."""
+    boosts = boosts or {}
+    toks = {
+        d: {"title": t.split(), "body": bo.split()} for d, t, bo in DOCS
+    }
+    per_field: dict[str, dict[int, float]] = {}
+    for f in ("title", "body"):
+        # field-local corpus: docs whose field produced tokens are in
+        # the field store; dl=0 docs are STILL in its doc stats
+        docs_f = {d: toks[d][f] for d in toks}
+        n = len(docs_f)
+        avgdl = sum(len(v) for v in docs_f.values()) / n
+        sc: dict[int, float] = {}
+        for t in sorted(set(terms)):
+            df = sum(1 for v in docs_f.values() if t in v)
+            if not df:
+                continue
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            for d, v in docs_f.items():
+                tf = v.count(t)
+                if tf:
+                    c = idf * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * len(v) / avgdl))
+                    sc[d] = sc.get(d, 0.0) + c
+        w = boosts.get(f, 1.0)
+        per_field[f] = {d: s * w for d, s in sc.items()}
+    out: dict[int, float] = {}
+    for d in set(per_field["title"]) | set(per_field["body"]):
+        vals = [pf[d] for pf in per_field.values() if d in pf]
+        mx, sm = max(vals), sum(vals)
+        out[d] = mx + tie * (sm - mx)
+    return out
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.3, 1.0])
+def test_dismax_vs_oracle(spark, stores, tie):
+    from inverted_index_spark.operators.bm25f import dismax_scores
+
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dismax_scores(
+            spark, stores, ["spark", "window"], tie_breaker=tie
+        ).collect()
+    }
+    want = _dismax_oracle(["spark", "window"], tie)
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9, (d, got[d], want[d])
+
+
+def test_dismax_field_boosts_and_topk(spark, stores):
+    from inverted_index_spark.operators.bm25f import dismax_topk
+
+    boosts = {"title": 3.0}
+    got = [
+        (r["doc_id"], r["score"])
+        for r in dismax_topk(
+            spark, stores, ["merge"], k=3, tie_breaker=0.2, boosts=boosts
+        ).collect()
+    ]
+    want = sorted(
+        _dismax_oracle(["merge"], 0.2, boosts).items(),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:3]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-9
+    # tie_breaker=1.0 degrades to the plain per-field sum
+    from inverted_index_spark.operators.bm25f import dismax_scores
+
+    s1 = {
+        r["doc_id"]: r["score"]
+        for r in dismax_scores(spark, stores, ["merge"], 1.0).collect()
+    }
+    w1 = _dismax_oracle(["merge"], 1.0)
+    for d in w1:
+        assert abs(s1[d] - w1[d]) < 1e-9

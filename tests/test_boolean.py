@@ -694,3 +694,46 @@ def test_minimum_should_match(spark, bstore):
         if sum(d in s for s in sets) >= 2
     } - py_eval(Term("lazy"))
     assert got == want2
+
+
+def test_wildcard_queries(spark, bstore):
+    import fnmatch
+
+    from inverted_index_spark.operators.boolean import (
+        Prefix, Wildcard, evaluate, parse_query,
+    )
+
+    # grammar: mid-word wildcards → Wildcard; pure trailing * → Prefix
+    assert parse_query("qu?ck") == Wildcard("qu?ck")
+    assert parse_query("f*x") == Wildcard("f*x")
+    assert parse_query("QU?CK") == Wildcard("qu?ck")  # lowercased only
+    assert parse_query("riv*") == Prefix("riv")
+    assert parse_query("r?ver*") == Wildcard("r?ver*")
+    with pytest.raises(ValueError):
+        parse_query("qu?ck-er")  # non-term char mixed into the pattern
+
+    def wc_oracle(pat):
+        all_ids = [d for d, _ in DOCS]
+        return {
+            d
+            for d in all_ids
+            if any(fnmatch.fnmatchcase(t, pat) for t in _toks(d))
+        }
+
+    for pat in ("qu?ck", "f*x", "fox*s", "r?ver*", "*og"):
+        got = {
+            r["doc_id"]
+            for r in evaluate(spark, bstore, parse_query(pat)).collect()
+        }
+        assert got == wc_oracle(pat), pat
+    # composes with the algebra; constant-score in ranked mode
+    got = {
+        r["doc_id"]
+        for r in evaluate(spark, bstore, parse_query("qu?ck -f*x")).collect()
+    }
+    assert got == wc_oracle("qu?ck") - wc_oracle("f*x")
+    from inverted_index_spark.operators.boolean import ranked_topk
+
+    ranked = ranked_topk(spark, bstore, "qu?ck", k=10).collect()
+    assert {r["doc_id"] for r in ranked} == wc_oracle("qu?ck")
+    assert all(r["score"] == 0.0 for r in ranked)
