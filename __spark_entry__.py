@@ -1206,6 +1206,14 @@ def _q_wildcard_values(spark, sf):
     return evaluate(spark, _store_for(spark, sf), parse_query("w?ndow OR sp*rk"))
 
 
+def _q_complete_terms(spark, sf):
+    """Round-5: ES completion suggester — df-ranked autocomplete of a
+    dictionary prefix."""
+    from inverted_index_spark.operators.query import complete_terms
+
+    return complete_terms(spark, _store_for(spark, sf), "s", k=10)
+
+
 def _q_unigram_loglik(spark, sf):
     """Round-5: per-doc average unigram log-likelihood (LM quality /
     outlier signal for curation) computed from the index alone."""
@@ -1278,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dismax_topk": _q_dismax_topk,
         "wildcard_values": _q_wildcard_values,
         "unigram_loglik": _q_unigram_loglik,
+        "complete_terms": _q_complete_terms,
         # --- the rest (green r4 rows) ---
         "dedup_fingerprints": _q_dedup_fingerprints,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -2303,6 +2312,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT DISTINCT doc_id FROM ({_TOK}) "
             "WHERE regexp_full_match(term, 'w.ndow') "
             "OR regexp_full_match(term, 'sp.*rk') ORDER BY doc_id"
+        ),
+        "complete_terms": (
+            "SELECT term, df FROM ("
+            f"SELECT term, count(DISTINCT doc_id) AS df FROM ({_TOK}) "
+            "WHERE term LIKE 's%' GROUP BY term) "
+            "ORDER BY df DESC, term ASC LIMIT 10"
         ),
         "unigram_loglik": (
             f"WITH tf AS ({_TF}), dl AS ({_DL}), "

@@ -86,6 +86,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     s_top.add_argument("store_root")
     s_top.add_argument("-k", type=int, default=20)
+    s_complete = sub.add_parser(
+        "complete", help="df-ranked autocomplete of a dictionary prefix "
+        "(ES completion suggester)"
+    )
+    s_complete.add_argument("store_root")
+    s_complete.add_argument("prefix")
+    s_complete.add_argument("-k", type=int, default=10)
     s_sig = sub.add_parser(
         "significant-terms",
         help="terms overrepresented in a query's matches vs the corpus "
@@ -371,6 +378,12 @@ def main(argv: list[str] | None = None) -> int:
         from inverted_index_spark.operators.query import top_terms
 
         for row in top_terms(spark, store, k=args.k).collect():
+            print(f"{row['term']}\t{row['df']}")
+        return 0
+    if args.cmd == "complete":
+        from inverted_index_spark.operators.query import complete_terms
+
+        for row in complete_terms(spark, store, args.prefix, k=args.k).collect():
             print(f"{row['term']}\t{row['df']}")
         return 0
     if args.cmd == "significant-terms":

@@ -213,8 +213,11 @@ def unigram_loglik(
     pairs = postings_df(spark, store, None, min_doc, max_doc, with_tf=True)
     if _needs_pair_dedup(store):
         pairs = pairs.dropDuplicates(["term", "doc_id"])
-    # collection stats from the SAME decoded stream (consistent under
-    # deletes/range): Spark reuses the scan via the self-join below
+    # collection stats derive from the SAME decoded stream (consistent
+    # under deletes/range). The stream has three consumers (total, ctf,
+    # join), i.e. three decode passes of one linear scan each — at
+    # cluster scale persist `pairs` (or materialize the vocabulary
+    # dictionary once per store) to make it one pass.
     ctf = pairs.groupBy("term").agg(F.sum("tf").alias("ctf"))
     total = pairs.agg(F.sum("tf")).collect()[0][0]
     if not total:

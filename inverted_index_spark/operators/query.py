@@ -194,6 +194,41 @@ def read_terms_prefix(
     )
 
 
+def complete_terms(
+    spark: SparkSession, store: SegmentStore, prefix: str, k: int = 10
+) -> DataFrame:
+    """ES completion suggester (index-backed autocomplete): the k
+    most-frequent dictionary terms extending ``prefix``, as (term, df)
+    ranked (df DESC, term ASC). The startswith predicate pushes into
+    the sorted term layout like read_terms_prefix; df follows
+    top_terms' two branches (metadata sum on a single clean segment,
+    decoded distinct docs under overlap/deletes)."""
+    if len(store.live_segments()) <= 1 and not store.has_deletes():
+        dfs = (
+            store.read_postings(spark)
+            .where(F.col("term").startswith(prefix))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+    else:
+        from inverted_index_spark.sources.store import scoped_minus_deletes
+
+        dels = store.has_deletes()
+        decoded = (
+            store.read_postings(spark, with_gen=dels)
+            .where(F.col("term").startswith(prefix))
+            .mapInPandas(
+                lambda it: _decode_rows(it, None, None, False),
+                schema="term string, doc_id long"
+                + (", _sgen long" if dels else ""),
+            )
+        )
+        if dels:
+            decoded = scoped_minus_deletes(spark, store, decoded)
+        dfs = decoded.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return dfs.orderBy(F.desc("df"), F.asc("term")).limit(k)
+
+
 def read_terms_regex(
     spark: SparkSession, store: SegmentStore, pattern: str
 ) -> DataFrame:

@@ -357,3 +357,45 @@ def test_value_histogram(spark):
     assert scoped == [(0, 3), (100, 1)]
     with pytest.raises(ValueError):
         value_histogram(spark, store, ["click"], bucket=0)
+
+
+def test_complete_terms(spark, prefix_store):
+    from inverted_index_spark.operators.query import complete_terms
+
+    got = [
+        (r["term"], r["df"])
+        for r in complete_terms(spark, prefix_store, "app", k=3).collect()
+    ]
+    # df ranks: apple(3) > apply(2) > app(1)=applesauce(1), term ASC tie
+    assert got == [("apple", 3), ("apply", 2), ("app", 1)]
+    full = [
+        (r["term"], r["df"])
+        for r in complete_terms(spark, prefix_store, "app", k=10).collect()
+    ]
+    assert full == [("apple", 3), ("apply", 2), ("app", 1), ("applesauce", 1)]
+    assert complete_terms(spark, prefix_store, "zzz").count() == 0
+    # empty-postings term: df 0, still completable
+    assert [
+        (r["term"], r["df"])
+        for r in complete_terms(spark, prefix_store, "zeb").collect()
+    ] == [("zebra", 0)]
+
+
+def test_complete_terms_multiseg(spark):
+    """Overlapping segments: df counts distinct docs, not row sums."""
+    from inverted_index_spark.operators.build import SegmentWriter
+    from inverted_index_spark.operators.query import complete_terms
+
+    store = SegmentStore(tempfile.mkdtemp(prefix="ii_cmpl_") + "/idx")
+    w = SegmentWriter(spark, store, bucket_size=8)
+    w.put("apple", [1, 2])
+    w.close()
+    w = SegmentWriter(spark, store, bucket_size=8)
+    w.put("apple", [2, 3])
+    w.put("apricot", [5])
+    w.close()
+    got = [
+        (r["term"], r["df"])
+        for r in complete_terms(spark, store, "ap", k=5).collect()
+    ]
+    assert got == [("apple", 3), ("apricot", 1)]
