@@ -1206,6 +1206,17 @@ def _q_wildcard_values(spark, sf):
     return evaluate(spark, _store_for(spark, sf), parse_query("w?ndow OR sp*rk"))
 
 
+def _q_rescore_topk(spark, sf):
+    """Round-5: ES rescore — bag-of-words BM25 ranks a top-100 window,
+    the exact phrase re-ranks only that window (canonical terms ==
+    phrase-tokens shape)."""
+    t = _bm25.rescore_topk(
+        spark, _store_for(spark, sf), PHRASE, PHRASE,
+        k=10, n_window=100, query_weight=1.0, rescore_weight=2.0,
+    )
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_complete_terms(spark, sf):
     """Round-5: ES completion suggester — df-ranked autocomplete of a
     dictionary prefix."""
@@ -1287,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_values": _q_wildcard_values,
         "unigram_loglik": _q_unigram_loglik,
         "complete_terms": _q_complete_terms,
+        "rescore_topk": _q_rescore_topk,
         # --- the rest (green r4 rows) ---
         "dedup_fingerprints": _q_dedup_fingerprints,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -2312,6 +2324,19 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT DISTINCT doc_id FROM ({_TOK}) "
             "WHERE regexp_full_match(term, 'w.ndow') "
             "OR regexp_full_match(term, 'sp.*rk') ORDER BY doc_id"
+        ),
+        "rescore_topk": (
+            "WITH orig AS (SELECT doc_id, raw_score FROM ("
+            f"{_bm25_contrib_sql(PHRASE)}"
+            ") ORDER BY raw_score DESC, doc_id ASC LIMIT 100), "
+            "phs AS (SELECT doc_id, raw_score AS p FROM ("
+            f"{_bm25_contrib_sql(PHRASE)}"
+            f") WHERE doc_id IN (SELECT doc_id FROM ({_PHRASE_SQL}))) "
+            "SELECT doc_id, round(1.0::DOUBLE * raw_score"
+            " + 2.0::DOUBLE * coalesce(p, 0.0), 4) AS score "
+            "FROM orig LEFT JOIN phs USING (doc_id) "
+            "ORDER BY 1.0::DOUBLE * raw_score"
+            " + 2.0::DOUBLE * coalesce(p, 0.0) DESC, doc_id ASC LIMIT 10"
         ),
         "complete_terms": (
             "SELECT term, df FROM ("

@@ -154,6 +154,52 @@ def bm25_topk(
     )
 
 
+def rescore_topk(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    phrase: list[str],
+    k: int = 10,
+    n_window: int = 100,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+) -> DataFrame:
+    """ES rescore: cheap query ranks a top-``n_window`` candidate
+    window, an expensive phrase query re-ranks ONLY that window —
+
+        final = query_weight * bm25(terms)
+              + rescore_weight * (bm25(phrase tokens) if the exact
+                                  phrase matches, else 0)
+
+    the canonical shape being terms == phrase tokens: bag-of-words
+    recall first, exact-adjacency precision on top, so phrase hits
+    float above scattered-token hits without paying positional decode
+    for the whole corpus. The window is TakeOrdered output (≤ n_window
+    rows, broadcast-sized), so the rescore join and the positional
+    read are both candidate-bounded — the 100 TB cost profile ES
+    designed rescore for. Ties (final DESC, doc_id ASC)."""
+    from inverted_index_spark.operators.positions import phrase_match
+
+    window = (
+        bm25_scores(spark, store, terms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(n_window))
+    )
+    ph_docs = phrase_match(spark, store, list(phrase)).select("doc_id")
+    ph_scores = bm25_scores(spark, store, list(phrase)).join(
+        ph_docs, "doc_id", "leftsemi"
+    ).withColumnRenamed("score", "_p")
+    final = F.lit(float(query_weight)) * F.col("score") + F.lit(
+        float(rescore_weight)
+    ) * F.coalesce("_p", F.lit(0.0))
+    return (
+        window.join(ph_scores, "doc_id", "left")
+        .select("doc_id", final.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def synonym_scores(
     spark: SparkSession,
     store: SegmentStore,

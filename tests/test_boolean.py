@@ -737,3 +737,35 @@ def test_wildcard_queries(spark, bstore):
     ranked = ranked_topk(spark, bstore, "qu?ck", k=10).collect()
     assert {r["doc_id"] for r in ranked} == wc_oracle("qu?ck")
     assert all(r["score"] == 0.0 for r in ranked)
+
+
+def test_rescore_topk(spark, bstore):
+    from inverted_index_spark.operators.bm25 import bm25_scores, rescore_topk
+
+    terms = phrase = ["quick", "brown"]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in rescore_topk(
+            spark, bstore, terms, phrase, k=10, n_window=10,
+            query_weight=1.0, rescore_weight=2.0,
+        ).collect()
+    ]
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(spark, bstore, terms).collect()
+    }
+    ph_docs = py_eval(Phrase(["quick", "brown"]))
+    want = sorted(
+        (
+            (d, s + 2.0 * (s if d in ph_docs else 0.0))
+            for d, s in base.items()
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert [d for d, _ in got] == [d for d, _ in want[: len(got)]]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-9
+    # exact-phrase docs outrank scattered-token docs after rescore
+    first_nonphrase = next(i for i, (d, _) in enumerate(got) if d not in ph_docs)
+    assert all(d in ph_docs for d, _ in got[:first_nonphrase])
+    assert first_nonphrase >= 1
