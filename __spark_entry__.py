@@ -1236,6 +1236,79 @@ def _q_unigram_loglik(spark, sf):
     )
 
 
+def _fed_store_for(spark, sf):
+    """Two member stores (docs split by doc_id parity) behind a
+    FederatedStore — ES cross-index search with dfs_query_then_fetch
+    (global-stats) semantics."""
+    from inverted_index_spark.sources.federated import FederatedStore
+
+    key = "fed:" + sf
+    if key not in _STORES:
+        import tempfile as _tf
+
+        root = _tf.mkdtemp(prefix="ii_fed_")
+        parts = []
+        for i in range(2):
+            part = SegmentStore(f"{root}/part{i}")
+            build_index(
+                spark,
+                _docs(spark, sf).where(F.col("doc_id") % 2 == i),
+                part,
+                bucket_size=1 << 14,
+            )
+            parts.append(part)
+        _STORES[key] = FederatedStore(parts)
+    return _STORES[key]
+
+
+def _q_quantized_topk(spark, sf):
+    """Round-5: int8-quantized ANN with exact rescore — deterministic
+    two-phase retrieval, oracle-checkable unlike LSH/IVF."""
+    from inverted_index_spark.operators.similarity import quantized_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    t = quantized_topk(emb, [float(x) for x in qv], k=10, rescore_factor=4)
+    return t.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _q_chunk_documents(spark, sf):
+    """Round-5: RAG sliding-window chunking (32-token windows, 8-token
+    overlap) — pure JVM exprs, zero shuffle."""
+    from inverted_index_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(_docs(spark, sf), 32, 8).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def _q_function_score_topk(spark, sf):
+    """Round-5: ES function_score — BM25 × field_value_factor(log1p)
+    on the documents' n_chars attribute (a popularity-style boost)."""
+    from inverted_index_spark.operators.bm25 import (
+        field_value_factor,
+        function_score_topk,
+    )
+
+    t = function_score_topk(
+        spark,
+        _store_for(spark, sf),
+        Q_TERMS,
+        _docs(spark, sf).select("doc_id", "n_chars"),
+        field_value_factor("n_chars", modifier="log1p"),
+        k=10,
+    )
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_federated_bm25_topk(spark, sf):
+    """Round-5: federated (multi-index) BM25 over two independently
+    built sub-indexes — must be rank- AND score-identical to one merged
+    index, so the oracle is the ordinary whole-corpus BM25 SQL."""
+    t = _bm25.bm25_topk(spark, _fed_store_for(spark, sf), Q_TERMS, k=10)
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters for the driver's time-budgeted correctness gate:
     # the core index reads come first (they also pay the one-time
@@ -1299,6 +1372,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_loglik": _q_unigram_loglik,
         "complete_terms": _q_complete_terms,
         "rescore_topk": _q_rescore_topk,
+        "federated_bm25_topk": _q_federated_bm25_topk,
+        "function_score_topk": _q_function_score_topk,
+        "chunk_documents": _q_chunk_documents,
+        "quantized_topk": _q_quantized_topk,
         # --- the rest (green r4 rows) ---
         "dedup_fingerprints": _q_dedup_fingerprints,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -1790,6 +1867,74 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, round(raw_score, 4) AS score FROM ({_BM25_CONTRIB}) "
             "ORDER BY raw_score DESC, doc_id ASC LIMIT 10"
         ),
+        # federation must be transparent: same oracle as the merged index
+        "federated_bm25_topk": (
+            f"SELECT doc_id, round(raw_score, 4) AS score FROM ({_BM25_CONTRIB}) "
+            "ORDER BY raw_score DESC, doc_id ASC LIMIT 10"
+        ),
+        "function_score_topk": (
+            "SELECT b.doc_id, round(b.raw_score * ln(1.0 + d.n_chars), 4) "
+            f"AS score FROM ({_BM25_CONTRIB}) b JOIN documents d USING (doc_id) "
+            "ORDER BY b.raw_score * ln(1.0 + d.n_chars) DESC, b.doc_id ASC "
+            "LIMIT 10"
+        ),
+        "chunk_documents": r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+), st AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks), 1), 24)) AS start_tok
+  FROM toks
+)
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) - 1)
+         AS chunk_idx,
+       start_tok,
+       least(32, len(toks) - start_tok) AS n_tokens,
+       array_to_string(list_slice(toks, start_tok + 1, start_tok + 32), ' ')
+         AS chunk
+FROM st ORDER BY doc_id, chunk_idx
+""",
+        # two-phase int8 ANN: the window selection runs on EXACT integer
+        # dot products, so both engines pick identical candidates
+        "quantized_topk": r"""
+WITH q AS (SELECT embedding AS qe,
+             list_aggregate(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS qscale
+           FROM embeddings WHERE vec_id = 0),
+qq AS (SELECT qe,
+         CASE WHEN qscale = 0 THEN list_transform(qe, x -> 0.0)
+              ELSE list_transform(qe,
+                x -> floor(CAST(x AS DOUBLE) / qscale + 0.5)) END AS qv
+       FROM q),
+vv AS (SELECT e.vec_id, e.embedding, qq.qe, qq.qv,
+         list_aggregate(list_transform(e.embedding,
+           x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS vs
+       FROM embeddings e CROSS JOIN qq),
+vz AS (SELECT vec_id, embedding, qe, qv,
+         CASE WHEN vs = 0 THEN list_transform(embedding, x -> 0.0)
+              ELSE list_transform(embedding,
+                x -> floor(CAST(x AS DOUBLE) / vs + 0.5)) END AS v
+       FROM vv),
+ax AS (SELECT vec_id, embedding, qe,
+         CASE WHEN list_dot_product(v, v) = 0
+                OR list_dot_product(qv, qv) = 0 THEN 0.0
+              ELSE list_dot_product(v, qv)
+                / (sqrt(list_dot_product(v, v))
+                   * sqrt(list_dot_product(qv, qv))) END AS approx
+       FROM vz),
+win AS (SELECT vec_id, embedding, qe FROM ax
+        ORDER BY approx DESC, vec_id ASC LIMIT 40),
+z AS (SELECT vec_id, unnest(embedding)::DOUBLE AS a,
+             unnest(qe)::DOUBLE AS b FROM win),
+ex AS (SELECT vec_id, sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS c
+       FROM z GROUP BY vec_id)
+SELECT vec_id, round(c, 4) AS cosine FROM ex
+ORDER BY c DESC, vec_id ASC LIMIT 10
+""",
         "delete_read_values": (
             f"SELECT DISTINCT doc_id FROM ({_TOK_ALIVE}) "
             f"WHERE term IN {_ORTERMS} ORDER BY doc_id"

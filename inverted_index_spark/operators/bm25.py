@@ -154,6 +154,83 @@ def bm25_topk(
     )
 
 
+def field_value_factor(
+    col: str,
+    factor: float = 1.0,
+    modifier: str = "none",
+    missing: float = 1.0,
+):
+    """ES ``function_score.field_value_factor``: a Column computing
+    ``modifier(factor * doc[col])`` with ``missing`` for null fields.
+    Supported modifiers: none, log1p, sqrt, square, reciprocal."""
+    x = F.coalesce(F.col(col).cast("double"), F.lit(float(missing))) * float(
+        factor
+    )
+    mods = {
+        "none": lambda c: c,
+        "log1p": lambda c: F.log1p(c),
+        "sqrt": lambda c: F.sqrt(c),
+        "square": lambda c: c * c,
+        "reciprocal": lambda c: F.lit(1.0) / c,
+    }
+    if modifier not in mods:
+        raise ValueError(f"unknown modifier {modifier!r} (have {sorted(mods)})")
+    return mods[modifier](x)
+
+
+def gauss_decay(col: str, origin: float, scale: float, decay: float = 0.5,
+                offset: float = 0.0):
+    """ES ``function_score.gauss`` decay as a Column:
+    exp(-(max(0, |x-origin|-offset))² / (2σ²)), σ² = -scale²/(2·ln decay)
+    — e.g. recency boosts where ``col`` is an epoch timestamp."""
+    if not (0.0 < decay < 1.0):
+        raise ValueError("decay must be in (0, 1)")
+    sigma2 = -(float(scale) ** 2) / (2.0 * math.log(float(decay)))
+    dist = F.greatest(
+        F.lit(0.0),
+        F.abs(F.col(col).cast("double") - F.lit(float(origin)))
+        - F.lit(float(offset)),
+    )
+    return F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+
+
+def function_score_topk(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    fields: DataFrame,
+    factor,
+    k: int = 10,
+    boost_mode: str = "multiply",
+) -> DataFrame:
+    """ES ``function_score`` query: re-weight EVERY matching doc's BM25
+    score by a per-doc function of its attributes, then take top-k.
+
+    ``fields`` is a (doc_id, attributes...) DataFrame; ``factor`` is a
+    Column over those attributes (build with field_value_factor /
+    gauss_decay, or any pyspark expression). boost_mode multiply|sum —
+    ES's two commonest combine modes.
+
+    Scale: the function applies to the MATCH SET (post-BM25), not the
+    corpus — one equi-join on doc_id that AQE broadcasts when the match
+    set is small; both the factor and the combine stay in
+    whole-stage-codegen. The final top-k is TakeOrderedAndProject."""
+    s = bm25_scores(spark, store, terms)
+    fac = F.coalesce(factor, F.lit(1.0))
+    joined = s.join(fields, "doc_id", "left")
+    if boost_mode == "multiply":
+        scored = joined.select(
+            "doc_id", (F.col("score") * fac).alias("score")
+        )
+    elif boost_mode == "sum":
+        scored = joined.select(
+            "doc_id", (F.col("score") + fac).alias("score")
+        )
+    else:
+        raise ValueError(f"unknown boost_mode {boost_mode!r}")
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def rescore_topk(
     spark: SparkSession,
     store: SegmentStore,

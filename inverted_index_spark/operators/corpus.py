@@ -230,3 +230,67 @@ def pack_sequences(
         F.expr(f"offset div {b}").alias("first_block"),
         F.expr(f"(offset + greatest(dl, 1) - 1) div {b}").alias("last_block"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style sliding-window chunking: split each doc's text into
+    windows of ``chunk_tokens`` whitespace tokens with ``overlap``
+    tokens shared between consecutive windows (stride = chunk_tokens -
+    overlap), reconstructing chunk text from the original tokens.
+
+    Returns (doc_id, chunk_idx, start_tok, n_tokens, chunk) — one row
+    per window, deterministic. Window starts are 0, stride, 2*stride, …
+    while start < token count; a doc shorter than one window yields
+    exactly one (possibly short) chunk; an empty/whitespace doc yields
+    one empty chunk (chunk provenance is total — every doc_id appears).
+
+    Scale: pure JVM column expressions (split + sequence + transform +
+    posexplode + slice + array_join) — no Python, no shuffle at all;
+    chunking is embarrassingly parallel per input split, and the output
+    inherits the input partitioning for downstream embed/index stages.
+    Whitespace tokenization (not the index tokenizer) is deliberate:
+    chunk text must reconstruct the ORIGINAL byte content for LLM
+    consumption, so the splitter must be invertible."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got overlap={overlap}"
+        )
+    stride = int(chunk_tokens) - int(overlap)
+    c = int(chunk_tokens)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>"))
+        .otherwise(toks)
+        .alias("toks"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.expr(
+            f"sequence(0, greatest(size(toks) - 1, 0), {stride})"
+        ).alias("starts"),
+    )
+    return base.select(
+        "doc_id",
+        F.posexplode("starts").alias("chunk_idx", "start_tok"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(
+            F.lit(c).cast("long"),
+            (F.size("toks") - F.col("start_tok")).cast("long"),
+        ).alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start_tok") + 1, c), " "
+        ).alias("chunk"),
+    )

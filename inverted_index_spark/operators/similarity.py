@@ -469,3 +469,141 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+# ------------------------------------------------------- quantization ---
+
+
+def quantize_embeddings(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization (the Lucene/ES
+    ``int8_hnsw`` storage trick): scale = max|x| / 127, q_i =
+    floor(x_i/scale + 0.5). Returns (vec_id, qvec array<int>, scale).
+
+    4x smaller vectors and integer dot products downstream. The
+    rounding rule is written as floor(x+0.5) explicitly so the DuckDB
+    oracle and any other IEEE-double engine reproduce it bit-for-bit
+    (banker's-vs-half-up round() ambiguity avoided). Zero vectors take
+    scale=0 and an all-zero qvec. Pure JVM lambda exprs — no shuffle,
+    no Python."""
+    x = F.col(vec_col)
+    maxabs = F.aggregate(
+        F.transform(x, lambda v: F.abs(v.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        x.alias(vec_col),
+        (maxabs / F.lit(127.0)).alias("scale"),
+    )
+    qvec = F.when(
+        F.col("scale") == 0.0,
+        F.transform(F.col(vec_col), lambda _: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda e: F.floor(e.cast("double") / F.col("scale") + F.lit(0.5))
+            .cast("int"),
+        )
+    )
+    return v.select("vec_id", qvec.alias("qvec"), "scale")
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-phase ANN: rank by INT8-quantized cosine (exact integer dot
+    products — cheap and deterministic), keep a k*rescore_factor
+    candidate window, then re-score the window with exact float cosine
+    and return the true top-k of the window (ES ``rescore_vector``).
+
+    Fully deterministic (quantization rule + integer arithmetic + fixed
+    tie-breaks), so unlike LSH/IVF this ANN path is oracle-checkable
+    value-for-value. Scale: phase 1 is a projection + TakeOrdered over
+    the quantized column (4x less memory bandwidth than float32 scan);
+    phase 2 touches ≤ k*rescore_factor rows."""
+    if k < 1 or rescore_factor < 1:
+        raise ValueError("k and rescore_factor must be >= 1")
+    qa = np.asarray(query, dtype=np.float64)
+    qmax = float(np.max(np.abs(qa))) if qa.size else 0.0
+    qscale = qmax / 127.0
+    qq = (
+        np.floor(qa / qscale + 0.5).astype(np.int64)
+        if qscale > 0.0
+        else np.zeros_like(qa, dtype=np.int64)
+    )
+    qq_norm = float(np.sqrt(np.dot(qq, qq)))
+    qq_col = F.array(*[F.lit(int(t)) for t in qq])
+    # quantize inline (same rule as quantize_embeddings) — one
+    # projection, no join/shuffle; the original vector rides along for
+    # the rescore phase
+    maxabs = F.aggregate(
+        F.transform(F.col(vec_col), lambda v: F.abs(v.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    scale = (maxabs / F.lit(127.0)).alias("scale")
+    quant = vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col), scale
+    ).select(
+        "vec_id",
+        F.col(vec_col),
+        F.when(
+            F.col("scale") == 0.0,
+            F.transform(F.col(vec_col), lambda _: F.lit(0).cast("int")),
+        )
+        .otherwise(
+            F.transform(
+                F.col(vec_col),
+                lambda e: F.floor(
+                    e.cast("double") / F.col("scale") + F.lit(0.5)
+                ).cast("int"),
+            )
+        )
+        .alias("qvec"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"), qq_col, lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("qvec"), lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    approx = F.when(
+        (qnorm == 0.0) | (F.lit(qq_norm) == 0.0), F.lit(0.0)
+    ).otherwise(qdot / (qnorm * F.lit(qq_norm)))
+    window = (
+        quant.select("vec_id", F.col(vec_col), approx.alias("approx"))
+        .orderBy(F.desc("approx"), F.asc("vec_id"))
+        .limit(int(k) * int(rescore_factor))
+    )
+    # exact rescore, zero-norm-guarded (a zero vector scores 0, it
+    # doesn't abort the job under ANSI division)
+    fq = [float(t) for t in query]
+    q_col = F.array(*[F.lit(x) for x in fq])
+    qn = float(np.sqrt(np.dot(fq, fq)))
+    vnorm = _norm(F.col(vec_col))
+    exact = F.when((vnorm == 0.0) | (F.lit(qn) == 0.0), F.lit(0.0)).otherwise(
+        _dot(F.col(vec_col), q_col) / (vnorm * F.lit(qn))
+    )
+    return (
+        window.select("vec_id", exact.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

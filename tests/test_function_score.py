@@ -1,0 +1,113 @@
+"""function_score (ES-style attribute re-weighting of BM25 ranks):
+combine modes and factor helpers must match hand-computed math on the
+exhaustive score set."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from inverted_index_spark.operators.bm25 import (
+    bm25_scores,
+    field_value_factor,
+    function_score_topk,
+    gauss_decay,
+)
+from inverted_index_spark.operators.build import build_index
+from inverted_index_spark.sources.store import SegmentStore
+from inverted_index_spark.sources.transcripts import generate_transcripts
+
+TERMS = ["w00000", "w00001"]
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    store = SegmentStore(str(tmp_path_factory.mktemp("fscore") / "idx"))
+    docs = generate_transcripts(spark, 400, include_doc_id=True)
+    build_index(spark, docs, store, bucket_size=128)
+    # per-doc attribute: a deterministic pseudo-popularity
+    fields = docs.select(
+        "doc_id", (F.col("doc_id") % 7 + 1).cast("double").alias("pop")
+    )
+    return store, fields
+
+
+def _expected(spark, store, fields, combine, fac_fn, k=10):
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(spark, store, TERMS).collect()
+    }
+    pops = {r["doc_id"]: r["pop"] for r in fields.collect()}
+    rescored = [
+        (d, combine(s, fac_fn(pops.get(d))))
+        for d, s in base.items()
+    ]
+    rescored.sort(key=lambda t: (-t[1], t[0]))
+    return [(d, round(s, 9)) for d, s in rescored[:k]]
+
+
+def test_multiply_log1p(spark, setup):
+    store, fields = setup
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in function_score_topk(
+            spark, store, TERMS, fields,
+            field_value_factor("pop", factor=2.0, modifier="log1p"),
+        ).collect()
+    ]
+    want = _expected(
+        spark, store, fields, lambda s, f: s * f,
+        lambda p: math.log1p(2.0 * p),
+    )
+    assert got == want
+
+
+def test_sum_mode_and_missing_default(spark, setup):
+    store, fields = setup
+    # drop half the docs from fields: missing docs take factor=coalesce→1
+    half = fields.where(F.col("doc_id") % 2 == 0)
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in function_score_topk(
+            spark, store, TERMS, half,
+            field_value_factor("pop", modifier="sqrt"),
+            boost_mode="sum",
+        ).collect()
+    ]
+    want = _expected(
+        spark, store, half, lambda s, f: s + f,
+        lambda p: 1.0 if p is None else math.sqrt(p),
+    )
+    assert got == want
+
+
+def test_gauss_decay_formula(spark):
+    df = spark.createDataFrame(
+        [(float(x),) for x in (0, 5, 10, 20, 50)], "x double"
+    )
+    got = {
+        r["x"]: r["g"]
+        for r in df.select(
+            "x", gauss_decay("x", origin=10.0, scale=20.0, decay=0.5,
+                             offset=2.0).alias("g")
+        ).collect()
+    }
+    sigma2 = -(20.0**2) / (2.0 * math.log(0.5))
+    for x, g in got.items():
+        dist = max(0.0, abs(x - 10.0) - 2.0)
+        assert g == pytest.approx(math.exp(-(dist * dist) / (2 * sigma2)))
+
+
+def test_bad_args(spark, setup):
+    store, fields = setup
+    with pytest.raises(ValueError, match="modifier"):
+        field_value_factor("pop", modifier="cube")
+    with pytest.raises(ValueError, match="boost_mode"):
+        function_score_topk(
+            spark, store, TERMS, fields,
+            field_value_factor("pop"), boost_mode="max",
+        )
+    with pytest.raises(ValueError, match="decay"):
+        gauss_decay("x", 0.0, 1.0, decay=1.5)
