@@ -14,6 +14,7 @@ Usage: python scripts/scaling_bench.py [n_turns] [n_small] [n_big]
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -90,7 +91,16 @@ def worker(cores: int, n_turns: int, data_dir: str, repeats: int = 2) -> None:
     from inverted_index_spark.operators.search import Searcher
     from inverted_index_spark.sources.store import SegmentStore
 
-    spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores)
+    # single-JVM local mode: driver memory IS the whole heap. The
+    # library default 16g is sized for sf0.01 tests; a multi-million
+    # turn scaling corpus needs the bench-sized heap (see bench.py) or
+    # the 32-thread leg GC-thrashes and the ratio measures the GC.
+    spark = get_spark(
+        f"scaling-{cores}", cores=cores, shuffle_partitions=cores,
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "48g")
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix=f"ii_scale_{cores}_")
     # identical STORED input at both levels (north-rule input is a
@@ -282,6 +292,9 @@ def main(
         for j in range(i + 1, len(levels))
         if levels[j] == 4 * levels[i]
     ]
+    hw_lines = ", ".join(
+        f"{cal[hi]/cal[lo]:.2f}x from {lo}→{hi} procs" for lo, hi in pairs
+    )
     cal_rows = "\n".join(
         f"| {n} | {v:,} | {v / cal[levels[0]]:.2f}x |" for n, v in cal.items()
     )
@@ -297,9 +310,11 @@ def main(
 North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
 executors, evidenced in-sandbox by the identical build+query job at
 two parallelism levels on the same stored input ({n_turns:,}-turn
-deterministic synthetic transcript corpus, seed=42). Both N→4N pairs
-available on this host are reported: local[2]→local[8] and
-local[8]→local[32].
+deterministic synthetic transcript corpus, seed=42). N→4N pairs
+measured in this run: {", ".join(f"local[{lo}]→local[{hi}]" for lo, hi in pairs)}.
+(Pairs measured in earlier runs remain on record under the history
+marker below — each run's ratios are only comparable within its own
+host-weather window and corpus size.)
 
 ## Host compute calibration (run first, same session)
 
@@ -312,10 +327,9 @@ reports 32 independent cores, but throughput saturates well below
 |---|---|---|
 {cal_rows}
 
-So the hardware itself delivers {cal[8]/cal[2]:.2f}x from 2→8 procs and only
-{cal[32]/cal[8]:.2f}x from 8→32 — an efficiency ceiling of {cal[32]/cal[8]/4:.2f} at 8→32 for ANY
-software, including an embarrassingly parallel burn with zero
-synchronization. The tables below therefore report raw efficiency
+So the hardware itself delivers {hw_lines} — a hardware efficiency
+ceiling below 1.0 for ANY software, including an embarrassingly
+parallel burn with zero synchronization. The tables below therefore report raw efficiency
 (ratio/4) AND efficiency relative to delivered hardware (ratio/hw);
 the normalized number is the one that predicts behavior on a real
 cluster whose 4N executors actually have 4x the cycles (executors on
