@@ -178,6 +178,21 @@ def main(argv: list[str] | None = None) -> int:
     s_decon.add_argument("bench_parquet")
     s_decon.add_argument("--n", type=int, default=3, help="n-gram width")
     s_decon.add_argument("--out", help="write the clean corpus here (else just count)")
+    s_perc = sub.add_parser(
+        "percolate",
+        help="reverse search: match a parquet corpus against stored queries",
+    )
+    s_perc.add_argument("docs_parquet")
+    s_perc.add_argument(
+        "--query",
+        action="append",
+        default=[],
+        metavar="ID=QUERY",
+        help="stored query (grammar string), repeatable",
+    )
+    s_perc.add_argument("--id-col", default="doc_id")
+    s_perc.add_argument("--text-col", default="text")
+    s_perc.add_argument("--out", help="write (doc_id, query_id) parquet here")
     s_kmeans = sub.add_parser(
         "kmeans", help="distributed Lloyd k-means over an embedding column"
     )
@@ -190,7 +205,7 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     # corpus-level commands take parquet paths, not a segment store
-    if args.cmd in ("pii-scrub", "decontaminate", "kmeans"):
+    if args.cmd in ("pii-scrub", "decontaminate", "kmeans", "percolate"):
         from pyspark.sql import functions as F
 
         from inverted_index_spark import get_spark
@@ -230,6 +245,32 @@ def main(argv: list[str] | None = None) -> int:
             if args.out:
                 decontaminate(train, bench, n=args.n).write.parquet(args.out)
                 print(f"clean corpus -> {args.out}")
+            return 0
+        if args.cmd == "percolate":
+            from inverted_index_spark.operators.percolate import percolate
+
+            if not args.query:
+                p.error("percolate requires at least one --query ID=QUERY")
+            stored = {}
+            for q in args.query:
+                qid, _, expr = q.partition("=")
+                if not expr:
+                    p.error(f"--query needs ID=QUERY form, got {q!r}")
+                stored[qid] = expr
+            docs = spark.read.parquet(args.docs_parquet)
+            out = percolate(
+                spark, docs, stored, text_col=args.text_col, id_col=args.id_col
+            )
+            if args.out:
+                out.write.parquet(args.out)
+                print(f"matches -> {args.out}")
+            for row in (
+                out.groupBy("query_id")
+                .agg(F.count("*").alias("n_docs"))
+                .orderBy("query_id")
+                .collect()
+            ):
+                print(f"{row['query_id']}\t{row['n_docs']} docs")
             return 0
         from inverted_index_spark.operators.kmeans import kmeans_clusters
 
