@@ -102,3 +102,177 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.col(id_col).cast("long").alias("doc_id"),
         F.md5(F.concat_ws(" ", tokens_col(F.col(text_col)))).alias("fp"),
     )
+
+
+# ------------------------------------------------- Gopher repetition rules ---
+
+
+def _gram_rows(d: DataFrame, n: int) -> DataFrame:
+    """Explode word n-grams: (doc_id, gram, chars) where chars counts
+    the gram's word characters (spaces excluded) — the Gopher
+    'fraction of characters' denominators count word chars."""
+    toks = F.col("toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id", F.explode(grams).alias("gram")
+    ).withColumn("chars", F.length("gram") - F.lit(n - 1))
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple = (2, 3),
+    dup_ns: tuple = (5,),
+) -> DataFrame:
+    """Gopher-style repetition/quality signals (Rae et al. 2021,
+    Table A1; the datatrove/NeMo-Curator formulation for duplicated
+    n-grams): per doc —
+
+      n_words, n_lines
+      dup_line_frac        fraction of lines that repeat an earlier line
+      top_{n}gram_char_frac   chars of the SINGLE most frequent word
+                              n-gram (count x gram word-chars) / word chars
+      dup_{n}gram_char_frac   chars inside n-grams occurring >1 time
+                              (sum count x word-chars over such grams)
+                              / word chars — the standard
+                              overlap-ignoring approximation
+      symbol_word_ratio    '#' + '...' + unicode-ellipsis occurrences / words
+      alpha_word_frac      fraction of words containing a letter
+
+    Line stats are in-row set expressions; n-gram modes explode to
+    (doc, gram) rows and aggregate — one shuffle keyed by doc_id, no
+    quadratic in-row scan, so 100k-word docs cost O(words) not
+    O(words^2). Word = ``\\w+`` run (the module contract).
+    """
+    text = F.col(text_col)
+    n_words = F.size("toks")
+    word_chars = F.aggregate(
+        "toks", F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    n_alpha = F.size(F.filter("toks", lambda x: x.rlike("[a-z]")))
+
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens_col(text).alias("toks"),
+        F.split(text, "\n").alias("lines"),
+        F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\.|…"), 0))
+        .cast("double")
+        .alias("_n_sym"),
+    ).select(
+        "doc_id",
+        "toks",
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        F.size("lines").cast("long").alias("n_lines"),
+        (
+            (F.size("lines") - F.size(F.array_distinct("lines")))
+            .cast("double")
+            / F.size("lines")
+        ).alias("dup_line_frac"),
+        F.when(n_words > 0, F.col("_n_sym") / n_words)
+        .otherwise(F.lit(0.0))
+        .alias("symbol_word_ratio"),
+        F.when(n_words > 0, n_alpha.cast("double") / n_words)
+        .otherwise(F.lit(0.0))
+        .alias("alpha_word_frac"),
+    )
+    d = d.persist()
+
+    out = d.select(
+        "doc_id",
+        "n_words",
+        "n_lines",
+        "dup_line_frac",
+        "symbol_word_ratio",
+        "alpha_word_frac",
+    )
+    for n in top_ns:
+        agg = (
+            _gram_rows(d, n)
+            .groupBy("doc_id", "gram")
+            .agg(F.count("*").alias("cnt"), F.first("chars").alias("chars"))
+            .groupBy("doc_id")
+            .agg(F.max(F.col("cnt") * F.col("chars")).alias("_top"))
+        )
+        out = (
+            out.join(agg, "doc_id", "left")
+            .join(d.select("doc_id", "word_chars"), "doc_id")
+            .withColumn(
+                f"top_{n}gram_char_frac",
+                F.when(
+                    F.col("word_chars") > 0,
+                    F.coalesce(F.col("_top"), F.lit(0)).cast("double")
+                    / F.col("word_chars"),
+                ).otherwise(F.lit(0.0)),
+            )
+            .drop("_top", "word_chars")
+        )
+    for n in dup_ns:
+        agg = (
+            _gram_rows(d, n)
+            .groupBy("doc_id", "gram")
+            .agg(F.count("*").alias("cnt"), F.first("chars").alias("chars"))
+            .where(F.col("cnt") > 1)
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("cnt") * F.col("chars")).alias("_dup"))
+        )
+        out = (
+            out.join(agg, "doc_id", "left")
+            .join(d.select("doc_id", "word_chars"), "doc_id")
+            .withColumn(
+                f"dup_{n}gram_char_frac",
+                F.when(
+                    F.col("word_chars") > 0,
+                    F.coalesce(F.col("_dup"), F.lit(0)).cast("double")
+                    / F.col("word_chars"),
+                ).otherwise(F.lit(0.0)),
+            )
+            .drop("_dup", "word_chars")
+        )
+    return out
+
+
+GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "max_symbol_word_ratio": 0.1,
+    "min_alpha_word_frac": 0.8,
+    "max_dup_line_frac": 0.3,
+    "max_top_2gram_char_frac": 0.2,
+    "max_top_3gram_char_frac": 0.18,
+    "max_dup_5gram_char_frac": 0.15,
+}
+
+
+def gopher_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **overrides,
+) -> DataFrame:
+    """(doc_id, keep, <signals>) — the Gopher curation verdict per doc
+    under ``GOPHER_DEFAULTS`` (override any threshold by keyword).
+    Filter with ``.where('keep')``; the signals stay for audit."""
+    th = {**GOPHER_DEFAULTS, **overrides}
+    unknown = set(overrides) - set(GOPHER_DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown gopher thresholds: {sorted(unknown)}")
+    s = repetition_stats(docs, id_col, text_col)
+    keep = (
+        (F.col("n_words") >= th["min_words"])
+        & (F.col("n_words") <= th["max_words"])
+        & (F.col("symbol_word_ratio") <= th["max_symbol_word_ratio"])
+        & (F.col("alpha_word_frac") >= th["min_alpha_word_frac"])
+        & (F.col("dup_line_frac") <= th["max_dup_line_frac"])
+        & (F.col("top_2gram_char_frac") <= th["max_top_2gram_char_frac"])
+        & (F.col("top_3gram_char_frac") <= th["max_top_3gram_char_frac"])
+        & (F.col("dup_5gram_char_frac") <= th["max_dup_5gram_char_frac"])
+    )
+    return s.select("doc_id", keep.alias("keep"), *[c for c in s.columns if c != "doc_id"])
