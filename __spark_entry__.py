@@ -155,6 +155,26 @@ def _q_lang_id(spark, sf):
     return _ts.lang_id(_docs(spark, sf)).orderBy("doc_id")
 
 
+def _q_gopher(spark, sf):
+    """Round-5: Gopher repetition/quality rules (Rae et al. 2021,
+    Table A1) — dup-line / top-ngram / dup-ngram char fractions,
+    symbol ratio, alpha fraction, plus the keep verdict at the
+    standard thresholds. keep is computed on UNROUNDED signals."""
+    g = _ts.gopher_filter(_docs(spark, sf))
+    return g.select(
+        "doc_id",
+        "keep",
+        F.col("n_words").cast("long").alias("n_words"),
+        "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+        F.round("top_3gram_char_frac", 6).alias("top_3gram_char_frac"),
+        F.round("dup_5gram_char_frac", 6).alias("dup_5gram_char_frac"),
+    ).orderBy("doc_id")
+
+
 def _q_embed_cosine(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     qv = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
@@ -1206,6 +1226,30 @@ def _q_wildcard_values(spark, sf):
     return evaluate(spark, _store_for(spark, sf), parse_query("w?ndow OR sp*rk"))
 
 
+PERC_QUERIES = {
+    "qa": "spark window",
+    "qb": "merge OR scan",
+    "qc": "table -window",
+    "qd": '"table hash"',
+}
+
+
+def _q_percolate(spark, sf):
+    """Round-5: ES percolator (reverse search) — four stored queries
+    (AND / OR / MUST_NOT / exact phrase) matched against every doc in
+    ONE prune+verify plan; plus an msm=2 node-tree query."""
+    from inverted_index_spark.operators.boolean import Or, Term
+    from inverted_index_spark.operators.percolate import percolate
+
+    queries = dict(PERC_QUERIES)
+    queries["qe"] = Or(
+        Term("spark"), Term("merge"), Term("scan"), minimum_should_match=2
+    )
+    return percolate(spark, _docs(spark, sf), queries).orderBy(
+        "doc_id", "query_id"
+    )
+
+
 def _q_rescore_topk(spark, sf):
     """Round-5: ES rescore — bag-of-words BM25 ranks a top-100 window,
     the exact phrase re-ranks only that window (canonical terms ==
@@ -1369,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_cardinality": _q_facet_cardinality,
         "dismax_topk": _q_dismax_topk,
         "wildcard_values": _q_wildcard_values,
+        "percolate_queries": _q_percolate,
         "unigram_loglik": _q_unigram_loglik,
         "complete_terms": _q_complete_terms,
         "rescore_topk": _q_rescore_topk,
@@ -1383,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
+        "gopher_quality": _q_gopher,
         "embed_cosine": _q_embed_cosine,
         "embed_near_pairs": _q_embed_near_pairs,
         "embed_knn": _q_embed_knn,
@@ -2003,6 +2049,50 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
             "ELSE 'fr' END AS pred_lang FROM s ORDER BY doc_id"
         ),
+        "gopher_quality": (
+            "WITH t AS (SELECT doc_id, text, "
+            "regexp_extract_all(lower(text), '\\w+') AS toks, "
+            "string_split(text, chr(10)) AS lines FROM documents), "
+            "base AS (SELECT doc_id, len(toks)::BIGINT AS n_words, "
+            "length(array_to_string(toks, ''))::DOUBLE AS word_chars, "
+            "len(lines)::BIGINT AS n_lines, "
+            "(len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines) AS dup_line_frac, "
+            "CASE WHEN len(toks) > 0 THEN len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::DOUBLE / len(toks) ELSE 0 END AS symbol_word_ratio, "
+            "CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(toks) ELSE 0 END AS alpha_word_frac "
+            "FROM t), "
+            "g2 AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) - 1 AS chars FROM ("
+            "SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), "
+            "i -> array_to_string(toks[i:i+1], ' '))) AS gram FROM t WHERE len(toks) >= 2) "
+            "GROUP BY doc_id, gram), "
+            "g3 AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) - 2 AS chars FROM ("
+            "SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2), "
+            "i -> array_to_string(toks[i:i+2], ' '))) AS gram FROM t WHERE len(toks) >= 3) "
+            "GROUP BY doc_id, gram), "
+            "g5 AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) - 4 AS chars FROM ("
+            "SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4), "
+            "i -> array_to_string(toks[i:i+4], ' '))) AS gram FROM t WHERE len(toks) >= 5) "
+            "GROUP BY doc_id, gram), "
+            "top2 AS (SELECT doc_id, max(cnt * chars) AS v FROM g2 GROUP BY doc_id), "
+            "top3 AS (SELECT doc_id, max(cnt * chars) AS v FROM g3 GROUP BY doc_id), "
+            "dup5 AS (SELECT doc_id, sum(cnt * chars) AS v FROM g5 WHERE cnt > 1 GROUP BY doc_id), "
+            "f AS (SELECT b.*, "
+            "CASE WHEN word_chars > 0 THEN coalesce(top2.v, 0)::DOUBLE / word_chars ELSE 0 END AS t2, "
+            "CASE WHEN word_chars > 0 THEN coalesce(top3.v, 0)::DOUBLE / word_chars ELSE 0 END AS t3, "
+            "CASE WHEN word_chars > 0 THEN coalesce(dup5.v, 0)::DOUBLE / word_chars ELSE 0 END AS d5 "
+            "FROM base b LEFT JOIN top2 USING (doc_id) "
+            "LEFT JOIN top3 USING (doc_id) LEFT JOIN dup5 USING (doc_id)) "
+            "SELECT doc_id, (n_words >= 50 AND n_words <= 100000 "
+            "AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.8 "
+            "AND dup_line_frac <= 0.3 AND t2 <= 0.2 AND t3 <= 0.18 "
+            "AND d5 <= 0.15) AS keep, n_words, n_lines, "
+            "round(dup_line_frac, 6) AS dup_line_frac, "
+            "round(symbol_word_ratio, 6) AS symbol_word_ratio, "
+            "round(alpha_word_frac, 6) AS alpha_word_frac, "
+            "round(t2, 6) AS top_2gram_char_frac, "
+            "round(t3, 6) AS top_3gram_char_frac, "
+            "round(d5, 6) AS dup_5gram_char_frac "
+            "FROM f ORDER BY doc_id"
+        ),
         "embed_cosine": (
             f"SELECT vec_id, round(raw_cos, 6) AS cosine FROM ({_COS}) ORDER BY vec_id"
         ),
@@ -2469,6 +2559,26 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             f"SELECT DISTINCT doc_id FROM ({_TOK}) "
             "WHERE regexp_full_match(term, 'w.ndow') "
             "OR regexp_full_match(term, 'sp.*rk') ORDER BY doc_id"
+        ),
+        "percolate_queries": (
+            f"WITH tok AS (SELECT DISTINCT doc_id, term FROM ({_TOK})) "
+            "SELECT doc_id, query_id FROM ("
+            "SELECT doc_id, 'qa' AS query_id FROM tok "
+            "WHERE term IN ('spark','window') "
+            "GROUP BY doc_id HAVING count(DISTINCT term) = 2 "
+            "UNION ALL "
+            "SELECT DISTINCT doc_id, 'qb' FROM tok "
+            "WHERE term IN ('merge','scan') "
+            "UNION ALL "
+            "SELECT doc_id, 'qc' FROM tok WHERE term = 'table' "
+            "AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'window') "
+            "UNION ALL "
+            f"SELECT doc_id, 'qd' FROM ({_PHRASE_SQL}) "
+            "UNION ALL "
+            "SELECT doc_id, 'qe' FROM tok "
+            "WHERE term IN ('spark','merge','scan') "
+            "GROUP BY doc_id HAVING count(DISTINCT term) >= 2"
+            ") ORDER BY doc_id, query_id"
         ),
         "rescore_topk": (
             "WITH orig AS (SELECT doc_id, raw_score FROM ("
