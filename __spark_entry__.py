@@ -155,6 +155,36 @@ def _q_lang_id(spark, sf):
     return _ts.lang_id(_docs(spark, sf)).orderBy("doc_id")
 
 
+def _curation_docs(spark, sf):
+    """Deterministic multi-line derivation of the documents table:
+    the word-soup fixtures carry no newlines or punctuation, so both
+    engines replace ' merge ' with '.\\n' and append a final '.' —
+    literal non-overlapping left-to-right replace on both sides."""
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", " merge ", ".\n"), F.lit(".")
+        ).alias("text"),
+    )
+
+
+def _q_c4_clean(spark, sf):
+    """Round-5: C4 line-level cleaning rules (Raffel et al. 2020
+    §2.2) — terminal punctuation, min words per line, marker lines,
+    doc markers, min sentences."""
+    from inverted_index_spark.operators.curation import c4_clean
+
+    return c4_clean(_curation_docs(spark, sf)).orderBy("doc_id")
+
+
+def _q_dedup_lines(spark, sf):
+    """Round-5: C4 cross-corpus repeated-line removal — every
+    normalized line keeps only its global first occurrence."""
+    from inverted_index_spark.operators.curation import dedup_lines
+
+    return dedup_lines(_curation_docs(spark, sf)).orderBy("doc_id")
+
+
 def _q_gopher(spark, sf):
     """Round-5: Gopher repetition/quality rules (Rae et al. 2021,
     Table A1) — dup-line / top-ngram / dup-ngram char fractions,
@@ -1429,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "gopher_quality": _q_gopher,
+        "c4_clean": _q_c4_clean,
+        "dedup_lines": _q_dedup_lines,
         "embed_cosine": _q_embed_cosine,
         "embed_near_pairs": _q_embed_near_pairs,
         "embed_knn": _q_embed_knn,
@@ -2092,6 +2124,54 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "round(t3, 6) AS top_3gram_char_frac, "
             "round(d5, 6) AS dup_5gram_char_frac "
             "FROM f ORDER BY doc_id"
+        ),
+        "c4_clean": (
+            "WITH src AS (SELECT doc_id, "
+            "replace(text, ' merge ', '.' || chr(10)) || '.' AS text "
+            "FROM documents), "
+            "t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines, "
+            "list_filter(string_split(text, chr(10)), l -> "
+            "regexp_matches(l, '[.!?\"]\\s*$') "
+            "AND len(regexp_extract_all(lower(l), '\\w+')) >= 5 "
+            "AND NOT contains(lower(l), 'javascript')) AS kept FROM src), "
+            "u AS (SELECT doc_id, text, lines, kept, "
+            "array_to_string(kept, chr(10)) AS clean_text FROM t) "
+            "SELECT doc_id, (NOT contains(lower(text), 'lorem ipsum') "
+            "AND NOT contains(lower(text), '{') "
+            "AND len(regexp_extract_all(clean_text, '[.!?]')) >= 3) AS keep, "
+            "clean_text, len(lines)::BIGINT AS n_lines, "
+            "len(kept)::BIGINT AS n_kept, "
+            "len(regexp_extract_all(clean_text, '[.!?]'))::BIGINT AS n_sentences "
+            "FROM u ORDER BY doc_id"
+        ),
+        "dedup_lines": (
+            "WITH src AS (SELECT doc_id, "
+            "replace(text, ' merge ', '.' || chr(10)) || '.' AS text "
+            "FROM documents), "
+            "t AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM src), "
+            "ex AS (SELECT doc_id, s['i'] AS line_idx, s['line'] AS line FROM ("
+            "SELECT doc_id, unnest(list_transform(generate_series(1, len(lines)), "
+            "i -> {'i': i, 'line': lines[i]})) AS s FROM t)), "
+            "norm AS (SELECT doc_id, line_idx, line, "
+            "CASE WHEN len(regexp_extract_all(lower(line), '\\w+')) >= 5 THEN "
+            "array_to_string(regexp_extract_all(lower(line), '\\w+'), ' ') END AS h "
+            "FROM ex), "
+            "firsts AS (SELECT h, doc_id, line_idx FROM ("
+            "SELECT h, doc_id, line_idx, row_number() OVER "
+            "(PARTITION BY h ORDER BY doc_id, line_idx) AS rn "
+            "FROM norm WHERE h IS NOT NULL) WHERE rn = 1), "
+            "surv AS (SELECT n.doc_id, n.line_idx, n.line FROM norm n "
+            "LEFT JOIN firsts f ON n.h = f.h AND n.doc_id = f.doc_id "
+            "AND n.line_idx = f.line_idx "
+            "WHERE n.h IS NULL OR f.h IS NOT NULL), "
+            "reb AS (SELECT doc_id, "
+            "string_agg(line, chr(10) ORDER BY line_idx) AS clean_text, "
+            "count(*) AS n_kept FROM surv GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, "
+            "len(string_split(text, chr(10)))::BIGINT AS n_lines FROM src) "
+            "SELECT t.doc_id, coalesce(clean_text, '') AS clean_text, n_lines, "
+            "(n_lines - coalesce(n_kept, 0))::BIGINT AS n_removed "
+            "FROM tot t LEFT JOIN reb USING (doc_id) ORDER BY doc_id"
         ),
         "embed_cosine": (
             f"SELECT vec_id, round(raw_cos, 6) AS cosine FROM ({_COS}) ORDER BY vec_id"
