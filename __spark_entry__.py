@@ -185,6 +185,22 @@ def _q_dedup_lines(spark, sf):
     return dedup_lines(_curation_docs(spark, sf)).orderBy("doc_id")
 
 
+MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _q_mix_corpus(spark, sf):
+    """Round-5: training-mix sampler — per-source thresholds derived
+    from counts + target weights realize the target proportions; the
+    SQL twin recomputes the identical double-precision thresholds."""
+    from inverted_index_spark.operators.mixing import mix_corpus
+
+    return (
+        mix_corpus(_docs(spark, sf), MIX_TARGETS)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def _q_gopher(spark, sf):
     """Round-5: Gopher repetition/quality rules (Rae et al. 2021,
     Table A1) — dup-line / top-ngram / dup-ngram char fractions,
@@ -1461,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher,
         "c4_clean": _q_c4_clean,
         "dedup_lines": _q_dedup_lines,
+        "mix_corpus": _q_mix_corpus,
         "embed_cosine": _q_embed_cosine,
         "embed_near_pairs": _q_embed_near_pairs,
         "embed_knn": _q_embed_knn,
@@ -2172,6 +2189,20 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "SELECT t.doc_id, coalesce(clean_text, '') AS clean_text, n_lines, "
             "(n_lines - coalesce(n_kept, 0))::BIGINT AS n_removed "
             "FROM tot t LEFT JOIN reb USING (doc_id) ORDER BY doc_id"
+        ),
+        "mix_corpus": (
+            "WITH cnt AS (SELECT source, count(*)::DOUBLE AS n FROM documents "
+            "WHERE source IN ('src0', 'src1', 'src2') GROUP BY source), "
+            "tgt AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), "
+            "('src2', 0.2)) t(source, w)), "
+            "j AS (SELECT c.source, n, w FROM cnt c JOIN tgt USING (source)), "
+            "tt AS (SELECT min(n / w) AS t FROM j), "
+            "rates AS (SELECT source, "
+            "least(trunc(((w * t) / n) * 2147483648)::BIGINT, 2147483648) AS thr "
+            "FROM j, tt) "
+            "SELECT d.doc_id, d.source FROM documents d JOIN rates r USING (source) "
+            "WHERE (md5_number_upper('42:' || d.doc_id::VARCHAR)::HUGEINT "
+            "% 2147483648)::BIGINT < thr ORDER BY doc_id"
         ),
         "embed_cosine": (
             f"SELECT vec_id, round(raw_cos, 6) AS cosine FROM ({_COS}) ORDER BY vec_id"
