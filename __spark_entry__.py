@@ -550,6 +550,50 @@ def _q_stream_dedup(spark, sf):
     return spark.table(name).select("fingerprint").distinct().orderBy("fingerprint")
 
 
+def _q_stream_percolate(spark, sf):
+    """Round-5: streaming percolation (alerting) run to completion —
+    every micro-batch percolates against the stored registry via
+    foreachBatch; the union of batch matches over the whole table
+    equals batch percolation, so the twin is percolate_queries' SQL."""
+    import os
+    import shutil
+    import uuid
+
+    from inverted_index_spark.operators.boolean import Or, Term
+    from inverted_index_spark.streaming.percolate import percolate_stream
+
+    src = f"{sf}/documents.parquet"
+    if not os.path.isdir(src):
+        staged = tempfile.mkdtemp(prefix="ii_stream_src_")
+        shutil.copy(src, os.path.join(staged, "documents.parquet"))
+        src = staged
+    schema = spark.read.parquet(src).schema
+    queries = dict(PERC_QUERIES)
+    queries["qe"] = Or(
+        Term("spark"), Term("merge"), Term("scan"), minimum_should_match=2
+    )
+    rows: list[tuple] = []
+
+    def on_matches(m, _bid):
+        rows.extend((r["doc_id"], r["query_id"]) for r in m.collect())
+
+    q = (
+        percolate_stream(
+            spark.readStream.schema(schema).parquet(src), queries, on_matches
+        )
+        .queryName(f"sperc_{uuid.uuid4().hex[:8]}")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ii_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise RuntimeError("stream percolate did not finish in 180s")
+    return spark.createDataFrame(
+        rows, "doc_id long, query_id string"
+    ).orderBy("doc_id", "query_id")
+
+
 def _q_fielded_query(spark, sf):
     """Round-4: Lucene fielded search — `lang:en` reads the lang
     FIELD INDEX (a tiny separate store), composed freely with text
@@ -1506,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": _q_hybrid_topk,
         "fielded_query": _q_fielded_query,
         "stream_dedup_fingerprints": _q_stream_dedup,
+        "stream_percolate": _q_stream_percolate,
         "term_snippets": _q_term_snippets,
         "top_terms": _q_top_terms,
         "ii_read_values_regex": _q_read_values_regex,
@@ -1920,7 +1965,7 @@ from inverted_index_spark.functions.pii import (  # noqa: E402
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "ii_read_terms": (
             f"SELECT DISTINCT term FROM ({_TOK}) ORDER BY term"
         ),
@@ -2720,3 +2765,7 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "CROSS JOIN tot t GROUP BY tf.doc_id, dl.dl ORDER BY tf.doc_id"
         ),
     }
+    # streamed percolation over the whole table equals batch
+    # percolation — the SQL twin is identical by construction
+    oracles["stream_percolate"] = oracles["percolate_queries"]
+    return oracles
