@@ -1549,12 +1549,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": _q_more_like_this,
         "hybrid_topk": _q_hybrid_topk,
         "fielded_query": _q_fielded_query,
-        "stream_dedup_fingerprints": _q_stream_dedup,
-        "stream_percolate": _q_stream_percolate,
         "term_snippets": _q_term_snippets,
         "top_terms": _q_top_terms,
         "ii_read_values_regex": _q_read_values_regex,
         "ii_read_terms_suffix": _q_read_terms_suffix,
+        # slowest last: the streaming-to-completion entries must never
+        # crowd cheap entries out of a time-budgeted correctness pass
+        "stream_dedup_fingerprints": _q_stream_dedup,
+        "stream_percolate": _q_stream_percolate,
     }
 
 

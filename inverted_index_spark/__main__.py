@@ -193,6 +193,30 @@ def main(argv: list[str] | None = None) -> int:
     s_perc.add_argument("--id-col", default="doc_id")
     s_perc.add_argument("--text-col", default="text")
     s_perc.add_argument("--out", help="write (doc_id, query_id) parquet here")
+    s_qual = sub.add_parser(
+        "quality",
+        help="Gopher + C4 quality verdicts over a parquet corpus",
+    )
+    s_qual.add_argument("docs_parquet")
+    s_qual.add_argument("--id-col", default="doc_id")
+    s_qual.add_argument("--text-col", default="text")
+    s_qual.add_argument(
+        "--out", help="write per-doc signals (gopher keep + c4 keep) here"
+    )
+    s_mix = sub.add_parser(
+        "mix", help="downsample a corpus to target per-source proportions"
+    )
+    s_mix.add_argument("docs_parquet")
+    s_mix.add_argument(
+        "--target",
+        action="append",
+        default=[],
+        metavar="SOURCE=WEIGHT",
+        help="target mixing weight (repeatable; ratios matter, not sum)",
+    )
+    s_mix.add_argument("--strata-col", default="source")
+    s_mix.add_argument("--id-col", default="doc_id")
+    s_mix.add_argument("--out", help="write the mixed corpus here")
     s_kmeans = sub.add_parser(
         "kmeans", help="distributed Lloyd k-means over an embedding column"
     )
@@ -205,7 +229,9 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     # corpus-level commands take parquet paths, not a segment store
-    if args.cmd in ("pii-scrub", "decontaminate", "kmeans", "percolate"):
+    if args.cmd in (
+        "pii-scrub", "decontaminate", "kmeans", "percolate", "quality", "mix",
+    ):
         from pyspark.sql import functions as F
 
         from inverted_index_spark import get_spark
@@ -271,6 +297,61 @@ def main(argv: list[str] | None = None) -> int:
                 .collect()
             ):
                 print(f"{row['query_id']}\t{row['n_docs']} docs")
+            return 0
+        if args.cmd == "quality":
+            from inverted_index_spark.functions.textstats import gopher_filter
+            from inverted_index_spark.operators.curation import c4_clean
+
+            docs = spark.read.parquet(args.docs_parquet)
+            g = gopher_filter(docs, args.id_col, args.text_col).select(
+                "doc_id", F.col("keep").alias("gopher_keep")
+            )
+            c = c4_clean(docs, args.id_col, args.text_col).select(
+                "doc_id", F.col("keep").alias("c4_keep")
+            )
+            both = g.join(c, "doc_id")
+            if args.out:
+                both.write.parquet(args.out)
+                print(f"verdicts -> {args.out}")
+            agg = both.agg(
+                F.count("*").alias("docs"),
+                F.sum(F.col("gopher_keep").cast("long")).alias("gopher"),
+                F.sum(F.col("c4_keep").cast("long")).alias("c4"),
+                F.sum(
+                    (F.col("gopher_keep") & F.col("c4_keep")).cast("long")
+                ).alias("both"),
+            ).collect()[0]
+            print(
+                f"{agg['docs']} docs: gopher keeps {agg['gopher']}, "
+                f"c4 keeps {agg['c4']}, both keep {agg['both']}"
+            )
+            return 0
+        if args.cmd == "mix":
+            from inverted_index_spark.operators.mixing import mix_corpus
+
+            if not args.target:
+                p.error("mix requires at least one --target SOURCE=WEIGHT")
+            targets = {}
+            for t in args.target:
+                src, _, w = t.partition("=")
+                try:
+                    targets[src] = float(w)
+                except ValueError:
+                    p.error(f"--target needs SOURCE=WEIGHT form, got {t!r}")
+            docs = spark.read.parquet(args.docs_parquet)
+            mixed = mix_corpus(
+                docs, targets, strata_col=args.strata_col, id_col=args.id_col
+            )
+            if args.out:
+                mixed.write.parquet(args.out)
+                print(f"mixed corpus -> {args.out}")
+            for row in (
+                mixed.groupBy(args.strata_col)
+                .agg(F.count("*").alias("n"))
+                .orderBy(args.strata_col)
+                .collect()
+            ):
+                print(f"{row[args.strata_col]}\t{row['n']} docs")
             return 0
         from inverted_index_spark.operators.kmeans import kmeans_clusters
 
