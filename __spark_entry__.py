@@ -305,6 +305,46 @@ def _q_read_values_batch(spark, sf):
     return _searcher_for(spark, sf).read_values_batch(BATCH_READS)
 
 
+def _child_parent(spark, sf):
+    """The entry's join-field mapping: every document is a child of
+    its source (ES join-field re-expressed as a plain column)."""
+    return _docs(spark, sf).select(
+        "doc_id", F.col("source").alias("parent_id")
+    )
+
+
+def _q_has_child_topk(spark, sf):
+    """Round-5: ES has_child — parents ranked by the SUM of their
+    matching children's BM25 scores; one rollup keyed by parent."""
+    from inverted_index_spark.operators.parent_child import has_child_topk
+
+    t = has_child_topk(
+        spark,
+        _store_for(spark, sf),
+        Q_TERMS,
+        _child_parent(spark, sf),
+        k=10,
+        score_mode="sum",
+    )
+    return t.select(
+        "parent_id", F.round("score", 6).alias("score"), "n_children"
+    )
+
+
+def _q_child_inner_hits(spark, sf):
+    """Round-5: ES inner_hits — each matched parent's top-2 children
+    by score; a window over the match set only."""
+    from inverted_index_spark.operators.parent_child import child_inner_hits
+
+    h = child_inner_hits(
+        spark, _store_for(spark, sf), Q_TERMS, _child_parent(spark, sf),
+        n_per_parent=2,
+    )
+    return h.select(
+        "parent_id", "child_rank", "doc_id", F.round("score", 6).alias("score")
+    ).orderBy("parent_id", "child_rank")
+
+
 # pinned graded judgments for the rank-eval entry (doc ids exist at
 # every sf; 999999 never retrieved -> recall/ndcg denominators bite)
 RANK_JUDGE = {
@@ -1488,6 +1528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_batch": _q_bm25_topk_batch,
         "read_values_batch": _q_read_values_batch,
         "rank_eval_metrics": _q_rank_eval,
+        "has_child_topk": _q_has_child_topk,
+        "child_inner_hits": _q_child_inner_hits,
         # --- round-4's crowded-out block, promoted ---
         "terms_within_window": _q_terms_within_window,
         "ii_read_terms_prefix": _q_terms_prefix,
@@ -2333,6 +2375,26 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "coalesce(n_rel, 0.0)::BIGINT AS n_rel "
             "FROM uni u LEFT JOIN got USING (qid) LEFT JOIN nrel USING (qid) "
             "LEFT JOIN ideal USING (qid) ORDER BY u.qid"
+        ),
+        "has_child_topk": (
+            f"WITH s AS ({_BM25_CONTRIB}), "
+            "j AS (SELECT d.source AS parent_id, s.doc_id, s.raw_score "
+            "FROM s JOIN documents d USING (doc_id)), "
+            "g AS (SELECT parent_id, sum(raw_score) AS raw, "
+            "count(*)::BIGINT AS n_children FROM j GROUP BY parent_id) "
+            "SELECT parent_id, round(raw, 6) AS score, n_children FROM g "
+            "ORDER BY raw DESC, parent_id ASC LIMIT 10"
+        ),
+        "child_inner_hits": (
+            f"WITH s AS ({_BM25_CONTRIB}), "
+            "j AS (SELECT d.source AS parent_id, s.doc_id, s.raw_score "
+            "FROM s JOIN documents d USING (doc_id)), "
+            "r AS (SELECT parent_id, doc_id, raw_score, row_number() OVER "
+            "(PARTITION BY parent_id ORDER BY raw_score DESC, doc_id ASC) "
+            "AS rn FROM j) "
+            "SELECT parent_id, rn::INT AS child_rank, doc_id, "
+            "round(raw_score, 6) AS score FROM r WHERE rn <= 2 "
+            "ORDER BY parent_id, child_rank"
         ),
         "read_values_batch": (
             f"SELECT qid, doc_id FROM ({_READ_BATCH}) ORDER BY qid, doc_id"
