@@ -305,6 +305,25 @@ def _q_read_values_batch(spark, sf):
     return _searcher_for(spark, sf).read_values_batch(BATCH_READS)
 
 
+def _q_span_first(spark, sf):
+    """Round-5: Lucene SpanFirstQuery — the exact phrase must start
+    within the first 40 token positions."""
+    from inverted_index_spark.operators.spans import span_first
+
+    return span_first(spark, _store_for(spark, sf), PHRASE, 40)
+
+
+def _q_phrase_prefix(spark, sf):
+    """Round-5: ES match_phrase_prefix — exact phrase whose last slot
+    accepts any dictionary term with the prefix (expansion capped at
+    50 in dictionary order, the ES contract)."""
+    from inverted_index_spark.operators.phrase_prefix import match_phrase_prefix
+
+    return match_phrase_prefix(
+        spark, _store_for(spark, sf), [PHRASE[0]], "s", max_expansions=50
+    )
+
+
 def _child_parent(spark, sf):
     """The entry's join-field mapping: every document is a child of
     its source (ES join-field re-expressed as a plain column)."""
@@ -1601,6 +1620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fps,
         "winnow_pairs": _q_winnow_pairs,
         "phrase_match": _q_phrase_match,
+        "phrase_prefix_match": _q_phrase_prefix,
+        "span_first_match": _q_span_first,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
         "phrase_slop_bm25_topk": _q_phrase_slop_bm25_topk,
         "phrase_snippets": _q_phrase_snippets,
@@ -2429,6 +2450,26 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             f"(SELECT sum(len({_TOKS_SQL})) FROM documents)::BIGINT AS sum_dl"
         ),
         "phrase_match": _PHRASE_SQL,
+        "phrase_prefix_match": (
+            "WITH expl AS (SELECT list(term ORDER BY term) AS es FROM ("
+            f"SELECT DISTINCT term FROM (SELECT unnest({_TOKS_SQL}) AS term "
+            "FROM documents) WHERE term LIKE 's%' ORDER BY term LIMIT 50)), "
+            f"d AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents) "
+            "SELECT doc_id, n_matches FROM ("
+            "SELECT doc_id, len(list_filter("
+            "generate_series(1, greatest(len(t) - 1, 0)), "
+            f"i -> t[i] = '{PHRASE[0]}' AND list_contains(es, t[i+1])"
+            "))::BIGINT AS n_matches FROM d CROSS JOIN expl) "
+            "WHERE n_matches > 0 ORDER BY doc_id"
+        ),
+        "span_first_match": (
+            "SELECT doc_id, n_matches FROM (SELECT doc_id, "
+            "len(list_filter(generate_series(1, least(40, greatest(len(t) - 1, 0))), "
+            f"i -> t[i] = '{PHRASE[0]}' AND t[i+1] = '{PHRASE[1]}'"
+            "))::BIGINT AS n_matches FROM "
+            f"(SELECT doc_id, {_TOKS_SQL} AS t FROM documents)) "
+            "WHERE n_matches > 0 ORDER BY doc_id"
+        ),
         "phrase_snippets": (
             f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), "
             "m AS (SELECT doc_id, t, list_filter(generate_series(1, greatest(len(t) - 1, 0)), "
