@@ -324,6 +324,15 @@ def _q_phrase_prefix(spark, sf):
     )
 
 
+def _q_span_not(spark, sf):
+    """Round-5: Lucene SpanNotQuery — exact-phrase spans rejected when
+    'merge' occurs within 2 positions before the span start or 2
+    positions after the span end."""
+    from inverted_index_spark.operators.spans import span_not
+
+    return span_not(spark, _store_for(spark, sf), PHRASE, ["merge"], pre=2, post=2)
+
+
 def _child_parent(spark, sf):
     """The entry's join-field mapping: every document is a child of
     its source (ES join-field re-expressed as a plain column)."""
@@ -1622,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "phrase_prefix_match": _q_phrase_prefix,
         "span_first_match": _q_span_first,
+        "span_not_match": _q_span_not,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
         "phrase_slop_bm25_topk": _q_phrase_slop_bm25_topk,
         "phrase_snippets": _q_phrase_snippets,
@@ -2460,6 +2470,16 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "generate_series(1, greatest(len(t) - 1, 0)), "
             f"i -> t[i] = '{PHRASE[0]}' AND list_contains(es, t[i+1])"
             "))::BIGINT AS n_matches FROM d CROSS JOIN expl) "
+            "WHERE n_matches > 0 ORDER BY doc_id"
+        ),
+        "span_not_match": (
+            "SELECT doc_id, n_matches FROM (SELECT doc_id, "
+            "len(list_filter(generate_series(1, greatest(len(t) - 1, 0)), "
+            f"i -> t[i] = '{PHRASE[0]}' AND t[i+1] = '{PHRASE[1]}' "
+            "AND NOT list_contains("
+            "t[greatest(i-2,1):least(i+3,len(t))], 'merge')"
+            "))::BIGINT AS n_matches FROM "
+            f"(SELECT doc_id, {_TOKS_SQL} AS t FROM documents)) "
             "WHERE n_matches > 0 ORDER BY doc_id"
         ),
         "span_first_match": (

@@ -1,4 +1,5 @@
-"""Lucene span queries over the positional index: ``span_first``.
+"""Lucene span queries over the positional index: ``span_first`` and
+``span_not``.
 
 SpanFirstQuery(match, end): the span must START within the first
 ``end`` token positions of the document (position 0-based, start <
@@ -20,7 +21,7 @@ from pyspark.sql import functions as F
 from ..sources.store import SegmentStore
 from .positions import decoded_occurrences, read_positions
 
-__all__ = ["span_first"]
+__all__ = ["span_first", "span_not"]
 
 
 def span_first(
@@ -69,6 +70,84 @@ def span_first(
         .agg(F.countDistinct("off").alias("_n"))
         .where(F.col("_n") == k)
     )
+    return (
+        starts.groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+        .orderBy("doc_id")
+    )
+
+
+def span_not(
+    spark: SparkSession,
+    store: SegmentStore,
+    phrase: list[str],
+    exclude: list[str],
+    pre: int = 0,
+    post: int = 0,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_matches) — Lucene SpanNotQuery: exact-phrase spans
+    that do NOT have an occurrence of any ``exclude`` term within
+    ``pre`` positions before the span start or ``post`` positions
+    after the span end. A phrase span starting at ``s`` (covering
+    ``[s, s+k-1]``) is rejected iff some excluded occurrence ``p``
+    satisfies ``s - pre <= p <= s + k - 1 + post``.
+
+    One pruned positions scan covers both sides (the phrase terms and
+    the exclusion terms share the decode), then a left-anti range join
+    removes poisoned spans. Both sides are query-term-sized, so the
+    join input is bounded by posting-list length, never corpus size.
+    Duplicate occurrences from pre-compaction segment overlap are
+    harmless on both sides: the phrase kernel collapses them via
+    countDistinct(off) and the anti-join only tests existence.
+    """
+    if not phrase:
+        return spark.createDataFrame([], "doc_id long, n_matches long")
+    if pre < 0 or post < 0:
+        raise ValueError(f"pre/post must be >= 0, got {pre}/{post}")
+    k = len(phrase)
+    offs: dict[str, list[int]] = {}
+    for i, t in enumerate(phrase):
+        offs.setdefault(t, []).append(i)
+    ex_terms = sorted(set(exclude))
+    all_terms = sorted(set(offs) | set(ex_terms))
+
+    rows = read_positions(
+        spark, store, with_gen=store.has_deletes()
+    ).where(F.col("term").isin(all_terms))
+    if min_doc is not None:
+        rows = rows.where(F.col("max_doc") >= F.lit(int(min_doc)))
+    if max_doc is not None:
+        rows = rows.where(F.col("min_doc") <= F.lit(int(max_doc)))
+    # no cache: both consumers re-read a query-term-pruned scan, which
+    # is cheaper than holding an unpersist obligation on a lazy result
+    occ = decoded_occurrences(spark, store, rows, min_doc, max_doc)
+
+    off_df = spark.createDataFrame(
+        sorted(offs.items()), "term string, offs array<int>"
+    )
+    starts = (
+        occ.join(F.broadcast(off_df), "term")
+        .select("doc_id", F.explode("offs").alias("off"), "pos")
+        .select("doc_id", (F.col("pos") - F.col("off")).alias("adj"), "off")
+        .where(F.col("adj") >= 0)
+        .groupBy("doc_id", "adj")
+        .agg(F.countDistinct("off").alias("_n"))
+        .where(F.col("_n") == k)
+        .select("doc_id", "adj")
+    )
+    if ex_terms:
+        poison = occ.where(F.col("term").isin(ex_terms)).select(
+            F.col("doc_id").alias("p_doc"), F.col("pos").alias("p_pos")
+        )
+        starts = starts.join(
+            poison,
+            (F.col("doc_id") == F.col("p_doc"))
+            & (F.col("p_pos") >= F.col("adj") - F.lit(int(pre)))
+            & (F.col("p_pos") <= F.col("adj") + F.lit(k - 1 + int(post))),
+            "left_anti",
+        )
     return (
         starts.groupBy("doc_id")
         .agg(F.count("*").alias("n_matches"))

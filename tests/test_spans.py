@@ -1,4 +1,4 @@
-"""span_first vs a brute-force token-scan oracle."""
+"""span_first and span_not vs brute-force token-scan oracles."""
 
 from __future__ import annotations
 
@@ -7,7 +7,7 @@ import re
 import pytest
 
 from inverted_index_spark.operators.build import build_index
-from inverted_index_spark.operators.spans import span_first
+from inverted_index_spark.operators.spans import span_first, span_not
 from inverted_index_spark.sources.store import SegmentStore
 from inverted_index_spark.sources.transcripts import generate_transcripts
 
@@ -67,3 +67,62 @@ def test_span_first_bad_args(spark, fixture):
     with pytest.raises(ValueError, match="end"):
         span_first(spark, store, ["a"], 0)
     assert span_first(spark, store, [], 5).count() == 0
+
+
+def _not_oracle(toks, phrase, exclude, pre, post):
+    k = len(phrase)
+    ex = set(exclude)
+    out = {}
+    for d, ts in toks.items():
+        n = 0
+        for s in range(len(ts) - k + 1):
+            if ts[s : s + k] != phrase:
+                continue
+            lo, hi = max(0, s - pre), min(len(ts), s + k + post)
+            if not any(t in ex for t in ts[lo:hi]):
+                n += 1
+        if n:
+            out[d] = n
+    return out
+
+
+@pytest.mark.parametrize(
+    "phrase,exclude,pre,post",
+    [
+        (["w00000"], ["w00001"], 0, 0),
+        (["w00000"], ["w00001"], 2, 2),
+        (["w00000", "w00001"], ["w00002"], 0, 3),
+        (["w00000"], ["w00001", "w00002"], 5, 0),
+        (["w00000"], [], 0, 0),
+    ],
+)
+def test_span_not_vs_bruteforce(spark, fixture, phrase, exclude, pre, post):
+    store, toks = fixture
+    want = _not_oracle(toks, phrase, exclude, pre, post)
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in span_not(spark, store, phrase, exclude, pre, post).collect()
+    }
+    assert got == want
+
+
+def test_span_not_widening_window_shrinks_matches(spark, fixture):
+    store, _ = fixture
+    n0 = dict(
+        (r["doc_id"], r["n_matches"])
+        for r in span_not(spark, store, ["w00000"], ["w00001"], 0, 0).collect()
+    )
+    n5 = dict(
+        (r["doc_id"], r["n_matches"])
+        for r in span_not(spark, store, ["w00000"], ["w00001"], 5, 5).collect()
+    )
+    assert sum(n5.values()) <= sum(n0.values())
+    for d, n in n5.items():
+        assert n <= n0.get(d, 0)
+
+
+def test_span_not_bad_args(spark, fixture):
+    store, _ = fixture
+    with pytest.raises(ValueError, match="pre/post"):
+        span_not(spark, store, ["a"], ["b"], -1, 0)
+    assert span_not(spark, store, [], ["b"]).count() == 0
