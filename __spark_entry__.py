@@ -1293,7 +1293,7 @@ def _q_embed_kmeans(spark, sf):
     vectors (same init, same iteration count)."""
     import numpy as np
 
-    from inverted_index_spark.operators.kmeans import kmeans_clusters, kmeans_fit
+    from inverted_index_spark.operators.kmeans import assign_clusters, kmeans_fit
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     k, iters = 8, 3
@@ -1308,7 +1308,9 @@ def _q_embed_kmeans(spark, sf):
             if (lab == c).any():
                 ref[c] = x[lab == c].mean(axis=0)
     assert np.allclose(np.array(cents), ref, atol=1e-6), "distributed Lloyd != numpy Lloyd"
-    out = kmeans_clusters(emb, k=k, iters=iters)
+    # kmeans_clusters() would re-run the fit; cents is already the
+    # verified fit result, so assign directly (identical output).
+    out = assign_clusters(emb, cents)
     got = {r["vec_id"]: r["cluster"] for r in out.select("vec_id", "cluster").collect()}
     want = ((x[:, None, :] - ref[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
     mismatch = sum(1 for i, r in enumerate(rows) if got[r["vec_id"]] != int(want[i]))
