@@ -276,6 +276,23 @@ def main() -> None:
     warm_searcher.topk_batch({"wq": ["the"]}, 3).collect()
     warm_searcher.topk_batch({"wq": ["the"]}, 3, use_wand=True).collect()
     warm_searcher.read_values_batch({"wr": (["the"], None, None)}).count()
+    # and the positional/dedup plan shapes (positions decode, the
+    # sloppy-phrase applyInPandas kernel, minhash band join): the r5
+    # last_run showed phrase_match_tx 8.8 s on the MAIN leg vs 4.5 s on
+    # the 5x-bigger xl leg — the inversion is first-invocation
+    # codegen/compile landing in the first timed phrase row
+    from inverted_index_spark.operators.dedup import minhash_lsh_pairs
+    from inverted_index_spark.operators.positions import (
+        phrase_match as _warm_phrase,
+        terms_within_window as _warm_win,
+    )
+
+    warm_pos = SegmentStore(f"{tmp}/warm_pos_idx")
+    build_index(spark, warm_docs, warm_pos, bucket_size=128, positions=True)
+    _warm_phrase(spark, warm_pos, ["the", "of"]).count()
+    _warm_phrase(spark, warm_pos, ["the", "of"], slop=2).count()
+    _warm_win(spark, warm_pos, ["the", "of"], 10).count()
+    minhash_lsh_pairs(warm_docs, threshold=0.5).count()
 
     # bucket sizes sized for ≥2 groups per core at these corpus sizes
     # (real deployments: bucket_size ~= corpus/n_partitions_target)

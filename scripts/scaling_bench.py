@@ -109,18 +109,46 @@ def worker(cores: int, n_turns: int, data_dir: str, repeats: int = 2) -> None:
 
     wall0 = time.time()
     steal0 = _steal_jiffies()
-    build_secs = []
-    build_steals = []
-    for r in range(max(repeats, 3)):
-        store = SegmentStore(f"{tmp}/idx{r}")
+
+    def timed(fn) -> list[float]:
+        """One attempt = one independent measurement with its OWN steal
+        window — [sec, steal_cpu_sec]. Steal is screened per attempt
+        (not per visit): one hypervisor burst on attempt 1 must not
+        discard a back-to-back clean attempt 2 (observed: a 1226
+        cpu-sec burst on one build attempt in a visit whose next
+        attempt ran at 1% steal)."""
         s0 = _steal_jiffies()
         t0 = time.time()
+        fn()
+        return [round(time.time() - t0, 3), round((_steal_jiffies() - s0) / 100.0, 1)]
+
+    # UNTIMED warm-up (identical at both levels): the first build of a
+    # fresh JVM pays JIT + codegen + Python-worker spawn — measured
+    # 86-335 s cold vs 34-78 s warm on the same data. bench.py warms
+    # for the same reason; warming identically keeps the job identical.
+    warm_store = SegmentStore(f"{tmp}/warm")
+    build_index(
+        spark, tx.limit(50_000), warm_store,
+        bucket_size=max(n_turns // 128, 512),
+    )
+    ws = Searcher(spark, warm_store).open()
+    ws.topk(["w00000"], 10, use_wand=True).collect()
+    ws.topk_batch({"w": ["w00000"]}, k=10).collect()
+    ws.close()
+
+    build_attempts = []
+    for r in range(max(repeats, 3)):
+        store = SegmentStore(f"{tmp}/idx{r}")
         # FIXED bucket size across parallelism levels: the job must be
         # identical at both levels for the efficiency claim
-        build_index(spark, tx, store, bucket_size=max(n_turns // 128, 512))
-        build_secs.append(time.time() - t0)
-        build_steals.append(round((_steal_jiffies() - s0) / 100.0, 1))
-    build_sec = min(build_secs)
+        build_attempts.append(
+            timed(
+                lambda: build_index(
+                    spark, tx, store, bucket_size=max(n_turns // 128, 512)
+                )
+            )
+        )
+    build_sec = min(a[0] for a in build_attempts)
 
     searcher = Searcher(spark, store).open()
     queries = [
@@ -129,25 +157,25 @@ def worker(cores: int, n_turns: int, data_dir: str, repeats: int = 2) -> None:
         ["w00003"], ["w00004", "w19999"], ["w00020", "w00021"],
         ["w01000", "w02000", "w03000"], ["w00005", "w00006", "w00007"],
     ] * 2
-    # warm one query (JIT/codegen), then measure best-of-repeats
+    # warm one query on the REAL store (fresh postings cache), then
+    # measure best-of-repeats
     searcher.topk(queries[0], 10).collect()
-    query_secs = []
-    for _ in range(repeats):
-        t0 = time.time()
+
+    def _query_loop():
         for q in queries:
             searcher.topk(q, 10, use_wand=True).collect()
-        query_secs.append(time.time() - t0)
-    query_sec = min(query_secs)
+
+    query_attempts = [timed(_query_loop) for _ in range(repeats)]
+    query_sec = min(a[0] for a in query_attempts)
     # batched: N queries in one job — the throughput-relevant number
     # (300: enough parallel mass that the one-job constant overhead
     # doesn't dominate either parallelism level)
     qmap = {f"q{i:03d}": q for i, q in enumerate(queries * 15)}
-    batch_secs = []
-    for _ in range(repeats):  # 300 queries/attempt is already heavy
-        t0 = time.time()
-        searcher.topk_batch(qmap, k=10).collect()
-        batch_secs.append(time.time() - t0)
-    batch_sec = min(batch_secs)
+    batch_attempts = [
+        timed(lambda: searcher.topk_batch(qmap, k=10).collect())
+        for _ in range(repeats)  # 300 queries/attempt is already heavy
+    ]
+    batch_sec = min(a[0] for a in batch_attempts)
     steal_pct = round((_steal_jiffies() - steal0) / 100.0, 1)  # cpu-sec stolen
     wall_sec = round(time.time() - wall0, 1)
 
@@ -158,15 +186,15 @@ def worker(cores: int, n_turns: int, data_dir: str, repeats: int = 2) -> None:
                 "cores": cores,
                 "n_turns": n_turns,
                 "build_sec": round(build_sec, 3),
-                "build_secs_all": [round(x, 2) for x in build_secs],
-                "build_steals_all": build_steals,
+                "build_attempts": build_attempts,
                 "turns_per_sec": round(n_turns / build_sec, 1),
                 "n_queries": len(queries),
                 "query_sec": round(query_sec, 3),
+                "query_attempts": query_attempts,
                 "qps": round(len(queries) / query_sec, 3),
                 "n_batched": len(qmap),
                 "batch_sec": round(batch_sec, 3),
-                "batch_secs_all": [round(x, 2) for x in batch_secs],
+                "batch_attempts": batch_attempts,
                 "batched_qps": round(len(qmap) / batch_sec, 3),
                 "steal_cpu_sec": steal_pct,
                 "wall_sec": wall_sec,
@@ -200,12 +228,26 @@ def main(
     if "GENDONE" not in gen.stdout:
         print(gen.stdout[-2000:], gen.stderr[-2000:])
         raise SystemExit("corpus generation failed")
-    def _is_clean(r: dict) -> bool:
-        # clean = steal ≤ ~5% of the leg's delivered-cpu budget
-        # (host-wide /proc/stat steal cpu-sec over the measurement
-        # window vs cores×wall), with a small absolute floor so a
-        # 1-2 cpu-sec blip never fails a short leg
-        return r["steal_cpu_sec"] <= max(3.0, 0.05 * r["cores"] * r["wall_sec"])
+    def _attempt_clean(cores: int, att: list[float]) -> bool:
+        # clean = steal ≤ ~5% of the ATTEMPT's delivered-cpu budget
+        # (host-wide /proc/stat steal cpu-sec over that attempt's own
+        # window vs cores×sec), with a small absolute floor so a 1-2
+        # cpu-sec blip never fails a short attempt. Screening is
+        # per-attempt, not per-visit: each attempt records its own
+        # steal window, and one hypervisor burst on a neighboring
+        # attempt says nothing about this one.
+        sec, steal = att
+        return steal <= max(1.5, 0.05 * cores * sec)
+
+    METRIC_ATTEMPTS = ("build_attempts", "query_attempts", "batch_attempts")
+
+    def _visit_clean(r: dict) -> bool:
+        # a level keeps getting revisited until every metric has at
+        # least one clean attempt somewhere in its visit pool
+        return all(
+            any(_attempt_clean(r["cores"], a) for a in r[key])
+            for key in METRIC_ATTEMPTS
+        )
 
     def _run_leg(cores: int) -> dict:
         out = subprocess.run(
@@ -217,7 +259,7 @@ def main(
             print(out.stdout[-3000:], out.stderr[-3000:])
             raise SystemExit(f"worker {cores} produced no RESULT")
         r = json.loads(line[-1][len("RESULT "):])
-        r["clean"] = _is_clean(r)
+        r["clean"] = _visit_clean(r)
         print(f"local[{cores}]: {r}")
         return r
 
@@ -229,10 +271,10 @@ def main(
         # cpu-sec steal on a leg that followed a heavy one)
         time.sleep(cooldown_s if leg_i else cooldown_s // 3)
         visits[cores].append(_run_leg(cores))
-    # retry-until-clean: any level with no clean visit yet gets up to
-    # two extra visits — a throttled leg is an upper bound, not a
-    # measurement, so buying a clean window with extra wall time is
-    # the only way to report the pair honestly
+    # retry-until-clean: any level where some metric still has no
+    # clean attempt gets up to two extra visits — a throttled attempt
+    # is an upper bound, not a measurement, so buying a clean window
+    # with extra wall time is the only way to report the pair honestly
     for cores in levels:
         extra = 0
         while not any(v["clean"] for v in visits[cores]) and extra < 2:
@@ -242,16 +284,27 @@ def main(
 
     results: dict[int, dict] = {}
     for cores in levels:
-        pool = [v for v in visits[cores] if v["clean"]] or visits[cores]
-        best = dict(pool[0])
-        for r in pool[1:]:
-            for key in ("turns_per_sec", "qps", "batched_qps"):
-                best[key] = max(best[key], r[key])
-            best["build_sec"] = min(best["build_sec"], r["build_sec"])
-            best["query_sec"] = min(best["query_sec"], r["query_sec"])
-            best["batch_sec"] = min(best["batch_sec"], r["batch_sec"])
-            best["steal_cpu_sec"] = max(best["steal_cpu_sec"], r["steal_cpu_sec"])
-        best["clean"] = any(v["clean"] for v in visits[cores])
+        # per-METRIC best over the clean-ATTEMPT pool across all
+        # visits (fallback: all attempts, metric flagged throttled)
+        best = dict(visits[cores][0])
+        flagged: list[str] = []
+        for att_key, sec_key, rate_key, n in (
+            ("build_attempts", "build_sec", "turns_per_sec", n_turns),
+            ("query_attempts", "query_sec", "qps", best["n_queries"]),
+            ("batch_attempts", "batch_sec", "batched_qps", best["n_batched"]),
+        ):
+            atts = [a for v in visits[cores] for a in v[att_key]]
+            clean = [a for a in atts if _attempt_clean(cores, a)]
+            if not clean:
+                flagged.append(sec_key.replace("_sec", ""))
+            sec = min(a[0] for a in (clean or atts))
+            best[sec_key] = round(sec, 3)
+            best[rate_key] = round(n / sec, 3 if "qps" in rate_key else 1)
+            best[att_key] = atts
+        best["clean"] = not flagged
+        best["throttled_metrics"] = flagged
+        best["steal_cpu_sec"] = max(v["steal_cpu_sec"] for v in visits[cores])
+        best["wall_sec"] = round(sum(v["wall_sec"] for v in visits[cores]), 1)
         best["n_visits"] = len(visits[cores])
         results[cores] = best
 
@@ -299,10 +352,14 @@ def main(
         f"| {n} | {v:,} | {v / cal[levels[0]]:.2f}x |" for n, v in cal.items()
     )
     steal_line = ", ".join(
-        f"local[{n}] {results[n]['steal_cpu_sec']} cpu-sec over "
-        f"{results[n]['wall_sec']}s wall "
-        f"({'CLEAN' if results[n]['clean'] else 'THROTTLED'}, "
-        f"{results[n]['n_visits']} visits)"
+        f"local[{n}] "
+        + (
+            "all kept attempts CLEAN"
+            if results[n]["clean"]
+            else f"THROTTLED metrics: {results[n]['throttled_metrics']}"
+        )
+        + f" ({results[n]['n_visits']} visits,"
+        f" worst visit steal {results[n]['steal_cpu_sec']} cpu-sec)"
         for n in levels
     )
     md = f"""# BENCH/BASELINE.md — two-parallelism scaling evidence
@@ -338,12 +395,17 @@ separate hosts don't share a frequency budget).
 {chr(10).join(pair_table(lo, hi) for lo, hi in pairs)}
 
 Measurement protocol: legs alternate through {tuple(levels)} twice,
-then any level still lacking a CLEAN visit (leg steal ≤ 5% of its
-cores×wall delivered-cpu budget) is retried up to twice more after a
-cooldown; per-metric bests are kept from the CLEAN visit pool only
-(falling back to all visits, flagged, if no clean window appeared).
-Every visit's /proc/stat steal and wall are recorded in
-BENCH/scaling_raw.json. Kept legs: {steal_line}.
+with an UNTIMED warm build+query first in every fresh JVM (first-build
+JIT/codegen cost is 2-4x and is not engine throughput); every attempt
+records its own /proc/stat steal window, an attempt is CLEAN when its
+steal ≤ 5% of its cores×sec delivered-cpu budget, and any level where
+some metric still has no clean attempt is revisited up to twice more
+after a cooldown. Per-metric bests are kept from the CLEAN-attempt
+pool only (falling back to all attempts, flagged, if no clean window
+appeared) — screening is per attempt because each attempt is an
+independent measurement: one hypervisor burst on a neighboring
+attempt says nothing about this one. Every attempt's (sec, steal) is
+recorded in BENCH/scaling_raw.json. Kept legs: {steal_line}.
 
 Notes:
 - The build is shuffle-bound (tokenize → groupBy(bucket) encode); the
