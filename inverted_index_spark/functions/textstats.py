@@ -183,8 +183,13 @@ def repetition_stats(
         .otherwise(F.lit(0.0))
         .alias("alpha_word_frac"),
     )
-    d = d.persist()
-
+    # NOT persisted: the returned plan is lazy and references `d` from
+    # ~6 branches, so a persist here could never be unpersisted inside
+    # this function — repeated calls (CLI quality, streaming batches)
+    # would leak one corpus-sized cache per call for the session's
+    # lifetime. The recompute is the in-row tokenize, cheap next to the
+    # per-branch gram shuffles; callers looping over many outputs can
+    # persist/unpersist the INPUT docs around the materialization.
     out = d.select(
         "doc_id",
         "n_words",

@@ -66,7 +66,19 @@ def significant_terms(
     matches = _matches(
         spark, store, q, min_doc, max_doc, field_stores=field_stores
     ).select("doc_id")
-    n_docs, _ = _bm25.corpus_stats(spark, store)
+    if min_doc is None and max_doc is None:
+        n_docs, _ = _bm25.corpus_stats(spark, store)
+    else:
+        # a doc range restricts BOTH universes: bg_df below comes from
+        # the range-pruned scan, so N must be the doc count of the SAME
+        # range — dividing by the corpus-wide N would deflate bg% by
+        # the range fraction and distort every JLH score
+        dstats = store.read_docstats(spark)
+        if min_doc is not None:
+            dstats = dstats.where(F.col("doc_id") >= int(min_doc))
+        if max_doc is not None:
+            dstats = dstats.where(F.col("doc_id") <= int(max_doc))
+        n_docs = dstats.count()
     fg_total = matches.count()
     if fg_total == 0 or n_docs == 0:
         return spark.createDataFrame(

@@ -195,7 +195,10 @@ def _word_node(w: str):
     stem, suffix, digits = w, None, None
     if w.endswith("*") and len(w) > 1 and not _has_inner_wildcard(w):
         stem, suffix = w[:-1], "*"
-    elif _has_inner_wildcard(w) or ("?" in w or "*" in w) and len(w) > 1:
+    elif _has_inner_wildcard(w):
+        # (any other wildcard word — a lone trailing '*' with len>1 is
+        # always the Prefix branch above, so this covers everything
+        # with a '?' or a non-trailing '*')
         # Lucene WildcardQuery: NOT analyzed (a '?'/'*' would be
         # stripped by the tokenizer) — lowercase only, and validate
         # the literal chars against the pinned term alphabet

@@ -246,13 +246,21 @@ def merge_segments(
             # retire the delete batches this merge absorbed — applied
             # atomically with the swap, and only if no OTHER live
             # segment remains in the commit-time snapshot (see
-            # commit_segment); batches committed mid-merge stay live
+            # commit_segment)
             retire_deletes=del_ids or None,
+            # a delete batch committed AFTER the live_deletes() snapshot
+            # above was not purged by this rewrite, and the merged
+            # segment's higher generation would exempt it from the
+            # batch's scope — resurrecting the deleted docs. The commit
+            # must detect that and conflict (we then discard and the
+            # caller re-merges against the fresh delete set).
+            expect_deletes=del_ids,
         )
     except ErrMergeConflict:
-        # lost a merge/merge race: a concurrent compactor consumed one
-        # of our victims. Discard the orphan output — the winner's
-        # merged segment already covers those docs.
+        # lost a race: either a concurrent compactor consumed one of
+        # our victims (the winner's merged segment covers those docs),
+        # or a delete batch landed mid-merge (re-running the merge
+        # picks it up). Discard the orphan output either way.
         import shutil
 
         shutil.rmtree(seg_dir, ignore_errors=True)

@@ -474,6 +474,35 @@ def embedding_near_dup_pairs(
 # ------------------------------------------------------- quantization ---
 
 
+def _int8_scale(x):
+    """``max|x| / 127`` column — the ONE source of truth for the int8
+    rule both quantize_embeddings (stored index) and quantized_topk
+    (inline) must share bit-for-bit: a drift between them would change
+    candidate selection while the stored path still matched the
+    oracle."""
+    maxabs = F.aggregate(
+        F.transform(x, lambda v: F.abs(v.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    return maxabs / F.lit(127.0)
+
+
+def _int8_qvec(vec, scale):
+    """``floor(x_i/scale + 0.5)`` int8 column (explicit half-up so any
+    IEEE-double engine reproduces it); zero vectors (scale=0) quantize
+    to all-zero."""
+    return F.when(
+        scale == 0.0,
+        F.transform(vec, lambda _: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            vec,
+            lambda e: F.floor(e.cast("double") / scale + F.lit(0.5)).cast("int"),
+        )
+    )
+
+
 def quantize_embeddings(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -489,27 +518,12 @@ def quantize_embeddings(
     (banker's-vs-half-up round() ambiguity avoided). Zero vectors take
     scale=0 and an all-zero qvec. Pure JVM lambda exprs — no shuffle,
     no Python."""
-    x = F.col(vec_col)
-    maxabs = F.aggregate(
-        F.transform(x, lambda v: F.abs(v.cast("double"))),
-        F.lit(0.0),
-        lambda acc, v: F.greatest(acc, v),
-    )
     v = vectors.select(
         F.col(id_col).cast("long").alias("vec_id"),
-        x.alias(vec_col),
-        (maxabs / F.lit(127.0)).alias("scale"),
+        F.col(vec_col).alias(vec_col),
+        _int8_scale(F.col(vec_col)).alias("scale"),
     )
-    qvec = F.when(
-        F.col("scale") == 0.0,
-        F.transform(F.col(vec_col), lambda _: F.lit(0).cast("int")),
-    ).otherwise(
-        F.transform(
-            F.col(vec_col),
-            lambda e: F.floor(e.cast("double") / F.col("scale") + F.lit(0.5))
-            .cast("int"),
-        )
-    )
+    qvec = _int8_qvec(F.col(vec_col), F.col("scale"))
     return v.select("vec_id", qvec.alias("qvec"), "scale")
 
 
@@ -543,33 +557,17 @@ def quantized_topk(
     )
     qq_norm = float(np.sqrt(np.dot(qq, qq)))
     qq_col = F.array(*[F.lit(int(t)) for t in qq])
-    # quantize inline (same rule as quantize_embeddings) — one
-    # projection, no join/shuffle; the original vector rides along for
-    # the rescore phase
-    maxabs = F.aggregate(
-        F.transform(F.col(vec_col), lambda v: F.abs(v.cast("double"))),
-        F.lit(0.0),
-        lambda acc, v: F.greatest(acc, v),
-    )
-    scale = (maxabs / F.lit(127.0)).alias("scale")
+    # quantize inline with the SHARED rule builders (bit-identical to
+    # quantize_embeddings by construction) — one projection, no
+    # join/shuffle; the original vector rides along for the rescore
     quant = vectors.select(
-        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col), scale
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col),
+        _int8_scale(F.col(vec_col)).alias("scale"),
     ).select(
         "vec_id",
         F.col(vec_col),
-        F.when(
-            F.col("scale") == 0.0,
-            F.transform(F.col(vec_col), lambda _: F.lit(0).cast("int")),
-        )
-        .otherwise(
-            F.transform(
-                F.col(vec_col),
-                lambda e: F.floor(
-                    e.cast("double") / F.col("scale") + F.lit(0.5)
-                ).cast("int"),
-            )
-        )
-        .alias("qvec"),
+        _int8_qvec(F.col(vec_col), F.col("scale")).alias("qvec"),
     )
     qdot = F.aggregate(
         F.zip_with(

@@ -63,6 +63,19 @@ from inverted_index_spark.sources.store import (
 )
 
 
+def _next_row_generation(manifest: pd.DataFrame) -> int:
+    """Next ``generation_added`` for a manifest commit: one past the
+    max generation of EVERY row present (any status). Row count is not
+    a valid stand-in — cleanup() row-deletes retired rows, and a
+    shrunken count would mint generations below live rows', breaking
+    the gen-scoped delete rule (a batch applies only to segments with
+    a strictly lower generation)."""
+    if not len(manifest):
+        return 1
+    gens = pd.to_numeric(manifest["generation_added"], errors="coerce").fillna(0)
+    return int(gens.max()) + 1
+
+
 def iceberg_available(spark: SparkSession, catalog: str = "ii_catalog") -> bool:
     """True iff an Iceberg catalog is configured AND its classes load."""
     impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
@@ -183,14 +196,24 @@ class IcebergSegmentStore(SegmentStore):
         replaces: list[str] | None = None,
         retire_deletes: list[str] | None = None,
         attach_deletes: tuple[str, int] | None = None,
+        expect_deletes: list[str] | None = None,
     ) -> int:
         """Append-only commit with a validated victim flip (module
         docstring has the full protocol). Raises ErrMergeConflict when
-        a racing compactor already consumed a victim.
+        a racing compactor already consumed a victim, or (with
+        ``expect_deletes``, see store.commit_segment) when a delete
+        batch landed mid-merge — here the check reads the table just
+        before the victim flip, so unlike the parquet transform it can
+        only race a batch appended within the flip→append window (the
+        same check-then-act caveat the retire path documents).
 
-        ``generation_added`` is read as manifest-size+1 just before the
-        append (the parquet store's gen counter is the CAS file number;
-        here two RACING appends can observe the same size and tie).
+        ``generation_added`` is read as max(generation_added)+1 just
+        before the append (the parquet store's gen counter is the CAS
+        file number; here two RACING appends can observe the same max
+        and tie). Row count would NOT work: cleanup() row-deletes
+        retired rows, and a shrunken count would mint generations
+        BELOW live rows' — a later delete batch would then scope as
+        if it predated existing segments and never apply.
         Generation ties are harmless between segments (segments never
         scope against each other) and conservative between a delete
         batch and a racing segment (equal gen ⇒ the batch does NOT
@@ -203,6 +226,19 @@ class IcebergSegmentStore(SegmentStore):
             )
         self._ensure()
         tbl = self._table()
+        if expect_deletes is not None:
+            base = self.read_manifest()
+            live_del = (
+                set(base.loc[base["status"] == DELETES, "segment_id"])
+                if len(base)
+                else set()
+            )
+            unseen = live_del - set(expect_deletes)
+            if unseen:
+                raise ErrMergeConflict(
+                    f"delete batch(es) {sorted(unseen)} committed while the "
+                    "merge ran — re-merge against the fresh delete set"
+                )
         if replaces:
             ids = ", ".join(f"'{s}'" for s in replaces)
             # unique mark → we can count and (on conflict) compensate
@@ -227,7 +263,7 @@ class IcebergSegmentStore(SegmentStore):
                     f"{len(set(replaces)) - flipped} merge victim(s) no longer "
                     "live — a racing compaction already consumed them"
                 )
-        gen = len(self.read_manifest()) + 1
+        gen = _next_row_generation(self.read_manifest())
         row = {c: None for c in MANIFEST_COLS}
         row.update(
             {
@@ -301,7 +337,7 @@ class IcebergSegmentStore(SegmentStore):
             )
         self._ensure()
         base = self.read_manifest()
-        nxt = transform(base, len(base))[MANIFEST_COLS]
+        nxt = transform(base, _next_row_generation(base) - 1)[MANIFEST_COLS]
         gone = set(base["segment_id"]) - set(nxt["segment_id"])
         if gone:
             ids = ", ".join(f"'{s}'" for s in sorted(gone))

@@ -122,23 +122,33 @@ class SegmentStore:
 
     def __post_init__(self) -> None:
         # M1 parity (multiple/multiple_index.go:448,466-487): opening an
-        # EXISTING index directory validates it's a readable+writable
-        # directory up front, so misconfiguration fails with a clear
-        # error instead of a mid-job task failure. A missing root is
-        # fine — builds create it.
+        # EXISTING index directory validates it's a READABLE directory
+        # up front, so misconfiguration fails with a clear error instead
+        # of a mid-job task failure. A missing root is fine — builds
+        # create it. Writability is checked lazily on the first WRITE
+        # (_require_writable), not here: read-only mounts and protected
+        # snapshots must stay searchable/inspectable, and at() pinned
+        # views are read-only by contract.
         if not os.path.exists(self.root):
             return
         if not os.path.isdir(self.root):
             raise NotADirectoryError(
                 f"index path is not a directory: {self.root}"
             )
-        # mode-bit checks like the reference (os.access is useless under
+        # mode-bit check like the reference (os.access is useless under
         # uid 0 — root passes every access() check regardless of mode)
-        mode = os.stat(self.root).st_mode
-        if not mode & 0o222:
-            raise PermissionError(f"index directory is not writable: {self.root}")
-        if not mode & 0o444:
+        if not os.stat(self.root).st_mode & 0o444:
             raise PermissionError(f"index directory is not readable: {self.root}")
+
+    def _require_writable(self) -> None:
+        """Clear up-front error for commits into a write-protected
+        store (read-only mount / chmod-protected snapshot). Mode-bit
+        heuristic like the open-time read check — a best-effort guard,
+        not an ACL oracle; the filesystem still has the final word."""
+        if os.path.isdir(self.root) and not os.stat(self.root).st_mode & 0o222:
+            raise PermissionError(
+                f"index directory is not writable: {self.root}"
+            )
 
     # ------------------------------------------------------------ layout
     def seg_dir(self, segment_id: str) -> str:
@@ -254,6 +264,7 @@ class SegmentStore:
                 f"{self.pin_generation} (at()); commits must go through "
                 "an unpinned SegmentStore"
             )
+        self._require_writable()
         os.makedirs(self._manifest_dir(), exist_ok=True)
         for _ in range(1000):
             base = self.current_generation()
@@ -335,6 +346,7 @@ class SegmentStore:
         replaces: list[str] | None = None,
         retire_deletes: list[str] | None = None,
         attach_deletes: tuple[str, int] | None = None,
+        expect_deletes: list[str] | None = None,
     ) -> int:
         """Append a live manifest row (optionally tombstoning inputs) —
         the analog of filesList add + merged-list move
@@ -349,10 +361,29 @@ class SegmentStore:
         ``attach_deletes=(del_id, n)``: commit a STAGED delete batch in
         the SAME transaction at the SAME generation as the new segment
         — the atomic delete+add a reindex needs (the batch scopes over
-        every earlier segment, gen < batch gen, but not its pair)."""
+        every earlier segment, gen < batch gen, but not its pair).
+
+        ``expect_deletes``: the delete-batch snapshot a merge PURGED
+        (possibly empty). If the commit-time manifest holds a live
+        batch outside this set, the merge raced a ``delete_docs``: the
+        batch tombstones the victims (gen-scoped, their gens are lower)
+        but would NOT scope over the merged output (whose gen is
+        higher), so committing would resurrect those docs — raises
+        :class:`ErrMergeConflict` and the caller re-merges against the
+        fresh delete set. ``None`` (non-merge commits) skips the check."""
 
         def transform(m: pd.DataFrame, base: int) -> pd.DataFrame:
             m = m.copy()
+            if expect_deletes is not None and len(m):
+                live_del = set(m.loc[m["status"] == DELETES, "segment_id"])
+                unseen = live_del - set(expect_deletes)
+                if unseen:
+                    raise ErrMergeConflict(
+                        f"delete batch(es) {sorted(unseen)} committed while "
+                        "the merge ran — the rewrite did not purge them and "
+                        "the merged segment would escape their generation "
+                        "scope; re-merge against the fresh delete set"
+                    )
             if replaces:
                 live_ids = set(m.loc[m["status"] == LIVE, "segment_id"])
                 stale = [s for s in replaces if s not in live_ids]
@@ -474,6 +505,7 @@ class SegmentStore:
             raise PermissionError(
                 "store is a read-only snapshot (at()); cannot stage deletes"
             )
+        self._require_writable()
         if isinstance(doc_ids, DataFrame):
             df = doc_ids.select(F.col("doc_id").cast("long")).distinct()
         else:
@@ -583,6 +615,7 @@ class SegmentStore:
             raise PermissionError(
                 "store is a read-only snapshot (at()); cleanup is a write"
             )
+        self._require_writable()
         return self._cleanup(grace_s)
 
     def _cleanup(self, grace_s: float = 0.0) -> list[str]:

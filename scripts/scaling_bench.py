@@ -242,10 +242,21 @@ def main(
     METRIC_ATTEMPTS = ("build_attempts", "query_attempts", "batch_attempts")
 
     def _visit_clean(r: dict) -> bool:
-        # a level keeps getting revisited until every metric has at
-        # least one clean attempt somewhere in its visit pool
+        # single-visit report flag (the per-leg print); the RETRY
+        # decision pools attempts across visits — see _pooled_clean
         return all(
             any(_attempt_clean(r["cores"], a) for a in r[key])
+            for key in METRIC_ATTEMPTS
+        )
+
+    def _pooled_clean(cores: int, vs: list[dict]) -> bool:
+        # a level keeps getting revisited until every metric has at
+        # least one clean attempt SOMEWHERE in its visit pool — result
+        # selection pools the same way, so e.g. clean builds in visit 1
+        # + clean queries in visit 2 is already a complete measurement
+        # and must not buy another multi-minute leg
+        return all(
+            any(_attempt_clean(cores, a) for v in vs for a in v[key])
             for key in METRIC_ATTEMPTS
         )
 
@@ -277,7 +288,7 @@ def main(
     # with extra wall time is the only way to report the pair honestly
     for cores in levels:
         extra = 0
-        while not any(v["clean"] for v in visits[cores]) and extra < 2:
+        while not _pooled_clean(cores, visits[cores]) and extra < 2:
             time.sleep(cooldown_s)
             visits[cores].append(_run_leg(cores))
             extra += 1

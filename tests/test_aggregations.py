@@ -104,6 +104,36 @@ def test_significant_terms_multiseg_dedup(spark, astore_multiseg):
     ]
 
 
+def test_significant_terms_doc_range(spark, astore):
+    """With a doc range, BOTH universes restrict to the range: bg_df
+    comes from the pruned scan, so N must be the range's doc count —
+    using the corpus-wide N deflates bg% and distorts every score."""
+    lo, hi = 2, 6
+    in_range = [d for d, _ in DOCS if lo <= d <= hi]
+    match_ids = {d for d in in_range if "merge" in _toks(d)}
+    n, fg_total = len(in_range), len(match_ids)
+    bg = Counter(t for d in in_range for t in set(_toks(d)))
+    fg = Counter(t for d in match_ids for t in set(_toks(d)))
+    want = sorted(
+        (
+            (t, fg.get(t, 0), b,
+             (fg.get(t, 0) / fg_total - b / n)
+             * (fg.get(t, 0) / fg_total) / (b / n))
+            for t, b in bg.items()
+            if fg.get(t, 0) >= 1
+        ),
+        key=lambda x: (-x[3], x[0]),
+    )
+    got = significant_terms(
+        spark, astore, "merge", k=50, min_doc_count=1, min_doc=lo, max_doc=hi
+    ).collect()
+    assert [(r["term"], r["fg_df"], r["bg_df"]) for r in got] == [
+        (t, f, b) for t, f, b, _ in want
+    ]
+    for r, (_, _, _, s) in zip(got, want):
+        assert abs(r["score"] - s) < 1e-9
+
+
 def test_term_vectors(spark, astore, astore_multiseg):
     for store in (astore, astore_multiseg):
         got = [

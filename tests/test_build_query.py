@@ -248,8 +248,10 @@ def test_fragment_build_equals_shuffled(spark, tmp_path):
 
 def test_store_rejects_bad_directory(tmp_path):
     """M1 parity (multiple/multiple_index.go:466-487): opening an
-    existing path validates directory-ness and read/write mode bits
-    up front with a clear error."""
+    existing path validates directory-ness and READ mode bits up front
+    with a clear error. Write-protection must NOT fail the open — a
+    read-only mount / protected snapshot stays searchable — but any
+    WRITE into it fails up front (_require_writable), not mid-job."""
     import os
 
     f = tmp_path / "a_file"
@@ -261,8 +263,12 @@ def test_store_rejects_bad_directory(tmp_path):
     unwritable.mkdir()
     os.chmod(unwritable, 0o555)
     try:
+        ro = SegmentStore(str(unwritable))  # open + reads are fine
+        assert ro.read_manifest().empty
         with pytest.raises(PermissionError, match="not writable"):
-            SegmentStore(str(unwritable))
+            ro._commit_manifest(lambda m, base: m)
+        with pytest.raises(PermissionError, match="not writable"):
+            ro.cleanup()
     finally:
         os.chmod(unwritable, 0o755)
 

@@ -364,3 +364,38 @@ def test_delete_lifecycle_both_backends(spark, any_store):
     assert list(m[m["segment_id"] == del_id]["status"]) == [MERGED]
     assert not any_store.has_deletes()
     assert _vals(read_values(spark, any_store, ["w00000"])) == base[2:]
+
+
+def test_delete_committed_mid_merge_conflicts(spark, tmp_path):
+    """A delete batch committed AFTER the merge snapshots live_deletes()
+    applies to the victims (their gens are lower) but would NOT scope
+    over the merged output (whose gen is higher) — committing the merge
+    would resurrect the deleted docs. commit_segment(expect_deletes=...)
+    must detect the unseen batch and conflict; the retry purges it."""
+    from inverted_index_spark.operators.merge import merge_segments
+
+    store, _ = _build(spark, tmp_path / "idx", chunks=2)
+    base = _vals(read_values(spark, store, ["w00000"]))
+    victim_doc = base[0]
+    orig = store.live_deletes
+    state = {"fired": False}
+
+    def sneaky():
+        snap = orig()
+        if not state["fired"]:
+            state["fired"] = True
+            SegmentStore(store.root).delete_docs(spark, [victim_doc])
+        return snap
+
+    store.live_deletes = sneaky
+    try:
+        sid = merge_segments(spark, store, min_files=2)
+    finally:
+        store.live_deletes = orig
+    assert state["fired"]
+    assert sid is None  # aborted, not committed un-purged
+    assert victim_doc not in _vals(read_values(spark, store, ["w00000"]))
+    # the retry sees the batch, purges it, and retires it with the swap
+    assert merge_segments(spark, store, min_files=2) is not None
+    assert victim_doc not in _vals(read_values(spark, store, ["w00000"]))
+    assert not store.has_deletes()

@@ -61,3 +61,53 @@ def test_cleanup_deletes_by_id_not_overwrite(istore):
     assert list(m["segment_id"]) == ["m"]
     assert any(s.startswith("DELETE FROM") for s in istore.spark.log)
     assert not any("overwrite" in s.lower() for s in istore.spark.log)
+
+
+def test_generations_stay_monotone_after_cleanup(istore):
+    """Minting generation_added from the manifest ROW COUNT regresses
+    after cleanup() row-deletes retired rows: a post-cleanup commit
+    (or delete batch via _commit_manifest's base) would land at a
+    generation <= the live merged segment's, so a later gen-scoped
+    delete batch would never apply to it. Generations must come from
+    max(generation_added), which only grows."""
+    istore.commit_segment("a", {"bytes": 1})          # gen 1
+    istore.commit_segment("b", {"bytes": 1})          # gen 2
+    istore.commit_segment("m", {"bytes": 2}, replaces=["a", "b"])  # gen 3
+    istore.cleanup(grace_s=0.0)                       # a, b rows gone
+    istore.commit_segment("n", {"bytes": 1})
+    gens = istore.read_manifest().set_index("segment_id")["generation_added"]
+    assert int(gens["n"]) > int(gens["m"])
+    # _commit_manifest's base (what delete_docs scopes batches from)
+    # must also sit at the max, not the shrunken row count
+    seen = {}
+    istore._commit_manifest(lambda m, base: (seen.__setitem__("base", base), m)[1])
+    assert seen["base"] == int(gens["n"])
+
+
+def test_mid_merge_delete_conflict(istore):
+    """expect_deletes: a delete batch outside the merger's snapshot
+    must abort the commit BEFORE the victim flip (no compensation
+    needed, victims stay live)."""
+    import pandas as pd
+
+    from inverted_index_spark.sources.store import DELETES
+
+    istore.commit_segment("a", {"bytes": 1})
+    istore.commit_segment("b", {"bytes": 1})
+    istore._commit_manifest(
+        lambda m, base: pd.concat(
+            [m, istore._delete_row("del-x", 3, base + 1)], ignore_index=True
+        )
+    )
+    with pytest.raises(ErrMergeConflict):
+        istore.commit_segment(
+            "m", {"bytes": 2}, replaces=["a", "b"], expect_deletes=[]
+        )
+    m = istore.read_manifest().set_index("segment_id")["status"]
+    assert m["a"] == LIVE and m["b"] == LIVE  # never flipped
+    assert m["del-x"] == DELETES
+    # with the batch acknowledged the commit goes through
+    istore.commit_segment(
+        "m", {"bytes": 2}, replaces=["a", "b"], expect_deletes=["del-x"]
+    )
+    assert istore.read_manifest().set_index("segment_id")["status"]["m"] == LIVE
