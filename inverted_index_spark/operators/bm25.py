@@ -162,7 +162,11 @@ def field_value_factor(
 ):
     """ES ``function_score.field_value_factor``: a Column computing
     ``modifier(factor * doc[col])`` with ``missing`` for null fields.
-    Supported modifiers: none, log1p, sqrt, square, reciprocal."""
+    Supported modifiers: none, log1p, sqrt, square, reciprocal.
+    ``reciprocal`` of a zero field value yields 0.0 (a doc with no
+    signal contributes nothing) instead of aborting the job — Spark 4
+    ANSI mode raises DIVIDE_BY_ZERO even for doubles, and ES likewise
+    rejects the Infinity a plain 1/0 would produce."""
     x = F.coalesce(F.col(col).cast("double"), F.lit(float(missing))) * float(
         factor
     )
@@ -171,7 +175,9 @@ def field_value_factor(
         "log1p": lambda c: F.log1p(c),
         "sqrt": lambda c: F.sqrt(c),
         "square": lambda c: c * c,
-        "reciprocal": lambda c: F.lit(1.0) / c,
+        "reciprocal": lambda c: F.when(c == 0.0, F.lit(0.0)).otherwise(
+            F.lit(1.0) / c
+        ),
     }
     if modifier not in mods:
         raise ValueError(f"unknown modifier {modifier!r} (have {sorted(mods)})")

@@ -106,6 +106,12 @@ def bm25f_scores(
         if n_f == 0:
             continue
         posts = postings_df(spark, store, uniq, with_tf=True)
+        if len(store.live_segments()) > 1:
+            # pre-compaction overlap can replay a (term, doc) row from
+            # two live segments of the SAME field store; the cross-field
+            # sum below must see each field's contribution once (same
+            # defense as bm25_scores / synonym_scores / wand)
+            posts = posts.dropDuplicates(["term", "doc_id"])
         parts.append(
             posts.select(
                 "term",

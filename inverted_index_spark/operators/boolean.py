@@ -640,7 +640,11 @@ def search_after(
     """Keyset pagination over the ranked stream (Lucene/ES
     searchAfter): page N+1 = the top k results strictly after the
     ``(score, doc_id)`` cursor in the global (score DESC, doc_id ASC)
-    order. ``after=None`` is page 1 ≡ ranked_topk. Stateless and
+    order. ``after=None`` is page 1 (same ROWS as ranked_topk — but
+    serve page 1 from THIS function when paginating: ranked_topk's
+    plain shuffle-order sums can differ from the deterministic fold
+    below at ~1e-11, and a cursor from the wrong stream misclassifies
+    boundary docs under exact float comparison). Stateless and
     deep-page-safe at scale: every page is the same one-pass plan with
     a cursor predicate + TakeOrdered(k) — no offset scan grows with
     page depth, no scroll context is held anywhere. Cursors must come
@@ -804,8 +808,17 @@ def facet_percentiles(
         .groupBy(col)
         .agg(F.count("*").alias("n_docs"), pct.alias("_p"))
     )
+    def _pname(p: float) -> str:
+        # p50, p99, p99_9 — fractional percents keep their digits
+        # ('.'→'_') so 0.99 and 0.999 never collide into one name
+        s = f"{p * 100:.6f}".rstrip("0").rstrip(".")
+        return "p" + s.replace(".", "_")
+
+    names = [_pname(p) for p in percentiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate percentiles requested: {percentiles}")
     cols = [F.col(col), F.col("n_docs")] + [
-        F.col("_p")[i].alias(f"p{int(p * 100)}") for i, p in enumerate(percentiles)
+        F.col("_p")[i].alias(n) for i, n in enumerate(names)
     ]
     return agg.select(*cols).orderBy(col)
 

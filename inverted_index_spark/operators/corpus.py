@@ -107,11 +107,18 @@ def running_offsets(
     totals are the only thing the driver sees)."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    # localCheckpoint, NOT persist: the per-partition bases collected
+    # below are only valid for THIS materialization (a recompute could
+    # resample the range boundaries), and persist() pins a CacheManager
+    # entry a lazy-API function can never unpersist — one leaked
+    # corpus-sized cache per call. Checkpoint blocks are GC-released
+    # with the result, and a lost block fails the job instead of
+    # silently recomputing with different partition boundaries.
     sorted_df = (
         df.repartitionByRange(n, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.DISK_ONLY)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     totals = {
         r["_pid"]: r["s"]

@@ -37,11 +37,16 @@ def mint_doc_ids(
     order_cols = order_cols or ["conv_id", "turn_idx"]
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    # localCheckpoint, NOT persist — same rationale as
+    # corpus.running_offsets: the collected per-_pid counts are only
+    # valid for this materialization, and a persist here could never
+    # be unpersisted by this lazy API (leaked CacheManager entry per
+    # call). Blocks release with the result's GC.
     sorted_df = (
         df.repartitionByRange(n, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.DISK_ONLY)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     counts = {r["_pid"]: r["count"] for r in sorted_df.groupBy("_pid").count().collect()}
     offsets: dict[int, int] = {}

@@ -41,6 +41,18 @@ def _norm(a):
     )
 
 
+def _safe_cos(dot, *norm_factors):
+    """Zero-norm-guarded cosine: a zero vector (or zero query) scores
+    0.0 instead of aborting the job — Spark 4 runs ANSI mode by
+    default, where even DOUBLE division by zero raises
+    DIVIDE_BY_ZERO (verified live), and pre-ANSI the NaN result would
+    sort ABOVE every real score in orderBy(desc)."""
+    denom = norm_factors[0]
+    for n in norm_factors[1:]:
+        denom = denom * n
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot / denom)
+
+
 def cosine_scores(
     vectors: DataFrame,
     query: list[float],
@@ -52,7 +64,9 @@ def cosine_scores(
     qn = float(np.sqrt(np.dot(query, query)))
     return vectors.select(
         F.col(id_col).cast("long").alias("vec_id"),
-        (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))).alias("cosine"),
+        _safe_cos(
+            _dot(F.col(vec_col), q), _norm(F.col(vec_col)), F.lit(qn)
+        ).alias("cosine"),
     )
 
 
@@ -424,8 +438,10 @@ def embedding_near_dup_pairs(
             F.col(id_col).cast("long").alias("b"), F.col(vec_col).alias("vb")
         )
         cand = l.join(r, F.col("a") < F.col("b"))
-        cos = _dot(F.col("va"), F.col("vb")) / (
-            _norm(F.col("va")) * _norm(F.col("vb"))
+        cos = _safe_cos(
+            _dot(F.col("va"), F.col("vb")),
+            _norm(F.col("va")),
+            _norm(F.col("vb")),
         )
         return (
             cand.withColumn("cosine", cos)
@@ -463,7 +479,9 @@ def embedding_near_dup_pairs(
         )
         .dropDuplicates(["a", "b"])
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = _safe_cos(
+        _dot(F.col("va"), F.col("vb")), _norm(F.col("va")), _norm(F.col("vb"))
+    )
     return (
         cand.withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)

@@ -216,3 +216,36 @@ def test_dismax_field_boosts_and_topk(spark, stores):
     w1 = _dismax_oracle(["merge"], 1.0)
     for d in w1:
         assert abs(s1[d] - w1[d]) < 1e-9
+
+
+def test_bm25f_multiseg_overlap_dedup(spark, tmp_path, stores):
+    """Doc rows replayed across two live segments of a field store
+    (pre-compaction overlap) must not double the field's weighted tf —
+    scores equal the single-segment stores' exactly."""
+    from inverted_index_spark.operators.build import build_index
+    from inverted_index_spark.sources.store import SegmentStore
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, title string, body string")
+    dup = {}
+    for name, col in FIELDS.items():
+        store = SegmentStore(str(tmp_path / f"field={name}"))
+        d = docs.select("doc_id", F.col(col).cast("string").alias("text"))
+        build_index(spark, d, store, bucket_size=4, block_size=4)
+        # re-index docs 0-2 verbatim -> second live segment, same rows
+        build_index(spark, d.where("doc_id <= 2"), store,
+                    bucket_size=4, block_size=4)
+        assert len(store.live_segments()) == 2
+        dup[name] = store
+
+    terms = ["spark", "window", "merge"]
+    want = {
+        r["doc_id"]: r["score"]
+        for r in bm25f_scores(spark, stores, terms, W, B).collect()
+    }
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25f_scores(spark, dup, terms, W, B).collect()
+    }
+    assert got.keys() == want.keys()
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9, d

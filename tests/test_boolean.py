@@ -769,3 +769,25 @@ def test_rescore_topk(spark, bstore):
     first_nonphrase = next(i for i, (d, _) in enumerate(got) if d not in ph_docs)
     assert all(d in ph_docs for d, _ in got[:first_nonphrase])
     assert first_nonphrase >= 1
+
+
+def test_facet_percentiles_fine_grain_names(spark, bstore):
+    """0.99 and 0.999 must produce DISTINCT column names (p99, p99_9),
+    not two ambiguous 'p99' columns."""
+    from inverted_index_spark.operators.boolean import facet_percentiles
+
+    docs = spark.createDataFrame(
+        [(i, "x", i) for i in range(8)],
+        "doc_id long, lang string, n long",
+    )
+    out = facet_percentiles(
+        spark, bstore, "spark", docs, "lang", "n",
+        percentiles=(0.5, 0.99, 0.999),
+    )
+    assert out.columns == ["lang", "n_docs", "p50", "p99", "p99_9"]
+    out.collect()  # and the plan actually runs
+    with pytest.raises(ValueError, match="duplicate percentiles"):
+        facet_percentiles(
+            spark, bstore, "spark", docs, "lang", "n",
+            percentiles=(0.99, 0.99),
+        )

@@ -111,3 +111,22 @@ def test_bad_args(spark, setup):
         )
     with pytest.raises(ValueError, match="decay"):
         gauss_decay("x", 0.0, 1.0, decay=1.5)
+
+
+def test_reciprocal_zero_field(spark):
+    """reciprocal of a 0 field value scores 0.0 — must not abort under
+    Spark 4's default ANSI division."""
+    from inverted_index_spark.operators.bm25 import field_value_factor
+
+    df = spark.createDataFrame(
+        [(0, 4.0), (1, 0.0), (2, None)], "doc_id long, likes double"
+    )
+    got = {
+        r["doc_id"]: r["v"]
+        for r in df.select(
+            "doc_id",
+            field_value_factor("likes", modifier="reciprocal", missing=2.0)
+            .alias("v"),
+        ).collect()
+    }
+    assert got == {0: 0.25, 1: 0.0, 2: 0.5}

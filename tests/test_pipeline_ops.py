@@ -536,3 +536,29 @@ def test_hybrid_topk(spark, tmp_path):
     assert got == expect
     # both-pool docs outrank single-pool docs with similar ranks
     assert set(d for d, _ in got) == set(rb) | set(rc)
+
+
+def test_zero_norm_vectors_score_zero(spark):
+    """Spark 4 runs ANSI mode by default, where even DOUBLE division
+    by zero raises DIVIDE_BY_ZERO — an all-zero embedding (common
+    missing-value padding) must score cosine 0.0, not abort the job
+    (and pre-ANSI its NaN would have sorted ABOVE every real hit)."""
+    from inverted_index_spark.operators.similarity import (
+        cosine_topk,
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    top = cosine_topk(df, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 2, 1]
+    assert top[-1]["cosine"] == 0.0
+    # zero query -> all zeros, still no abort
+    assert all(
+        r["cosine"] == 0.0 for r in cosine_topk(df, [0.0, 0.0], k=3).collect()
+    )
+    # exact pair path: the zero vector pairs score 0 and drop below τ
+    pairs = embedding_near_dup_pairs(df, threshold=0.5, exact=True).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(0, 2)}
