@@ -34,9 +34,11 @@ term query, then re-runs survivors on a one-doc memory index):
 
 Scale shape: the doc side pays one tokenize + one broadcast join +
 one aggregation keyed ``(doc, query, disjunct)`` — thousands of
-stored queries ride ONE Catalyst plan, there is no per-query job and
-no shuffle of document text (only candidate ids rejoin text, and only
-for phrase-bearing disjuncts).
+stored queries ride ONE Catalyst plan and there is no per-query job.
+Document text shuffles only in the phrase-verify step, only for docs
+that are candidates of a phrase-bearing disjunct (the text side is
+leftsemi-pruned to candidate ids first; AQE broadcasts the id set in
+the common small-candidate case).
 """
 
 from __future__ import annotations
@@ -226,6 +228,17 @@ def percolate(
             ),
         )
         need = cand.join(F.broadcast(phr_df), ["query_id", "disj"])
+        # prune the text side to phrase-candidate docs BEFORE the text
+        # join: candidates of phrase-bearing disjuncts are usually a
+        # small fraction of the corpus, and AQE broadcasts the id set
+        # when it is — the re-join then shuffles only candidate text,
+        # not the whole corpus (worst case — a phrase disjunct whose
+        # required terms match most docs — degrades to a doc_id-keyed
+        # text shuffle, which is the floor for adjacency verification
+        # without a positional index)
+        padded = padded.join(
+            need.select("doc_id").distinct(), "doc_id", "leftsemi"
+        )
         checked = (
             need.join(padded, "doc_id")
             .withColumn(

@@ -152,3 +152,39 @@ def test_ranked_topk_compiles_to_take_ordered(spark, store):
 
     df = ranked_topk(spark, store, "w00000 OR w00001", k=5)
     assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_percolate_broadcasts_query_side(spark):
+    """percolate: the stored-query literal tables must broadcast (the
+    doc side is corpus-sized and must never shuffle its text; the
+    query side is KB-sized by design)."""
+    from inverted_index_spark.operators.percolate import percolate
+    from inverted_index_spark.plans import formatted_plan
+
+    docs = spark.createDataFrame(
+        [(0, "spark shuffle merge"), (1, "quiet river")],
+        "doc_id long, text string",
+    )
+    df = percolate(
+        spark, docs, {"q1": "spark AND merge", "q2": '"quiet river"'}
+    )
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the phrase-verify text side is pruned to candidate ids before
+    # text rejoins candidates (LeftSemi in the plan)
+    assert "LeftSemi" in plan
+
+
+def test_parent_child_rollup_partial_agg(spark, store):
+    """has_child: the parent rollup must be a partial-aggregated
+    groupBy (two HashAggregate stages around the exchange), so a
+    parent with millions of children combines map-side first."""
+    from inverted_index_spark.operators.parent_child import has_child_topk
+    from inverted_index_spark.plans import formatted_plan
+
+    edges = spark.createDataFrame(
+        [(i, i // 10) for i in range(100)], "doc_id long, parent_id long"
+    )
+    df = has_child_topk(spark, store, ["w00000"], edges, k=5)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2
