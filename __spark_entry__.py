@@ -1142,6 +1142,10 @@ def _q_search_after(spark, sf):
 
     store = _store_for(spark, sf)
     page1 = search_after(spark, store, "spark OR merge", k=10).collect()
+    if not page1:  # empty match set (regenerated fixtures): page 2 is
+        return spark.createDataFrame(  # empty too, like the oracle's OFFSET
+            [], "doc_id long, score double"
+        )
     cur = page1[-1]
     t = search_after(
         spark, store, "spark OR merge", k=10, after=(cur["score"], cur["doc_id"])
@@ -1474,9 +1478,7 @@ def _fed_store_for(spark, sf):
 
     key = "fed:" + sf
     if key not in _STORES:
-        import tempfile as _tf
-
-        root = _tf.mkdtemp(prefix="ii_fed_")
+        root = tempfile.mkdtemp(prefix="ii_fed_")
         parts = []
         for i in range(2):
             part = SegmentStore(f"{root}/part{i}")

@@ -281,7 +281,6 @@ def main() -> None:
     # last_run showed phrase_match_tx 8.8 s on the MAIN leg vs 4.5 s on
     # the 5x-bigger xl leg — the inversion is first-invocation
     # codegen/compile landing in the first timed phrase row
-    from inverted_index_spark.operators.dedup import minhash_lsh_pairs
     from inverted_index_spark.operators.positions import (
         phrase_match as _warm_phrase,
         terms_within_window as _warm_win,

@@ -290,6 +290,10 @@ def main(argv: list[str] | None = None) -> int:
             if args.out:
                 out.write.parquet(args.out)
                 print(f"matches -> {args.out}")
+                # summarize from the just-written parquet — re-running
+                # the whole percolation plan for the summary would
+                # double the command's runtime on a large corpus
+                out = spark.read.parquet(args.out)
             for row in (
                 out.groupBy("query_id")
                 .agg(F.count("*").alias("n_docs"))
@@ -313,6 +317,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.out:
                 both.write.parquet(args.out)
                 print(f"verdicts -> {args.out}")
+                both = spark.read.parquet(args.out)  # summary reads the write back
             agg = both.agg(
                 F.count("*").alias("docs"),
                 F.sum(F.col("gopher_keep").cast("long")).alias("gopher"),
@@ -345,6 +350,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.out:
                 mixed.write.parquet(args.out)
                 print(f"mixed corpus -> {args.out}")
+                mixed = spark.read.parquet(args.out)  # summary reads the write back
             for row in (
                 mixed.groupBy(args.strata_col)
                 .agg(F.count("*").alias("n"))
@@ -362,6 +368,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.out:
             out.write.parquet(args.out)
             print(f"assignments -> {args.out}")
+            out = spark.read.parquet(args.out)  # summary reads the write back
         for row in (
             out.groupBy("cluster").agg(F.count("*").alias("n")).orderBy("cluster").collect()
         ):
@@ -370,7 +377,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from inverted_index_spark.sources.store import SegmentStore
 
-    store = SegmentStore(args.store_root if args.cmd != "build" else args.store_root)
+    store = SegmentStore(args.store_root)
 
     if args.cmd == "snapshots":
         gens = store.generations()
@@ -452,7 +459,7 @@ def main(argv: list[str] | None = None) -> int:
             evaluate, parse_query, ranked_topk,
         )
 
-        if args.as_of:
+        if args.as_of is not None:
             store = store.at(args.as_of)
         field_stores = None
         if args.field:
@@ -537,7 +544,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "query":
         from inverted_index_spark.operators.search import Searcher
 
-        if args.as_of:
+        if args.as_of is not None:
             store = store.at(args.as_of)
         searcher = Searcher(spark, store).open()
         for row in searcher.topk(args.terms, args.k).collect():

@@ -21,11 +21,14 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def normalize(rows, cols):
+    """``rows`` must be dicts keyed by column name (both call sites
+    convert first) — positional tuples would be ambiguous against the
+    sorted ``cols`` order."""
     out = []
     for r in rows:
         vals = []
         for c in cols:
-            v = r[c] if not isinstance(r, tuple) else r[cols.index(c)]
+            v = r[c]
             if isinstance(v, float):
                 v = round(v, 6)
                 if math.isclose(v, 0.0, abs_tol=1e-12):
@@ -89,7 +92,9 @@ def main(sf_dir: str, only: list[str] | None = None):
             failures.append((name, f"value mismatch, first diffs {diff}"))
             print(f"FAIL  {name}: values differ, e.g. {diff}")
             continue
-        times[name] = round(time.time() - _t0, 2)
+        # times[name] stays the SPARK-side wall recorded above — the
+        # driver's time-budgeted gate never pays the DuckDB/normalize
+        # cost, so ordering tuned from these numbers must not either
         print(f"OK    {name}: {len(s_norm)} rows [{times[name]}s]")
     slow = sorted(times.items(), key=lambda kv: -kv[1])[:15]
     print("\nslowest:", ", ".join(f"{n}={t}s" for n, t in slow))
