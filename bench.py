@@ -85,6 +85,7 @@ class Bench:
         self.timings: dict[str, float] = {}
         self.steals: dict[str, float] = {}
         self.attempts: dict[str, int] = {}
+        self.outputs: dict[str, int] = {}  # result sizes, where recorded
         self.throttled: list[str] = []
 
     def run(self, name: str, fn, setup=None, min_attempts: int = 1) -> None:
@@ -228,9 +229,17 @@ def _bench_corpus(spark, bench: Bench, tmp: str, tag: str, n_turns: int, queries
 
     bench.run(f"proximity_tx{tag}", _proximity_tx)
 
+    # near-dup pair OUTPUT grows ~quadratically with corpus size here
+    # (the synthetic corpus reuses templates, so duplicate-cluster
+    # sizes grow linearly with n → within-cluster pairs quadratically;
+    # measured: 120k turns → 20.3k pairs, 300k → 126k). Record the
+    # pair count so the xl/main wall ratio is read against the output
+    # ratio, not just the input ratio.
     bench.run(
         f"minhash_dedup_tx{tag}",
-        lambda: minhash_lsh_pairs(tx, threshold=0.5).count(),
+        lambda: bench.outputs.__setitem__(
+            f"minhash_dedup_tx{tag}", minhash_lsh_pairs(tx, threshold=0.5).count()
+        ),
     )
     return searcher
 
@@ -317,13 +326,22 @@ def main() -> None:
 
     searcher = _bench_corpus(spark, bench, tmp, "", N_TURNS, queries)
 
+    # The per-query latency rows run right after minhash_dedup_tx — 20 s
+    # of all-core AVX hashing that drains this burstable host's turbo
+    # budget; measured back-to-back, bm25_naive_batch read 28.0 s at
+    # 0.19 steal vs 8.5 s solo minutes earlier. Give the frequency
+    # governor a breather and take best-of-2 (frequency dips are not
+    # steal-visible, so the retry screen alone never catches them).
+    time.sleep(10)
     bench.run(
         "bm25_naive_batch",
         lambda: [searcher.topk(q, 10, use_wand=False).collect() for q in queries],
+        min_attempts=2,
     )
     bench.run(
         "bm25_wand_batch",
         lambda: [searcher.topk(q, 10, use_wand=True).collect() for q in queries],
+        min_attempts=2,
     )
     bench.run(
         "bm25_wand_one_job",
@@ -408,6 +426,7 @@ def main() -> None:
             "queries": xl_bench.timings,
             "steal": xl_bench.steals,
             "attempts": xl_bench.attempts,
+            "outputs": xl_bench.outputs,
             "throttled": xl_bench.throttled,
             "derived": {
                 "build_turns_per_sec": round(
@@ -438,6 +457,7 @@ def main() -> None:
         "queries": timings,
         "steal": bench.steals,
         "attempts": bench.attempts,
+        "outputs": bench.outputs,
         "throttled": bench.throttled,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "derived": derived,
