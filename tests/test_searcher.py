@@ -94,6 +94,30 @@ def test_searcher_read_values_matches(spark, setup):
     assert a == b and len(a) > 0
 
 
+def test_read_values_latency_gate_parity(spark, setup):
+    """The single-task small-read plan (df-bound gate on) must return
+    exactly the declarative distinct().orderBy() result — same rows,
+    same order — for ranged, open-ended, and missing-term reads."""
+    _, searcher = setup
+    assert searcher._df_complete  # single-segment module store → gate armed
+    cases = [
+        (["w00000", "w00005"], 50, 400),
+        (["w00001", "w00002", "w00042"], None, None),
+        (["бесплатно", "w00000"], 100, None),
+        (["doesnotexist"], None, None),
+    ]
+    cap = Searcher.SMALL_READ_CAP
+    try:
+        for terms, lo, hi in cases:
+            gated = [r["doc_id"] for r in searcher.read_values(terms, lo, hi).collect()]
+            Searcher.SMALL_READ_CAP = -1  # force the declarative plan
+            plain = [r["doc_id"] for r in searcher.read_values(terms, lo, hi).collect()]
+            Searcher.SMALL_READ_CAP = cap
+            assert gated == plain
+    finally:
+        Searcher.SMALL_READ_CAP = cap
+
+
 def test_topk_batch_wand_equals_exhaustive(spark, setup):
     """Both batched scorers are exact: WAND pruning vs the vectorized
     exhaustive default must agree row-for-row."""
