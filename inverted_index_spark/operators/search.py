@@ -616,6 +616,52 @@ class Searcher:
             .select("qid", "rank", "doc_id", "score")
         )
 
+    def _topk_one_task(
+        self, rows: DataFrame, idf_map: dict[str, float], avgdl: float, k: int
+    ) -> DataFrame:
+        """Single-task exact BM25 top-k over the matched posting rows
+        (the gated small-query plan; single-segment stores only, so no
+        cross-segment duplicate rows can reach the accumulator)."""
+        from inverted_index_spark.functions.codec import decode_postings
+
+        k1, b = _bm25.K1, _bm25.B
+
+        def _run(batches):
+            doc_parts, contrib_parts = [], []
+            for pdf in batches:
+                for term, p, t, l, blocks in zip(
+                    pdf["term"], pdf["postings"], pdf["tfs"], pdf["dls"], pdf["blocks"]
+                ):
+                    d, tf, dl = decode_postings(p, t, l, blocks)
+                    if not len(d):
+                        continue
+                    w = idf_map[term]
+                    c = w * tf.astype(np.float64) / (
+                        tf.astype(np.float64)
+                        + k1 * (1 - b + b * dl.astype(np.float64) / avgdl)
+                    )
+                    doc_parts.append(d.astype(np.int64))
+                    contrib_parts.append(c)
+            if not doc_parts:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "score": pd.Series(dtype="float64"),
+                    }
+                )
+                return
+            dd = np.concatenate(doc_parts)
+            cc = np.concatenate(contrib_parts)
+            uniq_d, inv = np.unique(dd, return_inverse=True)
+            sums = np.bincount(inv, weights=cc, minlength=len(uniq_d))
+            order = np.lexsort((uniq_d, -sums))[:k]  # score desc, doc asc
+            yield pd.DataFrame({"doc_id": uniq_d[order], "score": sums[order]})
+
+        out = rows.coalesce(1).mapInPandas(_run, schema="doc_id long, score double")
+        # one partition in, ≤k rows out: a partition-local sort pins the
+        # global (score desc, doc_id asc) contract without an exchange
+        return out.sortWithinPartitions(F.desc("score"), F.asc("doc_id"))
+
     def topk(self, terms: list[str], k: int = 10, use_wand: bool = True) -> DataFrame:
         uniq = sorted(set(terms))
         n_docs, avgdl = self.stats
@@ -626,6 +672,22 @@ class Searcher:
                 F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
             )
         rows = self._matching(list(idf_map))
+        # Latency gate (mirrors read_values): a small query on a
+        # df-complete store scores in ONE task — decode + per-doc
+        # bincount + top-k inside a single mapInPandas pass over the
+        # cached postings; no bucket exchange, no TakeOrdered merge.
+        # Both kernels are exact, so the gated plan answers either
+        # use_wand setting with identical rows. Σdf bounds the decoded
+        # rows driver-side for free; the scan cap keeps the coalesce(1)
+        # plan off stores big enough that serializing the whole cache
+        # through one executor would be the new bottleneck.
+        if self._df_complete:
+            bound = sum(dfs.get(t, 0) for t in idf_map)
+            if (
+                bound <= self.SMALL_READ_CAP
+                and self._n_postings() <= self.SINGLE_TASK_SCAN_CAP
+            ):
+                return self._topk_one_task(rows, idf_map, avgdl, k)
         if use_wand:
             import pandas as pd
 

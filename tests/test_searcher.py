@@ -118,6 +118,32 @@ def test_read_values_latency_gate_parity(spark, setup):
         Searcher.SMALL_READ_CAP = cap
 
 
+def test_topk_latency_gate_parity(spark, setup):
+    """The single-task small-query top-k plan must return the same
+    (doc_id, rounded score) rows in the same order as the declarative
+    bucket-kernel + TakeOrdered plans — both WAND and exhaustive."""
+    _, searcher = setup
+    assert searcher._df_complete
+    cap = Searcher.SMALL_READ_CAP
+    try:
+        for terms in QUERIES:
+            for k in (3, 10, 10_000):  # k beyond the result count too
+                gated = [
+                    (r["doc_id"], round(r["score"], 10))
+                    for r in searcher.topk(terms, k).collect()
+                ]
+                Searcher.SMALL_READ_CAP = -1  # force the declarative plans
+                for wand in (True, False):
+                    plain = [
+                        (r["doc_id"], round(r["score"], 10))
+                        for r in searcher.topk(terms, k, use_wand=wand).collect()
+                    ]
+                    assert gated == plain, (terms, k, wand)
+                Searcher.SMALL_READ_CAP = cap
+    finally:
+        Searcher.SMALL_READ_CAP = cap
+
+
 def test_topk_batch_wand_equals_exhaustive(spark, setup):
     """Both batched scorers are exact: WAND pruning vs the vectorized
     exhaustive default must agree row-for-row."""
