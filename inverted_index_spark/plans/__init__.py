@@ -25,3 +25,19 @@ def pushed_filters(df: DataFrame) -> str:
 def count_exchanges(df: DataFrame) -> int:
     plan = formatted_plan(df)
     return sum(1 for l in plan.splitlines() if "Exchange" in l and "Reused" not in l)
+
+
+def count_exchanges_above_cache(df: DataFrame) -> int:
+    """Exchanges in the QUERY-TIME plan only: operators above the first
+    InMemoryRelation. A cached relation's build subtree (e.g. the
+    Searcher's one-time repartition("bucket")) executes at cache
+    materialization, not per query, so its exchanges don't count
+    against a per-query plan shape."""
+    plan = formatted_plan(df)
+    n = 0
+    for l in plan.splitlines():
+        if "InMemoryRelation" in l:
+            break
+        if "Exchange" in l and "Reused" not in l:
+            n += 1
+    return n

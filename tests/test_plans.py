@@ -8,7 +8,11 @@ import pytest
 
 from inverted_index_spark.operators.build import build_index
 from inverted_index_spark.operators.query import matching_rows
-from inverted_index_spark.plans import count_exchanges, pushed_filters
+from inverted_index_spark.plans import (
+    count_exchanges,
+    count_exchanges_above_cache,
+    pushed_filters,
+)
 from inverted_index_spark.sources.store import SegmentStore
 from inverted_index_spark.sources.transcripts import generate_transcripts
 
@@ -188,3 +192,21 @@ def test_parent_child_rollup_partial_agg(spark, store):
     df = has_child_topk(spark, store, ["w00000"], edges, k=5)
     plan = formatted_plan(df)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_gated_small_query_plans_have_no_exchange(spark, store):
+    # the df-complete latency gate (Searcher.read_values / .topk on a
+    # small single-segment store) must compile to a single-task plan:
+    # zero Exchange operators — no distinct/orderBy shuffle, no
+    # TakeOrdered merge
+    from inverted_index_spark.operators.search import Searcher
+
+    s = Searcher(spark, store).open()
+    try:
+        assert s._df_complete
+        rv = s.read_values(["w00000", "w00001"], 10, 200)
+        assert count_exchanges_above_cache(rv) == 0
+        tk = s.topk(["w00000", "w00001"], k=10)
+        assert count_exchanges_above_cache(tk) == 0
+    finally:
+        s.close()
