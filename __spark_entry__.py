@@ -1470,6 +1470,19 @@ def _q_unigram_loglik(spark, sf):
     )
 
 
+def _q_lm_perplexity(spark, sf):
+    """Round-5: CCNet-style bigram-LM self-perplexity over documents
+    (add-α smoothed; the no-external-deps stand-in for the KenLM
+    filter)."""
+    t = _ts.bigram_perplexity(_docs(spark, sf), alpha=0.1)
+    return t.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_nll", 6).alias("avg_nll"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+
+
 def _fed_store_for(spark, sf):
     """Two member stores (docs split by doc_id parity) behind a
     FederatedStore — ES cross-index search with dfs_query_then_fetch
@@ -1606,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_values": _q_wildcard_values,
         "percolate_queries": _q_percolate,
         "unigram_loglik": _q_unigram_loglik,
+        "lm_perplexity": _q_lm_perplexity,
         "complete_terms": _q_complete_terms,
         "rescore_topk": _q_rescore_topk,
         "federated_bm25_topk": _q_federated_bm25_topk,
@@ -2958,6 +2972,23 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "CROSS JOIN tot t GROUP BY tf.doc_id, dl.dl ORDER BY tf.doc_id"
         ),
     }
+    oracles["lm_perplexity"] = (
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t "
+        "FROM documents), "
+        "bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM "
+        "(SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i "
+        "FROM toks WHERE len(t) >= 2)), "
+        "c12 AS (SELECT w1, w2, count(*)::DOUBLE AS c FROM bg GROUP BY w1, w2), "
+        "c1 AS (SELECT w1, count(*)::DOUBLE AS c FROM bg GROUP BY w1), "
+        "v AS (SELECT count(DISTINCT w)::DOUBLE AS v "
+        "FROM (SELECT unnest(t) AS w FROM toks)), "
+        "scored AS (SELECT bg.doc_id, "
+        "ln((c12.c + 0.1) / (c1.c + 0.1 * v.v)) AS lp "
+        "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v) "
+        "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
+        "round(-avg(lp), 6) AS avg_nll, round(exp(-avg(lp)), 6) AS ppl "
+        "FROM scored GROUP BY doc_id ORDER BY doc_id"
+    )
     # streamed percolation over the whole table equals batch
     # percolation — the SQL twin is identical by construction
     oracles["stream_percolate"] = oracles["percolate_queries"]

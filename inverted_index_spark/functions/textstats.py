@@ -281,3 +281,85 @@ def gopher_filter(
         & (F.col("dup_5gram_char_frac") <= th["max_dup_5gram_char_frac"])
     )
     return s.select("doc_id", keep.alias("keep"), *[c for c in s.columns if c != "doc_id"])
+
+
+# ------------------------------------------- CCNet-style bigram LM filter ---
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    alpha: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc bigram-LM perplexity — the CCNet-style quality filter
+    (CCNet trains a 5-gram KenLM on clean text and buckets the corpus
+    by perplexity; a bigram model is the honest no-external-deps
+    version). Train on ``train_docs`` (a clean subset) or, when None,
+    on ``docs`` itself (self-perplexity: boilerplate and gibberish
+    both sit in the tail).
+
+        p(w2|w1) = (c(w1,w2) + α) / (c(w1·) + α·V)     add-α smoothing
+        nll(d)   = -mean over d's bigrams of ln p
+        ppl(d)   = exp(nll)
+
+    V counts distinct TRAINING tokens (unigram vocabulary); unseen
+    events back off to the additive floor via left joins. Docs with
+    fewer than 2 tokens have no bigrams and are omitted.
+
+    Scale shape: bigrams explode in-row (arrays_zip of two shifted
+    slices — JVM codegen, no Python); c(w1,w2) is one map-side-partial
+    groupBy; c(w1·) is vocabulary-sized and broadcast; the scoring
+    join shuffles on (w1, w2) where AQE handles the Zipf skew. Nothing
+    driver-sized except the two scalars (V, α).
+    """
+    base = train_docs if train_docs is not None else docs
+
+    def _bigrams(d: DataFrame) -> DataFrame:
+        toks = tokens_col(F.col(text_col))
+        pairs = F.arrays_zip(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        )
+        return d.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(pairs).alias("bg"),
+        ).select("doc_id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+
+    train_bg = _bigrams(base)
+    c12 = train_bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = train_bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        base.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .agg(F.countDistinct("w"))
+        .collect()[0][0]
+    )
+    if not vocab:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, n_bigrams long, avg_nll double, ppl double"
+        )
+    score_bg = _bigrams(docs) if train_docs is not None else train_bg
+    lp = (
+        score_bg.join(c12, ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(float(alpha)))
+                / (
+                    F.coalesce(F.col("c1"), F.lit(0))
+                    + F.lit(float(alpha)) * F.lit(float(vocab))
+                )
+            ).alias("lp"),
+        )
+    )
+    return (
+        lp.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (-F.avg("lp")).alias("avg_nll"),
+        )
+        .withColumn("ppl", F.exp("avg_nll"))
+        .orderBy("doc_id")
+    )

@@ -562,3 +562,65 @@ def test_zero_norm_vectors_score_zero(spark):
     # exact pair path: the zero vector pairs score 0 and drop below τ
     pairs = embedding_near_dup_pairs(df, threshold=0.5, exact=True).collect()
     assert {(r["a"], r["b"]) for r in pairs} == {(0, 2)}
+
+
+def test_bigram_perplexity_matches_bruteforce(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from inverted_index_spark.functions.textstats import bigram_perplexity
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat"),
+        (2, "zzz qqq zzz qqq zzz"),
+        (3, "single"),        # <2 tokens → no bigrams → omitted
+        (4, ""),
+        (5, "the the the the"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], round(r["avg_nll"], 9), round(r["ppl"], 6))
+        for r in bigram_perplexity(docs, alpha=0.1).collect()
+    }
+    toks = {i: re.findall(r"\w+", t.lower()) for i, t in rows}
+    bgs = {i: list(zip(t, t[1:])) for i, t in toks.items()}
+    allbg = [b for l in bgs.values() for b in l]
+    c12, c1 = Counter(allbg), Counter(b[0] for b in allbg)
+    V = len({w for t in toks.values() for w in t})
+    exp = {}
+    for i, l in bgs.items():
+        if not l:
+            continue
+        lps = [math.log((c12[b] + 0.1) / (c1[b[0]] + 0.1 * V)) for b in l]
+        nll = -sum(lps) / len(lps)
+        exp[i] = (len(l), round(nll, 9), round(math.exp(nll), 6))
+    assert got == exp
+    assert 3 not in got and 4 not in got
+
+
+def test_bigram_perplexity_separate_train_set(spark):
+    from inverted_index_spark.functions.textstats import bigram_perplexity
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat"),
+        (2, "zzz qqq zzz qqq zzz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    train = spark.createDataFrame(rows[:2], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["ppl"]
+        for r in bigram_perplexity(docs, train_docs=train).collect()
+    }
+    # an out-of-domain doc (every event unseen) must score strictly
+    # worse than in-domain docs
+    assert out[2] > out[0] and out[2] > out[1]
+
+
+def test_bigram_perplexity_empty_corpus(spark):
+    from inverted_index_spark.functions.textstats import bigram_perplexity
+
+    docs = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    assert bigram_perplexity(docs).collect() == []
