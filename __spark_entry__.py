@@ -1217,6 +1217,16 @@ def _q_spell_suggest(spark, sf):
     return spell_suggest(spark, _store_for(spark, sf), "tble", max_edits=2, k=5)
 
 
+def _q_phrase_suggest(spark, sf):
+    """Round-5: ES phrase suggester — whole-query did-you-mean. Fuzzy
+    dictionary candidates per token, ranked by a bigram LM counted
+    from the positional index, minus an edit penalty."""
+    from inverted_index_spark.operators.phrase_suggest import phrase_suggest
+
+    t = phrase_suggest(spark, _store_for(spark, sf), "srow hask", k=3)
+    return t.select("suggestion", F.round("score", 6).alias("score"))
+
+
 TS_BUCKET_US = 6 * 3_600_000_000  # 6-hour histogram buckets
 
 
@@ -1599,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_bm25": _q_transcripts_bm25,
         # --- round-5 additions (need their first rows) ---
         "spell_suggest": _q_spell_suggest,
+        "phrase_suggest": _q_phrase_suggest,
         "ts_date_histogram": _q_ts_histogram,
         "search_after_page2": _q_search_after,
         "facet_stats": _q_facet_stats,
@@ -2988,6 +2999,26 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
         "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
         "round(-avg(lp), 6) AS avg_nll, round(exp(-avg(lp)), 6) AS ppl "
         "FROM scored GROUP BY doc_id ORDER BY doc_id"
+    )
+    oracles["phrase_suggest"] = (
+        f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), "
+        "tok AS (SELECT doc_id, t[i] AS w, i FROM "
+        "(SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)), "
+        "ctf AS (SELECT w, count(*)::DOUBLE AS c FROM tok GROUP BY w), "
+        "v AS (SELECT count(*)::DOUBLE AS v FROM ctf), "
+        "adj AS (SELECT a.w AS w1, b.w AS w2, count(*)::DOUBLE AS c "
+        "FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1 "
+        "GROUP BY a.w, b.w), "
+        "c1 AS (SELECT w, c FROM ctf WHERE levenshtein(w, 'srow') <= 1 "
+        "ORDER BY c DESC, w LIMIT 5), "
+        "c2 AS (SELECT w, c FROM ctf WHERE levenshtein(w, 'hask') <= 1 "
+        "ORDER BY c DESC, w LIMIT 5) "
+        "SELECT c1.w || ' ' || c2.w AS suggestion, "
+        "round(ln((coalesce(adj.c, 0) + 0.1) / (c1.c + 0.1 * v.v)) "
+        "- (levenshtein('srow', c1.w) + levenshtein('hask', c2.w)), 6) AS score "
+        "FROM c1 CROSS JOIN c2 CROSS JOIN v "
+        "LEFT JOIN adj ON adj.w1 = c1.w AND adj.w2 = c2.w "
+        "ORDER BY score DESC, suggestion LIMIT 3"
     )
     # streamed percolation over the whole table equals batch
     # percolation — the SQL twin is identical by construction
