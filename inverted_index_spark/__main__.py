@@ -160,7 +160,11 @@ def main(argv: list[str] | None = None) -> int:
         "edit distance of a (mis)spelled term"
     )
     s_suggest.add_argument("store_root")
-    s_suggest.add_argument("term")
+    s_suggest.add_argument(
+        "term", help="misspelled term, or a whole quoted query when the "
+        "probe contains spaces (phrase suggester: fuzzy candidates "
+        "ranked by the positional bigram LM)"
+    )
     s_suggest.add_argument("--max-edits", type=int, default=2, choices=(1, 2))
     s_suggest.add_argument("-k", type=int, default=5)
     s_pii = sub.add_parser(
@@ -496,6 +500,18 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{row['doc_id']}\t{row['score']:.6f}")
         return 0
     if args.cmd == "suggest":
+        if len(args.term.split()) > 1:
+            from inverted_index_spark.operators.phrase_suggest import (
+                phrase_suggest,
+            )
+
+            rows = phrase_suggest(
+                spark, store, args.term,
+                k=args.k, max_edits=args.max_edits,
+            ).collect()
+            for row in rows:
+                print(f"{row['suggestion']}\t{row['score']:.6f}")
+            return 0
         from inverted_index_spark.operators.query import spell_suggest
 
         for row in spell_suggest(
