@@ -1227,6 +1227,27 @@ def _q_phrase_suggest(spark, sf):
     return t.select("suggestion", F.round("score", 6).alias("score"))
 
 
+def _q_turn_context(spark, sf):
+    """Round-5: hit-context hydration — the ±1 surrounding rows of
+    each hit's group in sequence order (transcripts: the turns around
+    a matching turn; oracle twin: lineitem's (orderkey, linenumber))."""
+    from inverted_index_spark.operators.context import fetch_context
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    corpus = li.select(
+        F.col("l_orderkey").alias("conv"),
+        F.col("l_linenumber").alias("turn"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("doc_id"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    hits = corpus.where(
+        (F.col("qty") == 50)
+        & (F.col("turn") == 4)
+        & (F.col("conv") % 10 == 1)
+    )
+    return fetch_context(hits, corpus, "conv", "turn", 1, 1)
+
+
 TS_BUCKET_US = 6 * 3_600_000_000  # 6-hour histogram buckets
 
 
@@ -1610,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions (need their first rows) ---
         "spell_suggest": _q_spell_suggest,
         "phrase_suggest": _q_phrase_suggest,
+        "turn_context": _q_turn_context,
         "ts_date_histogram": _q_ts_histogram,
         "search_after_page2": _q_search_after,
         "facet_stats": _q_facet_stats,
@@ -3019,6 +3041,18 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
         "FROM c1 CROSS JOIN c2 CROSS JOIN v "
         "LEFT JOIN adj ON adj.w1 = c1.w AND adj.w2 = c2.w "
         "ORDER BY score DESC, suggestion LIMIT 3"
+    )
+    oracles["turn_context"] = (
+        "WITH c AS (SELECT l_orderkey AS conv, l_linenumber AS turn, "
+        "l_orderkey * 8 + l_linenumber AS doc_id, l_quantity::DOUBLE AS qty "
+        "FROM lineitem), "
+        "h AS (SELECT doc_id AS hit_id, conv, turn AS hturn FROM c "
+        "WHERE qty = 50 AND turn = 4 AND conv % 10 = 1) "
+        "SELECT h.hit_id, c.conv, c.turn, c.doc_id, c.qty, "
+        "(c.turn - h.hturn)::BIGINT AS \"offset\" "
+        "FROM c JOIN h ON c.conv = h.conv "
+        "AND c.turn BETWEEN h.hturn - 1 AND h.hturn + 1 "
+        "ORDER BY hit_id, \"offset\""
     )
     # streamed percolation over the whole table equals batch
     # percolation — the SQL twin is identical by construction
