@@ -1248,6 +1248,41 @@ def _q_turn_context(spark, sf):
     return fetch_context(hits, corpus, "conv", "turn", 1, 1)
 
 
+def _q_asof_click_view(spark, sf):
+    """Round-5: point-in-time (as-of) join — for every click, the
+    latest view by the same user at or before the click. One union +
+    one window pass, no join-back (operators/temporal.py)."""
+    from inverted_index_spark.operators.temporal import as_of_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    views = ev.where("event_type = 'view'").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = as_of_join(clicks, views, "user_id", "ts", "vts", tiebreak="view_id")
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "view_id",
+        F.round("view_value", 6).alias("view_value"),
+    ).orderBy("click_id")
+
+
+def _q_sessionize_events(spark, sf):
+    """Round-5: gap-based sessionization (30-min timeout) — lag +
+    cumulative sum over one (user, ts) window."""
+    from inverted_index_spark.operators.temporal import sessionize
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    out = sessionize(ev, "user_id", "ts", gap_seconds=1800.0)
+    return out.select(
+        "event_id", "user_id", "session_id", F.col("session_seq").cast("long").alias("session_seq")
+    ).orderBy("event_id")
+
+
 TS_BUCKET_US = 6 * 3_600_000_000  # 6-hour histogram buckets
 
 
@@ -1632,6 +1667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": _q_spell_suggest,
         "phrase_suggest": _q_phrase_suggest,
         "turn_context": _q_turn_context,
+        "asof_click_view": _q_asof_click_view,
+        "sessionize_events": _q_sessionize_events,
         "ts_date_histogram": _q_ts_histogram,
         "search_after_page2": _q_search_after,
         "facet_stats": _q_facet_stats,
@@ -3053,6 +3090,29 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
         "FROM c JOIN h ON c.conv = h.conv "
         "AND c.turn BETWEEN h.hturn - 1 AND h.hturn + 1 "
         "ORDER BY hit_id, \"offset\""
+    )
+    oracles["asof_click_view"] = (
+        "SELECT c.event_id AS click_id, c.user_id, v.view_id, "
+        "round(v.view_value, 6) AS view_value "
+        "FROM events c LEFT JOIN LATERAL ("
+        "SELECT e.event_id AS view_id, e.value AS view_value FROM events e "
+        "WHERE e.user_id = c.user_id AND e.event_type = 'view' "
+        "AND e.ts <= c.ts ORDER BY e.ts DESC, e.event_id DESC LIMIT 1"
+        ") v ON true "
+        "WHERE c.event_type = 'click' ORDER BY click_id"
+    )
+    oracles["sessionize_events"] = (
+        "WITH o AS (SELECT event_id, user_id, ts, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 > 1800.0 "
+        "THEN 1 ELSE 0 END AS brk FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS UNBOUNDED PRECEDING) - 1 AS sn FROM o) "
+        "SELECT event_id, user_id, "
+        "user_id::VARCHAR || '#' || sn::VARCHAR AS session_id, "
+        "(row_number() OVER (PARTITION BY user_id, sn ORDER BY ts) - 1)::BIGINT "
+        "AS session_seq FROM s ORDER BY event_id"
     )
     # streamed percolation over the whole table equals batch
     # percolation — the SQL twin is identical by construction
