@@ -1283,6 +1283,22 @@ def _q_sessionize_events(spark, sf):
     ).orderBy("event_id")
 
 
+def _q_session_stats(spark, sf):
+    """Round-5: session rollup via Spark's built-in session_window
+    (streaming-capable: bounded state under a watermark)."""
+    from inverted_index_spark.operators.temporal import session_stats
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    out = session_stats(ev, "user_id", "ts", 1800.0, value_col="value")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    ).orderBy("user_id", "start_us")
+
+
 TS_BUCKET_US = 6 * 3_600_000_000  # 6-hour histogram buckets
 
 
@@ -1669,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_context": _q_turn_context,
         "asof_click_view": _q_asof_click_view,
         "sessionize_events": _q_sessionize_events,
+        "session_stats": _q_session_stats,
         "ts_date_histogram": _q_ts_histogram,
         "search_after_page2": _q_search_after,
         "facet_stats": _q_facet_stats,
@@ -3113,6 +3130,21 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
         "user_id::VARCHAR || '#' || sn::VARCHAR AS session_id, "
         "(row_number() OVER (PARTITION BY user_id, sn ORDER BY ts) - 1)::BIGINT "
         "AS session_seq FROM s ORDER BY event_id"
+    )
+    # session_window splits at diff >= gap (exclusive window end),
+    # unlike sessionize's strict > — the twin mirrors that
+    oracles["session_stats"] = (
+        "WITH o AS (SELECT user_id, ts, value, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 >= 1800.0 "
+        "THEN 1 ELSE 0 END AS brk FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS UNBOUNDED PRECEDING) AS sn FROM o) "
+        "SELECT user_id, epoch_us(min(ts)) AS start_us, "
+        "epoch_us(max(ts)) + 1800000000 AS end_us, "
+        "count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM s GROUP BY user_id, sn ORDER BY user_id, start_us"
     )
     # streamed percolation over the whole table equals batch
     # percolation — the SQL twin is identical by construction

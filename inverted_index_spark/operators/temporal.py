@@ -168,3 +168,35 @@ def sessionize(
         .withColumn(seq_col, F.row_number().over(w2) - F.lit(1))
         .drop("_sn")
     )
+
+
+def session_stats(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: float,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Session-level rollup via Spark's BUILT-IN ``session_window``
+    (the same operator works on a stream with a watermark — bounded
+    state, sessions merge as late events arrive): (key, session_start,
+    session_end, n_events[, sum_value]). ``session_end`` is the last
+    event's ts + gap (Spark's session_window convention). Boundaries
+    equal :func:`sessionize`'s gap rule for strictly-increasing
+    per-key timestamps, except events exactly ``gap`` apart: the
+    window closes at ts+gap EXCLUSIVE here, while sessionize splits
+    only when the gap is strictly exceeded — choose one op per
+    pipeline."""
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    out = events.groupBy(
+        F.col(key),
+        F.session_window(F.col(ts), f"{gap_seconds} seconds").alias("_w"),
+    ).agg(*aggs)
+    return out.select(
+        key,
+        F.col("_w.start").alias("session_start"),
+        F.col("_w.end").alias("session_end"),
+        *[c for c in ("n_events", "sum_value") if c in out.columns],
+    ).orderBy(key, "session_start")

@@ -141,3 +141,35 @@ def test_as_of_join_timestamp_tolerance(spark):
     }
     # L1 is 10s after R1 (within tolerance); L2 is 410s after (dropped)
     assert rows == {"L1": "R1", "L2": None}
+
+
+def test_session_stats_boundaries(spark):
+    import datetime as dt
+
+    from inverted_index_spark.operators.temporal import session_stats
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows = [
+        (1, t(0), 2.0), (1, t(10), 3.0), (1, t(400), 1.0),
+        (1, t(410), 1.0), (1, t(2000), 5.0),
+        (2, t(5), 7.0), (2, t(6), 1.0), (2, t(7), 2.0),
+    ]
+    ev = spark.createDataFrame(rows, "k long, ts timestamp, value double")
+    out = session_stats(ev, "k", "ts", 300.0, value_col="value").collect()
+    got = [
+        (r["k"], r["session_start"], r["session_end"], r["n_events"],
+         r["sum_value"])
+        for r in out
+    ]
+    # gap=300s: key 1 splits at 10->400 and 410->2000; key 2 is one
+    # session; end = last event + gap
+    assert got == [
+        (1, t(0), t(310), 2, 5.0),
+        (1, t(400), t(710), 2, 2.0),
+        (1, t(2000), t(2300), 1, 5.0),
+        (2, t(5), t(307), 3, 10.0),
+    ]
