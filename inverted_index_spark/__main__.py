@@ -500,7 +500,11 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{row['doc_id']}\t{row['score']:.6f}")
         return 0
     if args.cmd == "suggest":
-        if len(args.term.split()) > 1:
+        from inverted_index_spark.functions.tokenizer import tokenize_text
+
+        # dispatch on the TOKENIZER's reading, not whitespace — a
+        # punctuation-joined probe ('quick,browm') is a phrase too
+        if len(tokenize_text(args.term)) > 1:
             from inverted_index_spark.operators.phrase_suggest import (
                 phrase_suggest,
             )

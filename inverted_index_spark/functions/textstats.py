@@ -316,22 +316,31 @@ def bigram_perplexity(
     """
     base = train_docs if train_docs is not None else docs
 
+    def _tokenized(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            tokens_col(F.col(text_col)).alias("_t"),
+        )
+
     def _bigrams(d: DataFrame) -> DataFrame:
-        toks = tokens_col(F.col(text_col))
+        toks = F.col("_t")
         pairs = F.arrays_zip(
             F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
             F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         )
-        return d.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.explode(pairs).alias("bg"),
-        ).select("doc_id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+        return d.select("doc_id", F.explode(pairs).alias("bg")).select(
+            "doc_id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2")
+        )
 
-    train_bg = _bigrams(base)
+    # the training scan feeds FOUR consumers (c12, c1, vocab, and the
+    # self-train score side) — tokenize once and truncate lineage so
+    # the regexp+explode runs a single pass, not per consumer
+    tokd = _tokenized(base).localCheckpoint()
+    train_bg = _bigrams(tokd)
     c12 = train_bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = train_bg.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = (
-        base.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        tokd.select(F.explode("_t").alias("w"))
         .agg(F.countDistinct("w"))
         .collect()[0][0]
     )
@@ -339,7 +348,7 @@ def bigram_perplexity(
         return docs.sparkSession.createDataFrame(
             [], "doc_id long, n_bigrams long, avg_nll double, ppl double"
         )
-    score_bg = _bigrams(docs) if train_docs is not None else train_bg
+    score_bg = _bigrams(_tokenized(docs)) if train_docs is not None else train_bg
     lp = (
         score_bg.join(c12, ["w1", "w2"], "left")
         .join(F.broadcast(c1), ["w1"], "left")

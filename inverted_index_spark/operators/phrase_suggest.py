@@ -57,6 +57,32 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+# exact dictionary size per (store, generation): the smoothing
+# constant must be oracle-reproducible (manifest n_terms is an
+# estimate), consistent with the delete-scoped ctf/adjacency counts
+# (a term alive only in tombstoned docs must not inflate V), and NOT
+# a per-query full-dictionary job on the interactive path
+_VOCAB_MEMO: dict[tuple[str, int], int] = {}
+
+
+def _vocab_size(spark: SparkSession, store: SegmentStore) -> int:
+    key = (str(store.root), store.current_generation())
+    if key not in _VOCAB_MEMO:
+        if store.has_deletes():
+            from inverted_index_spark.operators.query import postings_df
+
+            n = (
+                postings_df(spark, store, None, with_tf=False)
+                .select("term")
+                .distinct()
+                .count()
+            )
+        else:
+            n = store.read_postings(spark).select("term").distinct().count()
+        _VOCAB_MEMO[key] = int(n)
+    return _VOCAB_MEMO[key]
+
+
 def phrase_suggest(
     spark: SparkSession,
     store: SegmentStore,
@@ -146,9 +172,7 @@ def phrase_suggest(
             .collect()
         )
     }
-    # exact dictionary size (manifest n_terms is an estimate — the
-    # smoothing constant must be oracle-reproducible)
-    vocab = int(store.read_postings(spark).select("term").distinct().count())
+    vocab = _vocab_size(spark, store)
     # --- driver-side scoring over <= max_combos tiny rows ---
     scored = []
     for c in combos:

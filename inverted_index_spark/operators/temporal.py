@@ -45,7 +45,7 @@ def as_of_join(
     (seconds for timestamp columns, plain difference for numeric ts)
     drops matches farther than that from the left ts. ``tiebreak``
     names a right column that orders equal-timestamp right rows (the
-    LAST one wins); set it when (on, right_ts) is not unique and you
+    HIGHEST value wins, both directions); set it when (on, right_ts) is not unique and you
     need reproducible output."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -68,15 +68,22 @@ def as_of_join(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(l_tag).alias("_tag"),
-        F.lit(0).alias("_tb"),
+        # typed null, never consulted (tag separates the sides): a
+        # bare lit(0) would make unionByName coerce a string/timestamp
+        # tiebreak to BIGINT and abort under ANSI
+        F.lit(None).cast(r.schema["_tb"].dataType).alias("_tb"),
         F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
         F.struct(*left.columns).alias("_lp"),
     )
     u = r.unionByName(lt)
+    # the HIGHEST tiebreak wins in both directions: the winning right
+    # row is the one last() sees nearest before the left row, so the
+    # tiebreak sorts ascending under backward's asc scan and ALSO
+    # ascending under forward's desc scan
     order = (
         [F.asc("_ts"), F.asc("_tag"), F.asc("_tb")]
         if direction == "backward"
-        else [F.desc("_ts"), F.desc("_tag"), F.desc("_tb")]
+        else [F.desc("_ts"), F.desc("_tag"), F.asc("_tb")]
     )
     w = (
         Window.partitionBy("_k")

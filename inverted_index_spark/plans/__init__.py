@@ -28,16 +28,31 @@ def count_exchanges(df: DataFrame) -> int:
 
 
 def count_exchanges_above_cache(df: DataFrame) -> int:
-    """Exchanges in the QUERY-TIME plan only: operators above the first
-    InMemoryRelation. A cached relation's build subtree (e.g. the
-    Searcher's one-time repartition("bucket")) executes at cache
-    materialization, not per query, so its exchanges don't count
-    against a per-query plan shape."""
+    """Exchanges in the QUERY-TIME plan only: every Exchange operator
+    that is NOT inside an InMemoryRelation subtree. A cached
+    relation's build subtree (e.g. the Searcher's one-time
+    repartition("bucket")) executes at cache materialization, not per
+    query, so its exchanges don't count against a per-query plan
+    shape. Subtrees are tracked by tree indentation (a cached
+    relation's children are printed deeper), so exchanges in OTHER
+    join branches printed after an InMemoryRelation still count."""
     plan = formatted_plan(df)
+    tree = plan.split("\n\n", 1)[0]  # detail sections repeat operator
+    # names ("(5) Exchange") — only the tree block carries structure
     n = 0
-    for l in plan.splitlines():
+    skip_depth: int | None = None
+    for l in tree.splitlines():
+        stripped = l.lstrip(" +-*:")
+        if not stripped or "(" not in l:
+            continue
+        depth = len(l) - len(stripped)
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue  # still inside the cached build subtree
+            skip_depth = None
         if "InMemoryRelation" in l:
-            break
+            skip_depth = depth
+            continue
         if "Exchange" in l and "Reused" not in l:
             n += 1
     return n

@@ -173,3 +173,22 @@ def test_session_stats_boundaries(spark):
         (1, t(2000), t(2300), 1, 5.0),
         (2, t(5), t(307), 3, 10.0),
     ]
+
+
+def test_as_of_join_forward_tiebreak_and_string_tiebreak(spark):
+    left = spark.createDataFrame([(1, 10.0, "L")], "k long, lts double, tag string")
+    right = spark.createDataFrame(
+        [(1, 10.0, "a", "ra"), (1, 10.0, "b", "rb"), (1, 11.0, "c", "rc")],
+        "k long, rts double, rid string, rv string",
+    )
+    # forward: equal ts matches, the HIGHEST (string) tiebreak wins
+    fwd = as_of_join(
+        left, right, "k", "lts", "rts", direction="forward", tiebreak="rid"
+    ).collect()[0]
+    assert fwd["rv"] == "rb" and fwd["rts"] == 10.0
+    # backward: same rule, same winner (string tiebreak must not be
+    # coerced to BIGINT by the union)
+    bwd = as_of_join(
+        left, right, "k", "lts", "rts", tiebreak="rid"
+    ).collect()[0]
+    assert bwd["rv"] == "rb" and bwd["rts"] == 10.0
