@@ -247,6 +247,30 @@ def _q_embed_knn(spark, sf):
     return t.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _q_knn_filtered(spark, sf):
+    """ES knn-with-filter (pre-filter): metadata predicate restricts the
+    candidate set before vector scoring."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    t = _sim.filtered_topk(
+        emb, [float(x) for x in qv], k=15,
+        predicate=F.col("label").isin(1, 3, 5),
+    )
+    return t.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _q_knn_query_filtered(spark, sf):
+    """Lexically-filtered kNN: the filter is a boolean index query
+    ('spark AND merge'); only its match set is vector-scored."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    t = _sim.knn_with_query(
+        spark, _store_for(spark, sf), "spark AND merge",
+        [float(x) for x in qv], emb, k=15,
+    )
+    return t.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def _q_ngram_jaccard(spark, sf):
     docs = _docs(spark, sf).where(F.col("doc_id") < 60)
     ids = docs.select(F.col("doc_id").alias("a"))
@@ -1727,6 +1751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine": _q_embed_cosine,
         "embed_near_pairs": _q_embed_near_pairs,
         "embed_knn": _q_embed_knn,
+        "knn_filtered": _q_knn_filtered,
+        "knn_query_filtered": _q_knn_query_filtered,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -2471,6 +2497,18 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
         "embed_knn": (
             f"SELECT vec_id, round(raw_cos, 4) AS cosine FROM ({_COS}) "
             "ORDER BY raw_cos DESC, vec_id ASC LIMIT 20"
+        ),
+        "knn_filtered": (
+            f"SELECT vec_id, round(raw_cos, 4) AS cosine FROM ({_COS}) c "
+            "JOIN embeddings e USING (vec_id) WHERE e.label IN (1, 3, 5) "
+            "ORDER BY raw_cos DESC, vec_id ASC LIMIT 15"
+        ),
+        "knn_query_filtered": (
+            f"SELECT vec_id, round(raw_cos, 4) AS cosine FROM ({_COS}) "
+            f"WHERE vec_id IN (SELECT doc_id FROM ({_TF}) "
+            "WHERE term IN ('spark', 'merge') "
+            "GROUP BY doc_id HAVING count(DISTINCT term) = 2) "
+            "ORDER BY raw_cos DESC, vec_id ASC LIMIT 15"
         ),
         "bm25_topk_batch": (
             f"SELECT qid, rank, doc_id, score FROM ({_BM25_BATCH}) ORDER BY qid, rank"

@@ -411,6 +411,81 @@ def hybrid_topk(
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
 
 
+# ------------------------------------------------------- filtered kNN ---
+
+
+def filtered_topk(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    predicate=None,
+    allowed_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ES ``knn`` with ``filter`` — PRE-filter semantics (Lucene
+    KnnFloatVectorQuery with a filter weight / ES filtered kNN): the
+    restriction applies BEFORE vector scoring, so the result holds k
+    survivors whenever k survivors exist — never fewer because
+    high-scoring-but-filtered vectors crowded the candidate list (the
+    failure mode of post-filtering a plain top-k).
+
+    ``predicate``: Column or SQL string over the vector table's
+    metadata columns; stays inside the scan, so at scale it prunes
+    partitions/row groups before any vector math runs.
+
+    ``allowed_ids``: single-column DataFrame of ids — e.g. an
+    inverted-index boolean match set — applied as a LEFT SEMI join on
+    ``id_col``. Match sets are tiny next to a 100 TB vector table, so
+    AQE turns the semi join into a broadcast; when it genuinely is
+    large, both sides shuffle on the id, which is still one exchange
+    before a single scoring scan."""
+    cand = vectors
+    if predicate is not None:
+        cand = cand.where(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+    if allowed_ids is not None:
+        key = allowed_ids.columns[0]
+        ids = allowed_ids.select(
+            F.col(key).cast("long").alias(id_col)
+        ).distinct()
+        cand = cand.join(ids, on=id_col, how="left_semi")
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+def knn_with_query(
+    spark,
+    store,
+    query_str: str,
+    query_vec: list[float],
+    vectors: DataFrame,
+    k: int = 10,
+    searcher=None,
+    field_stores=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lexically-filtered kNN: the filter is a full boolean query
+    (the Lucene-classic grammar of operators.boolean) evaluated on the
+    inverted index; only docs in the match set are vector-scored.
+    This is ES's ``knn: {filter: {query_string: ...}}`` shape and the
+    RAG-retrieval workhorse ("semantically nearest docs that actually
+    contain the product name"). Doc ids and vector ids share the
+    corpus id space (vec_id == doc_id)."""
+    from inverted_index_spark.operators.boolean import _matches, parse_query
+
+    match = _matches(
+        spark, store, parse_query(query_str),
+        searcher=searcher, field_stores=field_stores,
+    )
+    return filtered_topk(
+        vectors, query_vec, k=k,
+        allowed_ids=match.select("doc_id"),
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
