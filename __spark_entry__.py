@@ -130,6 +130,25 @@ def _q_dedup_fingerprints(spark, sf):
     )
 
 
+def _q_analyzed_term_df(spark, sf):
+    """Analyzer chain (stop filter + S-stemmer) applied at ingest; df
+    over the analyzed term space. The DuckDB oracle mirrors the exact
+    pinned rules (functions/analyzer.py), so any drift in either twin
+    hash-mismatches."""
+    from inverted_index_spark.functions.analyzer import (
+        ENGLISH_STOPWORDS, Analyzer,
+    )
+    from inverted_index_spark.functions.tokenizer import tokenize
+
+    an = Analyzer(stopwords=ENGLISH_STOPWORDS, stem=True)
+    toks = tokenize(an.apply(_docs(spark, sf)))
+    return (
+        toks.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy("term")
+    )
+
+
 def _q_token_counts(spark, sf):
     t = _ts.token_counts(_docs(spark, sf))
     return t.select(
@@ -1741,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprints": _q_dedup_fingerprints,
         "dedup_exact_keep": _q_dedup_exact_keep,
         "simhash_values": _q_simhash_values,
+        "analyzed_term_df": _q_analyzed_term_df,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
@@ -1800,6 +1820,23 @@ _TOKS_SQL = (
     " t -> length(t) <= 64)"
 )
 _TOK = f"SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents"
+# analyzer-chain twins (functions/analyzer.py pinned contract): stop
+# filter then S-stemmer, LIKE/substr only (RE2-safe, no lookbehind)
+from inverted_index_spark.functions.analyzer import (  # noqa: E402
+    ENGLISH_STOPWORDS as _AN_STOP,
+)
+
+_AN_STOPLIST = "('" + "','".join(sorted(_AN_STOP)) + "')"
+_AN_STEM_CASE = (
+    "CASE WHEN length(t0) < 4 THEN t0 "
+    "WHEN t0 LIKE '%ies' THEN (CASE WHEN t0 LIKE '%eies' OR t0 LIKE '%aies' "
+    "THEN t0 ELSE substr(t0, 1, length(t0) - 3) || 'y' END) "
+    "WHEN t0 LIKE '%es' THEN (CASE WHEN t0 LIKE '%aes' OR t0 LIKE '%ees' "
+    "OR t0 LIKE '%oes' THEN t0 ELSE substr(t0, 1, length(t0) - 1) END) "
+    "WHEN t0 LIKE '%s' THEN (CASE WHEN t0 LIKE '%us' OR t0 LIKE '%ss' "
+    "THEN t0 ELSE substr(t0, 1, length(t0) - 1) END) "
+    "ELSE t0 END"
+)
 _TF = f"SELECT doc_id, term, count(*) AS tf FROM ({_TOK}) GROUP BY doc_id, term"
 _DL = f"SELECT doc_id, count(*) AS dl FROM ({_TOK}) GROUP BY doc_id"
 # the BM25F/dis_max 'meta' field as a corpus relation (doc_id, text)
@@ -2345,6 +2382,14 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "SELECT md5(array_to_string(regexp_extract_all(lower(text), '\\w+'), ' ')) AS fp, "
             "count(*) AS n_dups, min(doc_id) AS keep_id "
             "FROM documents GROUP BY fp ORDER BY fp"
+        ),
+        "analyzed_term_df": (
+            f"WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS t0 "
+            "FROM documents), "
+            f"kept AS (SELECT doc_id, t0 FROM toks WHERE t0 NOT IN {_AN_STOPLIST}), "
+            f"st AS (SELECT doc_id, {_AN_STEM_CASE} AS term FROM kept) "
+            "SELECT term, count(DISTINCT doc_id) AS df FROM st "
+            "GROUP BY term ORDER BY term"
         ),
         "token_counts": (
             "SELECT doc_id, "

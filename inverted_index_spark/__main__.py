@@ -34,6 +34,16 @@ def main(argv: list[str] | None = None) -> int:
         help="also write the (doc_id, text) doc store (enables text hydration)",
     )
     s_build.add_argument(
+        "--stopwords", choices=["none", "english"], default=None,
+        help="analyzer chain: drop this stop set before indexing "
+        "(pinned on the store; later builds and `query` re-apply it)",
+    )
+    s_build.add_argument(
+        "--stem", action="store_true",
+        help="analyzer chain: S-stem tokens before indexing (pinned "
+        "on the store like --stopwords)",
+    )
+    s_build.add_argument(
         "--no-shuffle", action="store_true",
         help="fragment encode: no token-stream shuffle (multi-executor "
         "option; input partitions must hold disjoint doc sets; run "
@@ -419,6 +429,27 @@ def main(argv: list[str] | None = None) -> int:
             from inverted_index_spark.operators.docids import mint_doc_ids
 
             docs = mint_doc_ids(docs)
+        from inverted_index_spark.functions.analyzer import (
+            ENGLISH_STOPWORDS, Analyzer,
+        )
+
+        analyzer = Analyzer.load(args.store_root)
+        if args.stopwords or args.stem:
+            requested = Analyzer(
+                stopwords=ENGLISH_STOPWORDS
+                if args.stopwords == "english"
+                else frozenset(),
+                stem=args.stem,
+            )
+            if analyzer is not None and analyzer != requested:
+                raise SystemExit(
+                    f"store pins a different analyzer ({analyzer}); "
+                    "build without --stopwords/--stem to reuse it"
+                )
+            analyzer = requested
+            analyzer.save(args.store_root)
+        if analyzer is not None:
+            docs = analyzer.apply(docs)
         bucket_size = args.bucket_size or store.pinned_bucket_size() or (1 << 16)
         sid = build_index(
             spark, docs, store, bucket_size=bucket_size,
@@ -562,12 +593,22 @@ def main(argv: list[str] | None = None) -> int:
             )
         return 0
     if args.cmd == "query":
+        from inverted_index_spark.functions.analyzer import Analyzer
         from inverted_index_spark.operators.search import Searcher
 
         if args.as_of is not None:
             store = store.at(args.as_of)
+        terms = args.terms
+        analyzer = Analyzer.load(args.store_root)
+        if analyzer is not None:
+            # the store's pinned analyzer maps query terms into the
+            # indexed term space (ES `match` semantics); stopwords
+            # analyze away entirely
+            terms = analyzer.terms(" ".join(terms))
+            if not terms:
+                return 0
         searcher = Searcher(spark, store).open()
-        for row in searcher.topk(args.terms, args.k).collect():
+        for row in searcher.topk(terms, args.k).collect():
             print(f"{row['doc_id']}\t{row['score']:.6f}")
         return 0
     if args.cmd == "compact":
