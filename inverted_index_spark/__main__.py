@@ -504,21 +504,37 @@ def main(argv: list[str] | None = None) -> int:
                 if not froot:
                     raise SystemExit(f"--field wants NAME=STORE_ROOT, got {spec!r}")
                 field_stores[name] = SegmentStore(froot)
+        from inverted_index_spark.functions.analyzer import Analyzer
+
+        tree = parse_query(args.query)
+        analyzer = Analyzer.load(args.store_root)
+        if analyzer is not None:
+            # map the query into the store's pinned analyzed term space
+            tree = analyzer.rewrite(tree)
+            if tree is None:
+                return 0  # the whole query analyzed away (stopwords)
         if args.rank:
             for row in ranked_topk(
-                spark, store, args.query, k=args.k, field_stores=field_stores
+                spark, store, tree, k=args.k, field_stores=field_stores
             ).collect():
                 print(f"{row['doc_id']}\t{row['score']:.6f}")
             return 0
         for row in evaluate(
-            spark, store, parse_query(args.query), field_stores=field_stores
+            spark, store, tree, field_stores=field_stores
         ).collect():
             print(row["doc_id"])
         return 0
     if args.cmd == "phrase":
+        from inverted_index_spark.functions.analyzer import Analyzer
         from inverted_index_spark.operators.positions import phrase_match
 
-        for row in phrase_match(spark, store, args.tokens, slop=args.slop).collect():
+        tokens = args.tokens
+        analyzer = Analyzer.load(args.store_root)
+        if analyzer is not None:
+            tokens = analyzer.terms(" ".join(tokens))
+            if not tokens:
+                return 0
+        for row in phrase_match(spark, store, tokens, slop=args.slop).collect():
             print(f"{row['doc_id']}\t{row['n_matches']}")
         return 0
     if args.cmd == "mlt":

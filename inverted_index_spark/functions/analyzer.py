@@ -134,6 +134,75 @@ class Analyzer:
         elsewhere (e.g. the doc store) if you need raw text back."""
         return docs.withColumn(text_col, self.expr(F.col(text_col)))
 
+    # --------------------------------------------- query-tree rewrite ---
+
+    def rewrite(self, node):
+        """Map a parsed boolean query tree into this analyzer's term
+        space (Lucene's stop-filtered QueryParser behavior):
+
+        - Term: stopword → dropped (None); else stemmed.
+        - Phrase: stopword tokens removed (remaining tokens close up —
+          the engine has no position-increment holes; document the
+          difference vs Lucene's gap-respecting phrases), others
+          stemmed; an all-stopword phrase drops.
+        - Prefix/Wildcard/Fuzzy: UNANALYZED, like Lucene's
+          MultiTermQuery (a prefix of a surface form must not be
+          stemmed — 'quer*' should match 'query').
+        - Field: untouched — field indexes are metadata, built
+          unanalyzed.
+        - And/Or/Not/Boost: recurse; dropped clauses vanish, an
+          operator left with nothing drops too; Or.minimum_should_match
+          is capped at the surviving clause count.
+
+        Returns the rewritten node, or None if the whole query
+        analyzed away."""
+        from inverted_index_spark.operators.boolean import (
+            And, Boost, Field, Fuzzy, Not, Or, Phrase, Prefix, Term,
+            Wildcard,
+        )
+
+        if isinstance(node, Term):
+            if node.term in self.stopwords:
+                return None
+            return Term(stem_s(node.term)) if self.stem else node
+        if isinstance(node, Phrase):
+            toks = [t for t in node.tokens if t not in self.stopwords]
+            if self.stem:
+                toks = [stem_s(t) for t in toks]
+            if not toks:
+                return None
+            return Phrase(toks, node.slop)
+        if isinstance(node, (Prefix, Wildcard, Fuzzy, Field)):
+            return node
+        if isinstance(node, Not):
+            inner = self.rewrite(node.clause)
+            return None if inner is None else Not(inner)
+        if isinstance(node, Boost):
+            inner = self.rewrite(node.clause)
+            return None if inner is None else Boost(inner, node.weight)
+        if isinstance(node, And):
+            kept = [c for c in (self.rewrite(c) for c in node.clauses)
+                    if c is not None]
+            if not kept:
+                return None
+            if all(isinstance(c, Not) for c in kept):
+                return None  # pure-negative And is invalid downstream
+            return kept[0] if len(kept) == 1 else And(*kept)
+        if isinstance(node, Or):
+            kept = [c for c in (self.rewrite(c) for c in node.clauses)
+                    if c is not None]
+            if not kept:
+                return None
+            if len(kept) == 1 and node.minimum_should_match <= 1:
+                return kept[0]
+            return Or(
+                *kept,
+                minimum_should_match=min(
+                    node.minimum_should_match, len(kept)
+                ),
+            )
+        return node
+
     # ----------------------------------------------- store persistence ---
 
     def save(self, store_root: str) -> None:

@@ -171,6 +171,70 @@ def test_cli_analyzed_build_and_query(spark, tmp_path, capsys):
     assert hit_ids == {0, 1, 3}
 
 
+def test_rewrite_query_tree():
+    """Tree rewrite: stopword leaves drop, terms/phrases stem,
+    multi-term queries stay unanalyzed, operators collapse cleanly."""
+    from inverted_index_spark.operators.boolean import (
+        And, Boost, Fuzzy, Not, Or, Phrase, Prefix, Term, parse_query,
+    )
+
+    an = Analyzer(stopwords=ENGLISH_STOPWORDS, stem=True)
+    assert an.rewrite(Term("sparks")) == Term("spark")
+    assert an.rewrite(Term("the")) is None
+    assert an.rewrite(Phrase(["the", "sparks", "merge"])) == Phrase(
+        ["spark", "merge"]
+    )
+    assert an.rewrite(Phrase(["the", "a"])) is None
+    # MultiTermQuery nodes are unanalyzed (Lucene contract)
+    assert an.rewrite(Prefix("quer")) == Prefix("quer")
+    assert an.rewrite(Fuzzy("tables", 1)) == Fuzzy("tables", 1)
+    # operators: dropped clauses vanish; singletons unwrap
+    assert an.rewrite(And(Term("the"), Term("sparks"))) == Term("spark")
+    assert an.rewrite(Or(Term("the"), Term("a"))) is None
+    # pure-negative And after drops is invalid -> None
+    assert an.rewrite(And(Term("the"), Not(Term("sparks")))) is None
+    assert an.rewrite(Boost(Term("the"), 2.0)) is None
+    got = an.rewrite(
+        Or(Term("sparks"), Term("the"), Term("tables"),
+           minimum_should_match=3)
+    )
+    assert got == Or(Term("spark"), Term("table"), minimum_should_match=2)
+    # grammar round-trip: parse then rewrite
+    t = an.rewrite(parse_query('sparks AND "the merging tables"'))
+    assert t == And(Term("spark"), Phrase(["merging", "table"]))
+
+
+def test_cli_analyzed_search_and_phrase(spark, tmp_path, capsys):
+    """`search` and `phrase` on an analyzer-pinned store analyze their
+    input — surface forms with stopwords/plurals match."""
+    from inverted_index_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the sparks merge the tables"),
+            (1, "a spark merges a window"),
+            (2, "entirely unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "in.parquet"))
+    idx = str(tmp_path / "idx")
+    assert main(
+        ["build", str(tmp_path / "in.parquet"), idx, "--bucket-size", "4",
+         "--positions", "--stopwords", "english", "--stem"]
+    ) == 0
+    capsys.readouterr()
+    assert main(["search", idx, "the sparks AND merges"]) == 0
+    assert [int(x) for x in capsys.readouterr().out.split()] == [0, 1]
+    # all-stopword query: clean empty
+    assert main(["search", idx, "the OR a"]) == 0
+    assert capsys.readouterr().out == ""
+    # phrase: 'the sparks merge' -> ['spark', 'merge'] adjacency
+    assert main(["phrase", idx, "the", "sparks", "merge"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert [int(line.split("\t")[0]) for line in out] == [0, 1]
+
+
 def test_noop_analyzer_is_identity(spark):
     an = Analyzer()
     text = "The Sparks are MERGING"
