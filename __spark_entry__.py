@@ -111,6 +111,23 @@ def _q_bm25_scores(spark, sf):
     return s.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_classic_topk(spark, sf):
+    """ClassicSimilarity (TF-IDF VSM) top-k over the same index
+    (pluggable-similarity surface, operators/bm25.py)."""
+    t = _bm25.similarity_topk(
+        spark, _store_for(spark, sf), Q_TERMS, k=10, similarity="classic"
+    )
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_lmd_topk(spark, sf):
+    """LMDirichlet (query-likelihood) top-k over the same index."""
+    t = _bm25.similarity_topk(
+        spark, _store_for(spark, sf), Q_TERMS, k=10, similarity="dirichlet"
+    )
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_bm25_topk(spark, sf):
     t = _bm25.bm25_topk(spark, _store_for(spark, sf), Q_TERMS, k=10)
     return t.select("doc_id", F.round("score", 4).alias("score"))
@@ -1694,6 +1711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ii_corpus_stats": _q_corpus_stats,
         "bm25_scores": _q_bm25_scores,
         "bm25_topk": _q_bm25_topk,
+        "classic_topk": _q_classic_topk,
+        "lmd_topk": _q_lmd_topk,
         "bm25_topk_wand": _q_bm25_topk_wand,
         "bm25_topk_batch": _q_bm25_topk_batch,
         "read_values_batch": _q_read_values_batch,
@@ -2276,6 +2295,31 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand": (
             f"SELECT doc_id, round(raw_score, 4) AS score FROM ({_BM25_CONTRIB}) "
             "ORDER BY raw_score DESC, doc_id ASC LIMIT 10"
+        ),
+        # pluggable similarities (operators/bm25.py pinned contracts)
+        "classic_topk": (
+            f"WITH tf AS ({_TF}), dl AS ({_DL}), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "n AS (SELECT count(*)::DOUBLE AS n FROM documents), "
+            "sc AS (SELECT tf.doc_id, "
+            "sum(sqrt(tf.tf) * pow(1.0 + ln((SELECT n FROM n) / (df.df + 1.0)), 2) "
+            "/ sqrt(dl.dl)) AS raw "
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            f"WHERE term IN {_QTERMS} GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(raw, 4) AS score FROM sc "
+            "ORDER BY raw DESC, doc_id ASC LIMIT 10"
+        ),
+        "lmd_topk": (
+            f"WITH tok AS ({_TOK}), tf AS ({_TF}), dl AS ({_DL}), "
+            "tot AS (SELECT count(*)::DOUBLE AS tot FROM tok), "
+            "ctf AS (SELECT term, count(*)::DOUBLE AS ctf FROM tok GROUP BY term), "
+            "sc AS (SELECT tf.doc_id, "
+            "sum(greatest(0.0, ln(1.0 + tf.tf / (2000.0 * ctf.ctf / (SELECT tot FROM tot))) "
+            "+ ln(2000.0 / (dl.dl + 2000.0)))) AS raw "
+            "FROM tf JOIN ctf USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            f"WHERE term IN {_QTERMS} GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(raw, 4) AS score FROM sc "
+            "ORDER BY raw DESC, doc_id ASC LIMIT 10"
         ),
         # federation must be transparent: same oracle as the merged index
         "federated_bm25_topk": (

@@ -154,6 +154,143 @@ def bm25_topk(
     )
 
 
+# ------------------------------------------------ pluggable similarities ---
+#
+# Lucene lets an index swap Similarity implementations over the same
+# postings (IndexSearcher.setSimilarity); the two classics besides BM25
+# are ClassicSimilarity (the VSM TF-IDF practical scoring function) and
+# LMDirichletSimilarity (Zhai & Lafferty's Dirichlet-smoothed query
+# likelihood). Both score from exactly the statistics the index already
+# stores — (tf, dl) per posting, df / ctf per term, (N, avgdl) per
+# corpus — so they reuse the same pruned posting scan as bm25_scores:
+# no new artifact, no extra shuffle, just a different contribution
+# expression. Pinned contracts (engine == test oracle == SQL oracle):
+#
+#   classic:   score(d) = Σ_t sqrt(tf) · (1 + ln(N/(df+1)))² / sqrt(dl)
+#   dirichlet: score(d) = Σ_t max(0, ln(1 + tf/(μ·p(t|C))) + ln(μ/(dl+μ)))
+#              p(t|C) = ctf(t) / (N·avgdl),  μ = 2000 by default
+
+LMD_MU = 2000.0
+
+
+def classic_scores(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """(doc_id, score) under ClassicSimilarity (TF-IDF VSM) — the
+    Lucene pre-6 default, kept for rank-compat retrieval stacks."""
+    uniq = sorted(set(terms))
+    n_docs, _avgdl = corpus_stats(spark, store)
+    dfs = term_dfs(spark, store, uniq)
+    w_map = {
+        t: (1.0 + math.log(n_docs / (dfs[t] + 1.0))) ** 2
+        for t in uniq
+        if t in dfs
+    }
+    if not w_map or n_docs == 0:
+        return spark.range(0).select(
+            F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+        )
+    posts = postings_df(spark, store, list(w_map), min_doc, max_doc, with_tf=True)
+    if len(store.live_segments()) > 1:
+        posts = posts.dropDuplicates(["term", "doc_id"])
+    w_expr = F.create_map(
+        *[x for t, w in w_map.items() for x in (F.lit(t), F.lit(float(w)))]
+    )
+    contrib = posts.withColumn(
+        "contrib",
+        w_expr[F.col("term")] * F.sqrt(F.col("tf")) / F.sqrt(F.col("dl")),
+    )
+    return contrib.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+
+
+def lm_dirichlet_scores(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    mu: float = LMD_MU,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """(doc_id, score) under LMDirichletSimilarity: Dirichlet-smoothed
+    query likelihood, per-term contributions clamped at 0 like Lucene
+    (a very common term in a long doc would otherwise score negative).
+
+    The collection model p(t|C) = ctf/total_tokens needs each query
+    term's collection frequency — one extra aggregate over the SAME
+    pruned posting scan (query-term-sized driver state, never
+    corpus-sized)."""
+    uniq = sorted(set(terms))
+    n_docs, avgdl = corpus_stats(spark, store)
+    if n_docs == 0:
+        return spark.range(0).select(
+            F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+        )
+    total_tokens = float(n_docs) * float(avgdl)
+    posts = postings_df(spark, store, uniq, with_tf=True)
+    if len(store.live_segments()) > 1:
+        posts = posts.dropDuplicates(["term", "doc_id"])
+    ctf = {
+        r["term"]: int(r["ctf"])
+        for r in posts.groupBy("term").agg(F.sum("tf").alias("ctf")).collect()
+    }
+    p_map = {t: ctf[t] / total_tokens for t in uniq if ctf.get(t)}
+    if not p_map:
+        return spark.range(0).select(
+            F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+        )
+    if min_doc is not None or max_doc is not None:
+        posts = postings_df(
+            spark, store, list(p_map), min_doc, max_doc, with_tf=True
+        )
+        if len(store.live_segments()) > 1:
+            posts = posts.dropDuplicates(["term", "doc_id"])
+    else:
+        posts = posts.where(F.col("term").isin(list(p_map)))
+    p_expr = F.create_map(
+        *[x for t, p in p_map.items() for x in (F.lit(t), F.lit(float(p)))]
+    )
+    contrib = posts.withColumn(
+        "contrib",
+        F.greatest(
+            F.lit(0.0),
+            F.log(
+                F.lit(1.0)
+                + F.col("tf") / (F.lit(float(mu)) * p_expr[F.col("term")])
+            )
+            + F.log(F.lit(float(mu)) / (F.col("dl") + F.lit(float(mu)))),
+        ),
+    )
+    return contrib.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+
+
+def similarity_topk(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    k: int = 10,
+    similarity: str = "bm25",
+    **kwargs,
+) -> DataFrame:
+    """Top-k under a chosen similarity — Lucene's
+    IndexSearcher.setSimilarity surface: 'bm25' (default),
+    'classic' (TF-IDF), 'dirichlet' (query likelihood, kw ``mu``)."""
+    scorers = {
+        "bm25": bm25_scores,
+        "classic": classic_scores,
+        "dirichlet": lm_dirichlet_scores,
+    }
+    if similarity not in scorers:
+        raise ValueError(
+            f"unknown similarity {similarity!r}; pick from {sorted(scorers)}"
+        )
+    s = scorers[similarity](spark, store, terms, **kwargs)
+    return s.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def field_value_factor(
     col: str,
     factor: float = 1.0,
