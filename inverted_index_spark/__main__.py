@@ -49,10 +49,16 @@ def main(argv: list[str] | None = None) -> int:
         "option; input partitions must hold disjoint doc sets; run "
         "`compact --min-files 1` afterwards to consolidate)",
     )
-    s_query = sub.add_parser("query", help="BM25 top-k")
+    s_query = sub.add_parser("query", help="ranked top-k (BM25 by default)")
     s_query.add_argument("store_root")
     s_query.add_argument("terms", nargs="+")
     s_query.add_argument("-k", type=int, default=10)
+    s_query.add_argument(
+        "--similarity", choices=["bm25", "classic", "dirichlet"],
+        default="bm25",
+        help="scoring function (Lucene setSimilarity): BM25, "
+        "ClassicSimilarity TF-IDF, or LMDirichlet query likelihood",
+    )
     s_phrase = sub.add_parser(
         "phrase", help="exact-phrase match over a positional index "
         "(build with --positions)"
@@ -623,8 +629,16 @@ def main(argv: list[str] | None = None) -> int:
             terms = analyzer.terms(" ".join(terms))
             if not terms:
                 return 0
-        searcher = Searcher(spark, store).open()
-        for row in searcher.topk(terms, args.k).collect():
+        if args.similarity != "bm25":
+            from inverted_index_spark.operators.bm25 import similarity_topk
+
+            rows = similarity_topk(
+                spark, store, terms, k=args.k, similarity=args.similarity
+            ).collect()
+        else:
+            searcher = Searcher(spark, store).open()
+            rows = searcher.topk(terms, args.k).collect()
+        for row in rows:
             print(f"{row['doc_id']}\t{row['score']:.6f}")
         return 0
     if args.cmd == "compact":
