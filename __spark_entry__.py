@@ -147,6 +147,51 @@ def _q_dedup_fingerprints(spark, sf):
     )
 
 
+def _q_bpe_learn(spark, sf):
+    """Distributed BPE vocabulary learning (operators/bpe.py): the
+    Spark learner's merge list must EQUAL the scalar Sennrich twin's —
+    iterative argmax has no SQL twin, so the entry self-checks in-entry
+    (the transcripts_bm25 pattern) and raises on any divergence."""
+    from inverted_index_spark.operators import bpe as _bpe
+
+    sub = _docs(spark, sf).where(F.col("doc_id") < 80)
+    got = _bpe.learn_bpe(spark, sub, n_merges=12)
+    texts = [r["text"] for r in sub.select("text").collect()]
+    want = _bpe.learn_bpe_py(texts, n_merges=12)
+    if got != want:
+        raise AssertionError(f"bpe learner diverged: {got} != {want}")
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(got)],
+        "rank long, a string, b string",
+    )
+
+
+def _q_bpe_encode(spark, sf):
+    """BPE corpus encoding with a fixed learned merge list; self-checks
+    every doc's piece sequence against the scalar twin."""
+    from inverted_index_spark.functions.tokenizer import tokenize_text
+    from inverted_index_spark.operators import bpe as _bpe
+
+    docs = _docs(spark, sf)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.where(F.col("doc_id") < 80).collect()
+    }
+    merges = _bpe.learn_bpe_py(list(texts.values()), n_merges=16)
+    out = _bpe.encode_bpe(docs.where(F.col("doc_id") < 80), merges)
+    got = {r["doc_id"]: list(r["pieces"]) for r in out.collect()}
+    for d, t in texts.items():
+        want = [
+            p for w in tokenize_text(t)
+            for p in _bpe.encode_word_py(w, merges)
+        ]
+        if want and got.get(d) != want:
+            raise AssertionError(f"bpe encode diverged on doc {d}")
+    return out.select(
+        "doc_id", F.size("pieces").alias("n_pieces")
+    ).orderBy("doc_id")
+
+
 def _q_analyzed_term_df(spark, sf):
     """Analyzer chain (stop filter + S-stemmer) applied at ingest; df
     over the analyzed term space. The DuckDB oracle mirrors the exact
@@ -1823,6 +1868,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _q_top_terms,
         "ii_read_values_regex": _q_read_values_regex,
         "ii_read_terms_suffix": _q_read_terms_suffix,
+        # iterative BPE learning is job-count-heavy (~1.3s/merge) —
+        # keep it near the tail with the other slow entries
+        "bpe_encode": _q_bpe_encode,
+        "bpe_learn": _q_bpe_learn,
         # slowest last: the streaming-to-completion entries must never
         # crowd cheap entries out of a time-budgeted correctness pass
         "stream_dedup_fingerprints": _q_stream_dedup,
