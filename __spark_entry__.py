@@ -930,6 +930,26 @@ def _q_pack_sequences(spark, sf):
 _TS_STORES: dict[str, SegmentStore] = {}
 
 
+_TRI_STORES: dict[str, SegmentStore] = {}
+
+
+def _q_substring_grep(spark, sf):
+    """Trigram substring index (Google Code Search design,
+    operators/substring.py): candidates from one AND over the needle's
+    trigram posting lists, contains() verification reads only
+    candidate rows."""
+    from inverted_index_spark.operators.substring import (
+        build_trigram_index, substring_search,
+    )
+
+    docs = _docs(spark, sf)
+    if sf not in _TRI_STORES:
+        store = SegmentStore(tempfile.mkdtemp(prefix="ii_tri_") + "/idx")
+        build_trigram_index(spark, docs, store, bucket_size=1 << 14)
+        _TRI_STORES[sf] = store
+    return substring_search(spark, _TRI_STORES[sf], "spark merge", docs)
+
+
 def _q_ts_index_range(spark, sf):
     """Generic ordered-V indexing (reference README.md:7,28 — V as
     timestamps): event types indexed by occurrence time; R10 range
@@ -1774,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "corpus_pipeline": _q_corpus_pipeline,
         "ts_index_range": _q_ts_index_range,
+        "substring_grep": _q_substring_grep,
         "ann_lsh_topk": _q_ann_lsh,
         "ivf_topk": _q_ivf_topk,
         "delete_read_values": _q_delete_read_values,
@@ -2967,6 +2988,10 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "FROM o ORDER BY doc_id"
         ),
         "corpus_pipeline": _PIPELINE_SQL,
+        "substring_grep": (
+            "SELECT doc_id FROM documents "
+            "WHERE contains(lower(text), 'spark merge') ORDER BY doc_id"
+        ),
         "ts_index_range": (
             "SELECT DISTINCT epoch_us(ts) AS ts_us FROM events "
             f"WHERE event_type IN ('{TS_TYPES[0]}', '{TS_TYPES[1]}') "

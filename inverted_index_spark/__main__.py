@@ -18,6 +18,21 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     s_inspect = sub.add_parser("inspect", help="per-segment stats table (U1)")
     s_inspect.add_argument("store_root")
+    s_tri = sub.add_parser(
+        "build-trigrams",
+        help="build a trigram substring index (Code Search design; "
+        "query it with `grep`)",
+    )
+    s_tri.add_argument("input_parquet")
+    s_tri.add_argument("store_root")
+    s_tri.add_argument("--bucket-size", type=int, default=1 << 16)
+    s_grep = sub.add_parser(
+        "grep", help="substring search via a trigram index "
+        "(case-insensitive; needles <3 chars fall back to a scan)"
+    )
+    s_grep.add_argument("store_root")
+    s_grep.add_argument("input_parquet", help="the corpus the index was built over")
+    s_grep.add_argument("needle")
     s_build = sub.add_parser("build", help="build an index segment")
     s_build.add_argument("input_parquet")
     s_build.add_argument("store_root")
@@ -427,6 +442,34 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("ii-cli")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.cmd == "build-trigrams":
+        from inverted_index_spark.operators.substring import (
+            build_trigram_index,
+        )
+
+        docs = spark.read.parquet(args.input_parquet)
+        if "doc_id" not in docs.columns:
+            from inverted_index_spark.operators.docids import mint_doc_ids
+
+            docs = mint_doc_ids(docs)
+        sid = build_trigram_index(
+            spark, docs, store, bucket_size=args.bucket_size
+        )
+        print(f"committed trigram segment {sid}")
+        return 0
+    if args.cmd == "grep":
+        from inverted_index_spark.operators.substring import substring_search
+
+        docs = spark.read.parquet(args.input_parquet)
+        if "doc_id" not in docs.columns:
+            from inverted_index_spark.operators.docids import mint_doc_ids
+
+            docs = mint_doc_ids(docs)
+        for row in substring_search(
+            spark, store, args.needle, docs
+        ).collect():
+            print(row["doc_id"])
+        return 0
     if args.cmd == "build":
         from inverted_index_spark.operators.build import build_index
 
