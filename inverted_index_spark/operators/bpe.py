@@ -44,6 +44,10 @@ from inverted_index_spark.functions.tokenizer import tokenize_text, tokens_expr
 
 EOW = "</w>"  # end-of-word marker (outside the pinned token alphabet)
 CHECKPOINT_EVERY = 10
+# beyond this many merges the encode cascade leaves JVM expressions
+# (nesting thousands of folds would blow codegen) for an Arrow-batched
+# rank-based kernel over the dictionary — see encode_bpe
+MAX_EXPR_MERGES = 64
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -154,10 +158,34 @@ def encode_bpe(
     dictionary = toks.select(
         F.explode("toks").alias("word")
     ).distinct()
-    sym = _initial_symbols(F.col("word"))
-    for a, b in merges:
-        sym = _merge_expr(sym, a, b)
-    dictionary = dictionary.select("word", sym.alias("pieces"))
+    if len(merges) <= MAX_EXPR_MERGES:
+        sym = _initial_symbols(F.col("word"))
+        for a, b in merges:
+            sym = _merge_expr(sym, a, b)
+        dictionary = dictionary.select("word", sym.alias("pieces"))
+    else:
+        # a production vocab is ~32k merges — nesting that many fold
+        # expressions would blow codegen/analysis, so the cascade runs
+        # as an Arrow-batched kernel instead. Python here is honest:
+        # it touches the DICTIONARY (distinct words), never the corpus,
+        # and the scalar kernel is the pinned reference twin.
+        from collections.abc import Iterator
+
+        import pandas as pd
+
+        ranks = {p: i for i, p in enumerate(merges)}
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["pieces"] = [
+                    encode_word_ranked(w, ranks) for w in pdf["word"]
+                ]
+                yield pdf
+
+        dictionary = dictionary.mapInPandas(
+            run, schema="word string, pieces array<string>"
+        )
     exploded = toks.select(
         "doc_id", F.posexplode("toks").alias("pos", "word")
     )
@@ -212,6 +240,34 @@ def learn_bpe_py(
             nxt[k] = nxt.get(k, 0) + n
         counts = nxt
     return merges
+
+
+def encode_word_ranked(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Rank-based encoder (the GPT-2 bpe loop): repeatedly merge the
+    lowest-rank adjacent pair present. Equivalent to applying the
+    merge list in order (tested), but O(len² · log) per word
+    INDEPENDENT of vocabulary size — the kernel for production-sized
+    merge lists."""
+    out = list(word) + [EOW]
+    while len(out) > 1:
+        best_rank, best_pair = None, None
+        for x, y in zip(out, out[1:]):
+            r = ranks.get((x, y))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (x, y)
+        if best_pair is None:
+            break
+        a, b = best_pair
+        nxt: list[str] = []
+        for x in out:
+            if nxt and nxt[-1] == a and x == b:
+                nxt[-1] = a + b
+            else:
+                nxt.append(x)
+        out = nxt
+    return out
 
 
 def encode_word_py(word: str, merges: list[tuple[str, str]]) -> list[str]:

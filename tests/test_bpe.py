@@ -75,6 +75,41 @@ def test_encode_empty_merges_is_chars(spark):
     assert got == {0: ["a", "b", EOW, "b", "a", EOW]}
 
 
+def test_ranked_encoder_equivalence():
+    """GPT-2-style min-rank loop ≡ applying the merge list in order,
+    across every prefix of a learned merge list and unseen words."""
+    from inverted_index_spark.operators.bpe import encode_word_ranked
+
+    merges = learn_bpe_py(TEXTS, n_merges=30)
+    words = [w for t in TEXTS for w in tokenize_text(t)] + [
+        "unseen", "lowestest", "aaaabbbb", "x",
+    ]
+    for cut in (0, 1, 5, len(merges)):
+        ranks = {p: i for i, p in enumerate(merges[:cut])}
+        for w in words:
+            assert encode_word_ranked(w, ranks) == encode_word_py(
+                w, merges[:cut]
+            ), (w, cut)
+
+
+def test_encode_bpe_kernel_path(spark, monkeypatch):
+    """The Arrow-batched dictionary kernel (production merge-list
+    sizes) returns exactly what the JVM fold cascade returns."""
+    import inverted_index_spark.operators.bpe as bpe_mod
+
+    merges = learn_bpe_py(TEXTS, n_merges=12)
+    expr = {
+        r["doc_id"]: list(r["pieces"])
+        for r in encode_bpe(_df(spark, TEXTS), merges).collect()
+    }
+    monkeypatch.setattr(bpe_mod, "MAX_EXPR_MERGES", 0)
+    kern = {
+        r["doc_id"]: list(r["pieces"])
+        for r in encode_bpe(_df(spark, TEXTS), merges).collect()
+    }
+    assert kern == expr
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     st.lists(
