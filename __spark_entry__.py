@@ -185,7 +185,7 @@ def _q_bpe_encode(spark, sf):
             p for w in tokenize_text(t)
             for p in _bpe.encode_word_py(w, merges)
         ]
-        if want and got.get(d) != want:
+        if got.get(d) != want:
             raise AssertionError(f"bpe encode diverged on doc {d}")
     return out.select(
         "doc_id", F.size("pieces").alias("n_pieces")

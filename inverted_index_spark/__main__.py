@@ -25,7 +25,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     s_tri.add_argument("input_parquet")
     s_tri.add_argument("store_root")
-    s_tri.add_argument("--bucket-size", type=int, default=1 << 16)
+    s_tri.add_argument(
+        "--bucket-size", type=int, default=None,
+        help="doc-bucket width; defaults to the store's pinned size, else 65536",
+    )
     s_grep = sub.add_parser(
         "grep", help="substring search via a trigram index "
         "(case-insensitive; needles <3 chars fall back to a scan)"
@@ -452,9 +455,8 @@ def main(argv: list[str] | None = None) -> int:
             from inverted_index_spark.operators.docids import mint_doc_ids
 
             docs = mint_doc_ids(docs)
-        sid = build_trigram_index(
-            spark, docs, store, bucket_size=args.bucket_size
-        )
+        bucket = args.bucket_size or store.pinned_bucket_size() or (1 << 16)
+        sid = build_trigram_index(spark, docs, store, bucket_size=bucket)
         print(f"committed trigram segment {sid}")
         return 0
     if args.cmd == "grep":
@@ -495,15 +497,27 @@ def main(argv: list[str] | None = None) -> int:
                     f"store pins a different analyzer ({analyzer}); "
                     "build without --stopwords/--stem to reuse it"
                 )
+            if analyzer is None and len(store.live_segments()):
+                raise SystemExit(
+                    "store already holds segments built WITHOUT an "
+                    "analyzer; pinning one now would mix term spaces — "
+                    "rebuild into a fresh store"
+                )
             analyzer = requested
             analyzer.save(args.store_root)
+        text_col, store_text_col = "text", None
         if analyzer is not None:
-            docs = analyzer.apply(docs)
+            # index the analyzed stream, hydrate the ORIGINAL text
+            from pyspark.sql import functions as _F
+
+            docs = docs.withColumn("_analyzed", analyzer.expr(_F.col("text")))
+            text_col, store_text_col = "_analyzed", "text"
         bucket_size = args.bucket_size or store.pinned_bucket_size() or (1 << 16)
         sid = build_index(
             spark, docs, store, bucket_size=bucket_size,
             shuffle=not args.no_shuffle, positions=args.positions,
             store_text=args.store_text,
+            text_col=text_col, store_text_col=store_text_col,
         )
         print(f"committed segment {sid}")
         return 0
@@ -532,9 +546,20 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(
                 "reindex input must carry doc_id (the ids to supersede)"
             )
+        from inverted_index_spark.functions.analyzer import Analyzer
+
+        text_col, store_text_col = "text", None
+        analyzer = Analyzer.load(args.store_root)
+        if analyzer is not None:
+            # replacements must live in the store's analyzed term space
+            from pyspark.sql import functions as _F
+
+            docs = docs.withColumn("_analyzed", analyzer.expr(_F.col("text")))
+            text_col, store_text_col = "_analyzed", "text"
         sid = reindex_docs(
             spark, docs, store,
             positions=args.positions, store_text=args.store_text,
+            text_col=text_col, store_text_col=store_text_col,
         )
         print(f"committed reindex segment {sid}")
         return 0
@@ -632,10 +657,18 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{row['term']}\t{row['df']}")
         return 0
     if args.cmd == "significant-terms":
+        from inverted_index_spark.functions.analyzer import Analyzer
         from inverted_index_spark.operators.aggregations import significant_terms
+        from inverted_index_spark.operators.boolean import parse_query
 
+        q = parse_query(args.query)
+        analyzer = Analyzer.load(args.store_root)
+        if analyzer is not None:
+            q = analyzer.rewrite(q)
+            if q is None:
+                return 0
         for row in significant_terms(
-            spark, store, args.query, k=args.k, min_doc_count=args.min_doc_count
+            spark, store, q, k=args.k, min_doc_count=args.min_doc_count
         ).collect():
             print(
                 f"{row['term']}\t{row['fg_df']}\t{row['bg_df']}\t{row['score']:.6f}"
@@ -648,9 +681,17 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{row['doc_id']}\t{row['term']}\t{row['tf']}")
         return 0
     if args.cmd == "explain":
+        from inverted_index_spark.functions.analyzer import Analyzer
         from inverted_index_spark.operators.aggregations import bm25_explain
 
-        for row in bm25_explain(spark, store, args.terms, doc_ids=args.doc).collect():
+        terms = args.terms
+        analyzer = Analyzer.load(args.store_root)
+        if analyzer is not None:
+            # explain must see the same term space query/search rank in
+            terms = analyzer.terms(" ".join(terms))
+            if not terms:
+                return 0
+        for row in bm25_explain(spark, store, terms, doc_ids=args.doc).collect():
             print(
                 f"{row['doc_id']}\t{row['term']}\ttf={row['tf']}\tdl={row['dl']}"
                 f"\tdf={row['df']}\tidf={row['idf']:.6f}"

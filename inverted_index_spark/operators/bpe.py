@@ -190,7 +190,7 @@ def encode_bpe(
         "doc_id", F.posexplode("toks").alias("pos", "word")
     )
     joined = exploded.join(dictionary, "word")
-    return (
+    assembled = (
         joined.groupBy("doc_id")
         .agg(
             F.sort_array(
@@ -201,6 +201,15 @@ def encode_bpe(
             "doc_id",
             F.flatten(F.col("_o.pieces")).alias("pieces"),
         )
+    )
+    # zero-token docs vanish from the explode — re-attach them with an
+    # empty piece list so the output stays corpus-complete (downstream
+    # per-doc joins must not silently lose rows)
+    return toks.select("doc_id").join(assembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(
+            "pieces", F.array().cast("array<string>")
+        ).alias("pieces"),
     )
 
 

@@ -460,6 +460,7 @@ def build_index(
     shuffle: bool = True,
     positions: bool = False,
     store_text: bool = False,
+    store_text_col: str | None = None,
     attach_deletes: tuple[str, int] | None = None,
 ) -> str:
     """docs(doc_id, text) → one committed segment (entry point A,
@@ -469,6 +470,9 @@ def build_index(
     (operators.positions) enabling phrase_match over this store.
     ``store_text=True`` additionally writes the (doc_id, text) doc
     store so results can be hydrated back to text (Searcher.fetch_text).
+    ``store_text_col`` overrides WHICH column the doc store persists —
+    an analyzer pipeline indexes a transformed column but should
+    hydrate the ORIGINAL text (defaults to ``text_col``).
 
     Both the token stream and the doc lengths are pure JVM column
     expressions over the source scan (functions.tokenizer): two cheap
@@ -488,7 +492,7 @@ def build_index(
     if store_text:
         texts_df = docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
-            F.col(text_col).alias("text"),
+            F.col(store_text_col or text_col).alias("text"),
         )
     return build_index_from_tokens(
         spark, tokens, dstats, store,

@@ -235,6 +235,68 @@ def test_cli_analyzed_search_and_phrase(spark, tmp_path, capsys):
     assert [int(line.split("\t")[0]) for line in out] == [0, 1]
 
 
+def test_cli_refuses_pin_on_raw_store(spark, tmp_path, capsys):
+    """Pinning an analyzer onto a store that already holds raw-built
+    segments would silently mix term spaces — refused (review fix)."""
+    from inverted_index_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [(0, "some queries here")], "doc_id long, text string"
+    )
+    docs.write.parquet(str(tmp_path / "in.parquet"))
+    idx = str(tmp_path / "idx")
+    assert main(["build", str(tmp_path / "in.parquet"), idx,
+                 "--bucket-size", "4"]) == 0
+    capsys.readouterr()
+    import pytest
+
+    with pytest.raises(SystemExit, match="mix term spaces"):
+        main(["build", str(tmp_path / "in.parquet"), idx, "--stem"])
+
+
+def test_cli_analyzed_store_hydrates_original_text(spark, tmp_path, capsys):
+    """An analyzer pipeline indexes the analyzed stream but the doc
+    store keeps the ORIGINAL text; reindex stays in the analyzed term
+    space (review fixes)."""
+    from inverted_index_spark.__main__ import main
+    from inverted_index_spark.operators.search import Searcher
+    from inverted_index_spark.sources.store import SegmentStore
+
+    docs = spark.createDataFrame(
+        [(0, "The Sparks are merging Tables"), (1, "a window here")],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "in.parquet"))
+    idx = str(tmp_path / "idx")
+    assert main(
+        ["build", str(tmp_path / "in.parquet"), idx, "--bucket-size", "4",
+         "--store-text", "--stopwords", "english", "--stem"]
+    ) == 0
+    capsys.readouterr()
+    store = SegmentStore(idx)
+    s = Searcher(spark, store).open()
+    hits = s.topk(["spark"], 5)
+    hydrated = {
+        r["doc_id"]: r["text"] for r in s.fetch_text(hits).collect()
+    }
+    assert hydrated[0] == "The Sparks are merging Tables"  # original
+    # reindex doc 1 with plural surface forms; the analyzed query space
+    # must still match it afterwards
+    upd = spark.createDataFrame(
+        [(1, "many sparks and tables")], "doc_id long, text string"
+    )
+    upd.write.parquet(str(tmp_path / "upd.parquet"))
+    assert main(["reindex", str(tmp_path / "upd.parquet"), idx,
+                 "--store-text"]) == 0
+    capsys.readouterr()
+    assert main(["query", idx, "sparks", "-k", "5"]) == 0
+    got = {
+        int(line.split("\t")[0])
+        for line in capsys.readouterr().out.strip().splitlines()
+    }
+    assert got == {0, 1}
+
+
 def test_noop_analyzer_is_identity(spark):
     an = Analyzer()
     text = "The Sparks are MERGING"

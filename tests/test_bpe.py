@@ -59,12 +59,12 @@ def test_encode_bpe_matches_reference(spark):
         for r in encode_bpe(_df(spark, TEXTS), merges).collect()
     }
     for i, t in enumerate(TEXTS):
-        toks = tokenize_text(t)
-        want = [p for w in toks for p in encode_word_py(w, merges)]
-        if not toks:
-            assert i not in got  # zero-token docs produce no row
-        else:
-            assert got[i] == want, (i, got[i], want)
+        want = [
+            p for w in tokenize_text(t) for p in encode_word_py(w, merges)
+        ]
+        # zero-token docs keep a row with an empty piece list — the
+        # output is corpus-complete
+        assert got[i] == want, (i, got[i], want)
 
 
 def test_encode_empty_merges_is_chars(spark):
