@@ -950,6 +950,24 @@ def _q_substring_grep(spark, sf):
     return substring_search(spark, _TRI_STORES[sf], "spark merge", docs)
 
 
+def _q_regex_grep(spark, sf):
+    """Regex grep over the trigram index: Cox-style required-trigram
+    DNF prunes candidates ('spark merge' AND-set OR 'window table'
+    AND-set), rlike verifies (Java-regex∩RE2 subset)."""
+    from inverted_index_spark.operators.substring import (
+        build_trigram_index, regex_search,
+    )
+
+    docs = _docs(spark, sf)
+    if sf not in _TRI_STORES:
+        store = SegmentStore(tempfile.mkdtemp(prefix="ii_tri_") + "/idx")
+        build_trigram_index(spark, docs, store, bucket_size=1 << 14)
+        _TRI_STORES[sf] = store
+    return regex_search(
+        spark, _TRI_STORES[sf], "spark merge|window .able", docs
+    )
+
+
 def _q_ts_index_range(spark, sf):
     """Generic ordered-V indexing (reference README.md:7,28 — V as
     timestamps): event types indexed by occurrence time; R10 range
@@ -1795,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": _q_corpus_pipeline,
         "ts_index_range": _q_ts_index_range,
         "substring_grep": _q_substring_grep,
+        "regex_grep": _q_regex_grep,
         "ann_lsh_topk": _q_ann_lsh,
         "ivf_topk": _q_ivf_topk,
         "delete_read_values": _q_delete_read_values,
@@ -2991,6 +3010,11 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
         "substring_grep": (
             "SELECT doc_id FROM documents "
             "WHERE contains(lower(text), 'spark merge') ORDER BY doc_id"
+        ),
+        "regex_grep": (
+            "SELECT doc_id FROM documents "
+            "WHERE regexp_matches(lower(text), 'spark merge|window .able') "
+            "ORDER BY doc_id"
         ),
         "ts_index_range": (
             "SELECT DISTINCT epoch_us(ts) AS ts_us FROM events "

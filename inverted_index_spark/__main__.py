@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     s_grep.add_argument("store_root")
     s_grep.add_argument("input_parquet", help="the corpus the index was built over")
     s_grep.add_argument("needle")
+    s_grep.add_argument(
+        "--regex", action="store_true",
+        help="treat NEEDLE as a regex (Java∩RE2 subset); candidates "
+        "come from Cox-style required-trigram analysis when possible",
+    )
     s_build = sub.add_parser("build", help="build an index segment")
     s_build.add_argument("input_parquet")
     s_build.add_argument("store_root")
@@ -460,16 +465,17 @@ def main(argv: list[str] | None = None) -> int:
         print(f"committed trigram segment {sid}")
         return 0
     if args.cmd == "grep":
-        from inverted_index_spark.operators.substring import substring_search
+        from inverted_index_spark.operators.substring import (
+            regex_search, substring_search,
+        )
 
         docs = spark.read.parquet(args.input_parquet)
         if "doc_id" not in docs.columns:
             from inverted_index_spark.operators.docids import mint_doc_ids
 
             docs = mint_doc_ids(docs)
-        for row in substring_search(
-            spark, store, args.needle, docs
-        ).collect():
+        fn = regex_search if args.regex else substring_search
+        for row in fn(spark, store, args.needle, docs).collect():
             print(row["doc_id"])
         return 0
     if args.cmd == "build":

@@ -113,3 +113,130 @@ def substring_search(
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------------ regex grep ---
+
+_QUANTIFIERS = set("*+?{")
+_FLUSHERS = set(".^$)")
+
+
+def regex_required_trigrams(pattern: str) -> list[list[str]] | None:
+    """Conservative Cox-style literal analysis: compile a regex into a
+    DNF of REQUIRED trigram sets — ``[[g1, g2], [g3]]`` means (g1 AND
+    g2) OR g3 must all appear in any matching text. Returns None when
+    the pattern carries no usable literal information (the caller
+    falls back to the verify scan).
+
+    Supported subset: literals, ``.``, quantifiers (``* + ? {m,n}`` —
+    the quantified char is dropped from the mandatory literal), escaped
+    metachars, character classes (contribute nothing), and TOP-LEVEL
+    alternation. Any group ``(`` → None (nested structure is where
+    conservative analysis stops paying for its complexity)."""
+    low = pattern.lower()
+    if "(" in low.replace("\\(", ""):
+        return None
+    branches = _split_top_alternation(low)
+    dnf: list[list[str]] = []
+    for br in branches:
+        runs = _literal_runs(br)
+        grams = sorted(
+            {r[i : i + N] for r in runs for i in range(len(r) - (N - 1))}
+        )
+        if not grams:
+            return None  # one unconstrained branch poisons the OR
+        dnf.append(grams)
+    return dnf or None
+
+
+def _split_top_alternation(pattern: str) -> list[str]:
+    out, cur, i = [], [], 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            cur += [c, pattern[i + 1]]
+            i += 2
+            continue
+        if c == "|":
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
+def _literal_runs(branch: str) -> list[str]:
+    runs: list[str] = []
+    buf: list[str] = []
+    i = 0
+    while i < len(branch):
+        c = branch[i]
+        if c == "\\" and i + 1 < len(branch):
+            nxt = branch[i + 1]
+            if nxt.isalnum():  # \d, \w, ... — a class, not a literal
+                runs.append("".join(buf))
+                buf = []
+            else:  # escaped metachar is a literal
+                buf.append(nxt)
+            i += 2
+            continue
+        if c in _QUANTIFIERS:
+            # the preceding char is optional/repeated — not mandatory
+            if buf:
+                buf.pop()
+            runs.append("".join(buf))
+            buf = []
+            if c == "{":  # skip the {m,n} body
+                end = branch.find("}", i)
+                i = (end if end != -1 else len(branch) - 1) + 1
+                continue
+        elif c == "[":
+            runs.append("".join(buf))
+            buf = []
+            end = branch.find("]", i + 1)
+            i = (end if end != -1 else len(branch) - 1) + 1
+            continue
+        elif c in _FLUSHERS:
+            runs.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    runs.append("".join(buf))
+    return [r for r in runs if len(r) >= N]
+
+
+def regex_search(
+    spark: SparkSession,
+    store: SegmentStore,
+    pattern: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Doc ids whose lower(text) matches ``pattern`` (Java-regex∩RE2
+    subset — the same dialect discipline as functions/pii.py), sorted.
+    Candidates come from the trigram DNF when the pattern has required
+    literals; otherwise the verify scan runs corpus-wide (exactly Code
+    Search's behavior on literal-free regexes). Matching is
+    case-insensitive by construction (pattern and text both lowered)."""
+    if not pattern:
+        raise ValueError("empty pattern")
+    lowered = pattern.lower()
+    verify = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.lower(F.col(text_col)).alias("_t"),
+    )
+    dnf = regex_required_trigrams(lowered)
+    if dnf is not None:
+        cands = and_values(spark, store, dnf[0])
+        for grams in dnf[1:]:
+            cands = cands.union(and_values(spark, store, grams)).distinct()
+        verify = verify.join(cands, "doc_id", "left_semi")
+    return (
+        verify.where(F.col("_t").rlike(lowered))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

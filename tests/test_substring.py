@@ -12,6 +12,7 @@ from inverted_index_spark.operators.substring import (
     build_trigram_index,
     doc_trigrams,
     needle_trigrams,
+    regex_search,
     substring_search,
 )
 from inverted_index_spark.sources.store import SegmentStore
@@ -89,6 +90,63 @@ def test_short_needle_fallback(spark, sub_store):
     assert got == _brute("xy") == [5]
     with pytest.raises(ValueError, match="empty needle"):
         substring_search(spark, store, "", docs)
+
+
+def test_regex_required_trigrams():
+    from inverted_index_spark.operators.substring import (
+        regex_required_trigrams as rt,
+    )
+
+    # plain literal
+    assert rt("connection") == [needle_trigrams("connection")]
+    # concatenation across a gap: both sides required
+    got = rt("error.*refused")
+    assert got is not None and set(got[0]) == set(
+        needle_trigrams("error") + needle_trigrams("refused")
+    )
+    # quantified char is not mandatory: 'timeouts?' requires 'timeout'
+    assert rt("timeouts?") == [needle_trigrams("timeout")]
+    # top-level alternation -> DNF branches
+    got = rt("timeout|refused")
+    assert got == [needle_trigrams("timeout"), needle_trigrams("refused")]
+    # one unconstrained branch poisons the OR
+    assert rt("timeout|x.") is None
+    # groups and literal-free patterns fall back
+    assert rt("(time)out") is None
+    assert rt("a.b") is None
+    assert rt(r"\d+") is None
+    # escaped metachar is a literal ('10\.0' -> trigrams of '10.0')
+    got = rt(r"10\.0\.0\.1")
+    assert got == [needle_trigrams("10.0.0.1")]
+    # character class contributes nothing but neighbors still count
+    assert rt("[ew]rror: conn") == [needle_trigrams("rror: conn")]
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        "connection",
+        "error.*refused",
+        "timeouts?",
+        "timeout|refused",
+        r"10\.0\.0\.\d",   # falls back (class tail) — still correct
+        "conn.ction",
+        "^error",
+        "nominal$",
+    ],
+)
+def test_regex_search(spark, sub_store, pattern):
+    import re
+
+    store, docs = sub_store
+    got = [
+        r["doc_id"]
+        for r in regex_search(spark, store, pattern, docs).collect()
+    ]
+    want = [
+        d for d, t in DOCS if re.search(pattern.lower(), t.lower())
+    ]
+    assert got == want, pattern
 
 
 def test_plan_prunes_corpus_scan(spark, sub_store):
