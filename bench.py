@@ -409,6 +409,44 @@ def main() -> None:
     qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
     bench.run("embed_knn", lambda: cosine_topk(emb, qv, k=20).collect())
 
+    # trigram substring/regex grep over the transcript corpus (round-5
+    # Code Search feature): build cost is visible as its own row; grep
+    # measures candidate-AND + contains/rlike verify. Warm the plan
+    # shapes untimed first (same rationale as the header warm-up).
+    from inverted_index_spark.operators.substring import (
+        build_trigram_index, regex_search, substring_search,
+    )
+
+    tx_main = spark.read.parquet(f"{tmp}/transcripts")
+    warm_tri = SegmentStore(f"{tmp}/warm_tri_idx")
+    build_trigram_index(spark, warm_docs, warm_tri, bucket_size=128)
+    substring_search(spark, warm_tri, "the", warm_docs).count()
+    regex_search(spark, warm_tri, "the|of", warm_docs).count()
+    tri_stores = {"n": 0, "last": None}
+
+    def fresh_tri_store():
+        tri_stores["n"] += 1
+        tri_stores["last"] = SegmentStore(f"{tmp}/tri_idx_{tri_stores['n']}")
+        return tri_stores["last"]
+
+    bench.run(
+        "build_trigrams_tx",
+        lambda store: build_trigram_index(
+            spark, tx_main, store,
+            bucket_size=max(N_TURNS // (CPUS * 2), 512),
+        ),
+        setup=fresh_tri_store,
+    )
+    tri_store = tri_stores["last"]
+
+    def _greps():
+        substring_search(spark, tri_store, "w00001 w00002", tx_main).count()
+        regex_search(
+            spark, tri_store, "w00010 w00011|w00042 w00043", tx_main
+        ).count()
+
+    bench.run("grep_tx", _greps)
+
     # ----------------------------------------------------------- xl leg ---
     xl = None
     if N_TURNS_XL > 0:
