@@ -438,6 +438,43 @@ def _q_span_not(spark, sf):
     return span_not(spark, _store_for(spark, sf), PHRASE, ["merge"], pre=2, post=2)
 
 
+def _q_span_or(spark, sf):
+    """Round-5: Lucene SpanOrQuery — distinct spans matched by the
+    exact phrase OR the single term 'window', one adjacency kernel."""
+    from inverted_index_spark.operators.spans import span_or
+
+    return span_or(spark, _store_for(spark, sf), [PHRASE, ["window"]])
+
+
+def _q_span_within(spark, sf):
+    """Round-5: Lucene SpanWithinQuery — 'hash' occurrences that fall
+    fully within a span of the exact phrase (i.e. preceded by
+    'table')."""
+    from inverted_index_spark.operators.spans import span_within
+
+    return span_within(spark, _store_for(spark, sf), PHRASE, [PHRASE[1]])
+
+
+def _q_rare_terms(spark, sf):
+    """Round-5: ES rare_terms — the dictionary long tail (doc count ≤
+    382 catches the synthetic corpus's rare 'dup' marker plus the low
+    end of the common band; exact counts make count-ASC order safe)."""
+    from inverted_index_spark.operators.aggregations import rare_terms
+
+    return rare_terms(spark, _store_for(spark, sf), max_doc_count=382)
+
+
+def _q_multi_terms(spark, sf):
+    """Round-5: ES multi_terms — top (lang, source) composite buckets
+    over the docs matching 'dup'."""
+    from inverted_index_spark.operators.aggregations import multi_terms
+
+    return multi_terms(
+        spark, _store_for(spark, sf), "dup", _docs(spark, sf),
+        ["lang", "source"], k=10,
+    )
+
+
 def _child_parent(spark, sf):
     """The entry's join-field mapping: every document is a child of
     its source (ES join-field re-expressed as a plain column)."""
@@ -1887,6 +1924,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_prefix_match": _q_phrase_prefix,
         "span_first_match": _q_span_first,
         "span_not_match": _q_span_not,
+        "span_or_match": _q_span_or,
+        "span_within_match": _q_span_within,
+        "rare_terms_tail": _q_rare_terms,
+        "multi_terms_buckets": _q_multi_terms,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
         "phrase_slop_bm25_topk": _q_phrase_slop_bm25_topk,
         "phrase_snippets": _q_phrase_snippets,
@@ -2810,6 +2851,49 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "))::BIGINT AS n_matches FROM "
             f"(SELECT doc_id, {_TOKS_SQL} AS t FROM documents)) "
             "WHERE n_matches > 0 ORDER BY doc_id"
+        ),
+        "span_or_match": (
+            # distinct (start, end) spans matched by the exact phrase
+            # OR the single term 'window' — list-of-[start,end] union
+            "SELECT doc_id, n_matches FROM (SELECT doc_id, "
+            # spans encoded as start*2^32+end scalars: list_distinct
+            # over nested lists is unsupported in this DuckDB build
+            "len(list_distinct("
+            "list_transform(list_filter(generate_series(1, greatest(len(t) - 1, 0)), "
+            f"i -> t[i] = '{PHRASE[0]}' AND t[i+1] = '{PHRASE[1]}'), "
+            "i -> i::BIGINT * 4294967296 + (i + 1)) "
+            "|| list_transform(list_filter(generate_series(1, len(t)), "
+            "i -> t[i] = 'window'), i -> i::BIGINT * 4294967296 + i)"
+            "))::BIGINT AS n_matches FROM "
+            f"(SELECT doc_id, {_TOKS_SQL} AS t FROM documents)) "
+            "WHERE n_matches > 0 ORDER BY doc_id"
+        ),
+        "span_within_match": (
+            # 'hash' positions enclosed by a phrase span [b, b+1]
+            "SELECT doc_id, n_matches FROM (SELECT doc_id, "
+            "len(list_filter(ls, i -> len(list_filter(bs, "
+            "b -> b <= i AND i <= b + 1)) > 0))::BIGINT AS n_matches "
+            "FROM (SELECT doc_id, "
+            "list_filter(generate_series(1, greatest(len(t) - 1, 0)), "
+            f"i -> t[i] = '{PHRASE[0]}' AND t[i+1] = '{PHRASE[1]}') AS bs, "
+            "list_filter(generate_series(1, len(t)), "
+            f"i -> t[i] = '{PHRASE[1]}') AS ls "
+            f"FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents))) "
+            "WHERE n_matches > 0 ORDER BY doc_id"
+        ),
+        "rare_terms_tail": (
+            "SELECT term, doc_count FROM ("
+            "SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_count "
+            f"FROM ({_TOK}) GROUP BY term) "
+            "WHERE doc_count <= 382 "
+            "ORDER BY doc_count ASC, term ASC LIMIT 1000"
+        ),
+        "multi_terms_buckets": (
+            "SELECT lang, source, count(*)::BIGINT AS doc_count "
+            "FROM documents d "
+            f"WHERE list_contains({_TOKS_SQL}, 'dup') "
+            "GROUP BY lang, source "
+            "ORDER BY doc_count DESC, lang ASC, source ASC LIMIT 10"
         ),
         "phrase_snippets": (
             f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), "

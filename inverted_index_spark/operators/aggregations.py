@@ -9,8 +9,13 @@ reference's read path — SURVEY.md §2 extensions):
                         breakdown — tf, df, idf, norm, contribution
     facet_cardinality   ES cardinality aggregation over a facet column
                         (exact countDistinct or HLL approx)
+    rare_terms          ES rare_terms: long-tail terms (doc count ≤
+                        threshold) in the match set — exact here, so
+                        the ascending order ES forbids on shards is safe
+    multi_terms         ES multi_terms: top-k composite (col1, col2, …)
+                        buckets over the match set
 
-All four compile to one decode pass over the postings scan plus one
+All of these compile to one decode pass over the postings scan plus one
 aggregation exchange — no driver-side set math. The whole-index scans
 (significant_terms, term_vectors) decode every posting row the doc
 range [min_doc, max_doc] envelope keeps, which is exactly what these
@@ -249,6 +254,87 @@ def unigram_loglik(
             (F.sum("_ll") / F.first("dl")).alias("avg_loglik"),
         )
         .orderBy("doc_id")
+    )
+
+
+def rare_terms(
+    spark: SparkSession,
+    store: SegmentStore,
+    q=None,
+    max_doc_count: int = 1,
+    max_buckets: int = 1000,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES rare_terms aggregation: the LONG-TAIL terms — doc count ≤
+    ``max_doc_count`` — within the query's match set (or the whole
+    corpus when ``q`` is None). The terms a terms-agg ordered by count
+    DESC can never surface; ES built a dedicated agg because "order by
+    count ASC" over ordinary terms buckets is unboundedly wrong on
+    sharded data — here the groupBy(term) count is exact (one
+    exchange), so the ascending order is safe.
+
+    Returns (term, doc_count) ordered (doc_count ASC, term ASC),
+    capped at ``max_buckets`` rows (ES's search.max_buckets guard —
+    rare terms are the BULK of a Zipf dictionary, an uncapped result
+    is vocabulary-sized)."""
+    if max_doc_count < 1:
+        raise ValueError(f"max_doc_count must be >= 1, got {max_doc_count}")
+    pairs = postings_df(spark, store, None, min_doc, max_doc, with_tf=False)
+    if _needs_pair_dedup(store):
+        pairs = pairs.dropDuplicates(["term", "doc_id"])
+    if q is not None:
+        if isinstance(q, str):
+            q = parse_query(q)
+        matches = _matches(
+            spark, store, q, min_doc, max_doc, field_stores=field_stores
+        ).select("doc_id")
+        pairs = pairs.join(matches, "doc_id", "leftsemi")
+    return (
+        pairs.groupBy("term")
+        .agg(F.count("*").alias("doc_count"))
+        .where(F.col("doc_count") <= int(max_doc_count))
+        .orderBy(F.asc("doc_count"), F.asc("term"))
+        .limit(int(max_buckets))
+    )
+
+
+def multi_terms(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    cols: list[str],
+    k: int = 10,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES multi_terms aggregation: top-k COMPOSITE buckets — the
+    cross-column keys (e.g. (lang, source)) ranked by how many matched
+    docs fall in each. The single-column case is the facets operator;
+    this is its n-ary sibling, one groupBy over all key columns.
+
+    Returns (cols..., doc_count) ordered (doc_count DESC, cols ASC).
+    Scale: the semi-join keeps only matched docs (posting-bounded),
+    the groupBy exchanges composite keys, never documents, and the
+    top-k is TakeOrderedAndProject."""
+    if not cols:
+        raise ValueError("multi_terms needs at least one key column")
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    narrow = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), *cols
+    ).join(matches, "doc_id", "leftsemi")
+    return (
+        narrow.groupBy(*cols)
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), *[F.asc(c) for c in cols])
+        .limit(int(k))
     )
 
 

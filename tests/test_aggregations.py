@@ -227,3 +227,74 @@ def test_unigram_loglik(spark, astore, astore_multiseg):
         for r in unigram_loglik(spark, astore).collect()
     }
     assert scores[6] == min(scores.values())
+
+
+def test_rare_terms(spark, astore, astore_multiseg):
+    from inverted_index_spark.operators.aggregations import rare_terms
+
+    df_count = Counter(t for d, _ in DOCS for t in set(_toks(d)))
+    for store in (astore, astore_multiseg):
+        # whole-corpus long tail at two thresholds
+        for mdc in (1, 2):
+            want = sorted(
+                [(t, n) for t, n in df_count.items() if n <= mdc],
+                key=lambda x: (x[1], x[0]),
+            )
+            got = [
+                (r["term"], r["doc_count"])
+                for r in rare_terms(spark, store, max_doc_count=mdc).collect()
+            ]
+            assert got == want, (store, mdc)
+    # scoped to a query's match set: counts are WITHIN matched docs
+    match_ids = {d for d, _ in DOCS if "merge" in _toks(d)}
+    fg = Counter(
+        t for d in match_ids for t in set(_toks(d))
+    )
+    want = sorted(
+        [(t, n) for t, n in fg.items() if n <= 1], key=lambda x: (x[1], x[0])
+    )
+    got = [
+        (r["term"], r["doc_count"])
+        for r in rare_terms(spark, astore, "merge", max_doc_count=1).collect()
+    ]
+    assert got == want
+    # bucket cap + bad args
+    assert rare_terms(spark, astore, max_doc_count=99, max_buckets=3).count() == 3
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_doc_count"):
+        rare_terms(spark, astore, max_doc_count=0)
+
+
+def test_multi_terms(spark, astore):
+    from inverted_index_spark.operators.aggregations import multi_terms
+
+    docs = spark.createDataFrame(
+        [
+            (d, ["en", "de", "fr"][d % 3], ["web", "book"][d % 2])
+            for d, _ in DOCS
+        ],
+        "doc_id long, lang string, source string",
+    )
+    match_ids = {d for d, _ in DOCS if "merge" in _toks(d)}
+    buckets = Counter(
+        (["en", "de", "fr"][d % 3], ["web", "book"][d % 2]) for d in match_ids
+    )
+    want = sorted(
+        [(l, s, n) for (l, s), n in buckets.items()],
+        key=lambda x: (-x[2], x[0], x[1]),
+    )[:10]
+    got = [
+        (r["lang"], r["source"], r["doc_count"])
+        for r in multi_terms(
+            spark, astore, "merge", docs, ["lang", "source"]
+        ).collect()
+    ]
+    assert got == want
+    # single-column degenerates to a facet; empty cols rejected
+    one = multi_terms(spark, astore, "merge", docs, ["lang"], k=2)
+    assert one.columns == ["lang", "doc_count"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="key column"):
+        multi_terms(spark, astore, "merge", docs, [])

@@ -130,3 +130,4 @@ def test_reciprocal_zero_field(spark):
         ).collect()
     }
     assert got == {0: 0.25, 1: 0.0, 2: 0.5}
+

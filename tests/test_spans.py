@@ -1,4 +1,4 @@
-"""span_first and span_not vs brute-force token-scan oracles."""
+"""Span queries vs brute-force token-scan oracles."""
 
 from __future__ import annotations
 
@@ -7,7 +7,13 @@ import re
 import pytest
 
 from inverted_index_spark.operators.build import build_index
-from inverted_index_spark.operators.spans import span_first, span_not
+from inverted_index_spark.operators.spans import (
+    span_containing,
+    span_first,
+    span_not,
+    span_or,
+    span_within,
+)
 from inverted_index_spark.sources.store import SegmentStore
 from inverted_index_spark.sources.transcripts import generate_transcripts
 
@@ -126,3 +132,115 @@ def test_span_not_bad_args(spark, fixture):
     with pytest.raises(ValueError, match="pre/post"):
         span_not(spark, store, ["a"], ["b"], -1, 0)
     assert span_not(spark, store, [], ["b"]).count() == 0
+
+
+def _spans_of(ts, phrase):
+    k = len(phrase)
+    return {
+        (s, s + k - 1)
+        for s in range(len(ts) - k + 1)
+        if ts[s : s + k] == phrase
+    }
+
+
+def _or_oracle(toks, clauses):
+    out = {}
+    for d, ts in toks.items():
+        spans = set()
+        for p in clauses:
+            spans |= _spans_of(ts, p)
+        if spans:
+            out[d] = len(spans)
+    return out
+
+
+@pytest.mark.parametrize(
+    "clauses",
+    [
+        [["w00000"], ["w00001"]],
+        [["w00000", "w00001"], ["w00002"]],
+        [["w00000"], ["w00000"]],  # duplicate clause → spans dedup
+        [["w00000", "w00001"], ["w00001", "w00002"], ["w00003"]],
+    ],
+)
+def test_span_or_vs_bruteforce(spark, fixture, clauses):
+    store, toks = fixture
+    want = _or_oracle(toks, clauses)
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in span_or(spark, store, clauses).collect()
+    }
+    assert got == want
+
+
+def test_span_or_bad_args(spark, fixture):
+    store, _ = fixture
+    assert span_or(spark, store, []).count() == 0
+    with pytest.raises(ValueError, match="non-empty"):
+        span_or(spark, store, [["a"], []])
+
+
+def _enclosure_oracle(toks, big, little, keep):
+    out = {}
+    for d, ts in toks.items():
+        bs, ls = _spans_of(ts, big), _spans_of(ts, little)
+        if keep == "big":
+            n = sum(
+                1
+                for (s, e) in bs
+                if any(s <= ls_ <= le <= e for (ls_, le) in ls)
+            )
+        else:
+            n = sum(
+                1
+                for (s, e) in ls
+                if any(bs_ <= s <= e <= be for (bs_, be) in bs)
+            )
+        if n:
+            out[d] = n
+    return out
+
+
+# the 400-doc Zipf corpus repeats a small vocabulary, so 2-token bigs
+# genuinely contain 1-token littles in many docs
+@pytest.mark.parametrize(
+    "big,little",
+    [
+        (["w00000", "w00001"], ["w00001"]),
+        (["w00000", "w00001"], ["w00000"]),
+        (["w00000"], ["w00000"]),  # self-enclosure: every span qualifies
+        (["w00001", "w00002"], ["w00003"]),  # usually disjoint
+    ],
+)
+def test_span_containing_vs_bruteforce(spark, fixture, big, little):
+    store, toks = fixture
+    want = _enclosure_oracle(toks, big, little, "big")
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in span_containing(spark, store, big, little).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "big,little",
+    [
+        (["w00000", "w00001"], ["w00001"]),
+        (["w00000", "w00001"], ["w00000"]),
+        (["w00002"], ["w00002"]),
+    ],
+)
+def test_span_within_vs_bruteforce(spark, fixture, big, little):
+    store, toks = fixture
+    want = _enclosure_oracle(toks, big, little, "little")
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in span_within(spark, store, big, little).collect()
+    }
+    assert got == want
+
+
+def test_enclosure_empty_sides(spark, fixture):
+    store, _ = fixture
+    assert span_containing(spark, store, [], ["a"]).count() == 0
+    assert span_within(spark, store, ["a"], []).count() == 0
