@@ -464,6 +464,17 @@ def _q_rare_terms(spark, sf):
     return rare_terms(spark, _store_for(spark, sf), max_doc_count=382)
 
 
+def _q_adjacency_matrix(spark, sf):
+    """Round-5: ES adjacency_matrix — per-filter and pairwise
+    intersection doc counts for three named boolean filters."""
+    from inverted_index_spark.operators.aggregations import adjacency_matrix
+
+    return adjacency_matrix(
+        spark, _store_for(spark, sf),
+        {"dup": "dup", "mw": "merge AND window", "spark": "spark"},
+    )
+
+
 def _q_multi_terms(spark, sf):
     """Round-5: ES multi_terms — top (lang, source) composite buckets
     over the docs matching 'dup'."""
@@ -1928,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_within_match": _q_span_within,
         "rare_terms_tail": _q_rare_terms,
         "multi_terms_buckets": _q_multi_terms,
+        "adjacency_matrix_counts": _q_adjacency_matrix,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
         "phrase_slop_bm25_topk": _q_phrase_slop_bm25_topk,
         "phrase_snippets": _q_phrase_snippets,
@@ -2894,6 +2906,20 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             f"WHERE list_contains({_TOKS_SQL}, 'dup') "
             "GROUP BY lang, source "
             "ORDER BY doc_count DESC, lang ASC, source ASC LIMIT 10"
+        ),
+        "adjacency_matrix_counts": (
+            f"WITH d AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), "
+            "m AS ("
+            "SELECT doc_id, 'dup' AS name FROM d WHERE list_contains(t, 'dup') "
+            "UNION ALL SELECT doc_id, 'mw' FROM d "
+            "WHERE list_contains(t, 'merge') AND list_contains(t, 'window') "
+            "UNION ALL SELECT doc_id, 'spark' FROM d "
+            "WHERE list_contains(t, 'spark')) "
+            "SELECT key, count(*)::BIGINT AS doc_count FROM ("
+            "SELECT CASE WHEN a.name = b.name THEN a.name "
+            "ELSE a.name || '&' || b.name END AS key "
+            "FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.name <= b.name) "
+            "GROUP BY key ORDER BY key"
         ),
         "phrase_snippets": (
             f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), "

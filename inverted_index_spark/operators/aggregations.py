@@ -14,6 +14,9 @@ reference's read path — SURVEY.md §2 extensions):
                         the ascending order ES forbids on shards is safe
     multi_terms         ES multi_terms: top-k composite (col1, col2, …)
                         buckets over the match set
+    adjacency_matrix    ES adjacency_matrix: per-filter and pairwise
+                        intersection doc counts for named boolean
+                        filters
 
 All of these compile to one decode pass over the postings scan plus one
 aggregation exchange — no driver-side set math. The whole-index scans
@@ -335,6 +338,57 @@ def multi_terms(
         .agg(F.count("*").alias("doc_count"))
         .orderBy(F.desc("doc_count"), *[F.asc(c) for c in cols])
         .limit(int(k))
+    )
+
+
+def adjacency_matrix(
+    spark: SparkSession,
+    store: SegmentStore,
+    filters: dict[str, object],
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES adjacency_matrix aggregation: doc counts for every named
+    filter and every pairwise intersection — the co-occurrence matrix
+    behind "users who matched A also matched B" dashboards. ``filters``
+    maps name → boolean query (string or parsed tree).
+
+    Returns (key, doc_count) where key is 'a' for a filter's own
+    bucket and 'a&b' (names sorted, ES's key format) for an
+    intersection; empty buckets are omitted (ES behavior). Ordered by
+    key.
+
+    Plan: each filter's match set is posting-bounded; buckets come
+    from ONE union of per-filter (doc_id, name) marks → a self-join on
+    doc_id bounded by matches × filters (filters is a hand-named dict,
+    ES caps it at 100) → groupBy(key). Documents never shuffle."""
+    if not filters:
+        raise ValueError("adjacency_matrix needs at least one named filter")
+    marks = None
+    for name in sorted(filters):
+        if "&" in name:
+            raise ValueError(f"filter name {name!r} may not contain '&'")
+        q = filters[name]
+        if isinstance(q, str):
+            q = parse_query(q)
+        m = _matches(
+            spark, store, q, min_doc, max_doc, field_stores=field_stores
+        ).select("doc_id", F.lit(name).alias("name"))
+        marks = m if marks is None else marks.unionByName(m)
+    pairs = marks.alias("a").join(
+        marks.alias("b"),
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.name") <= F.col("b.name")),
+    )
+    key = F.when(
+        F.col("a.name") == F.col("b.name"), F.col("a.name")
+    ).otherwise(F.concat_ws("&", F.col("a.name"), F.col("b.name")))
+    return (
+        pairs.select(key.alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("key")
     )
 
 

@@ -298,3 +298,49 @@ def test_multi_terms(spark, astore):
 
     with _pt.raises(ValueError, match="key column"):
         multi_terms(spark, astore, "merge", docs, [])
+
+
+def test_adjacency_matrix(spark, astore, astore_multiseg):
+    from inverted_index_spark.operators.aggregations import adjacency_matrix
+
+    sets = {
+        "s": {d for d, _ in DOCS if "spark" in _toks(d)},
+        "m": {d for d, _ in DOCS if "merge" in _toks(d)},
+        "r": {d for d, _ in DOCS if "river" in _toks(d)},
+    }
+    want = {}
+    names = sorted(sets)
+    for i, a in enumerate(names):
+        if sets[a]:
+            want[a] = len(sets[a])
+        for b in names[i + 1:]:
+            n = len(sets[a] & sets[b])
+            if n:
+                want[f"{a}&{b}"] = n
+    for store in (astore, astore_multiseg):
+        got = {
+            r["key"]: r["doc_count"]
+            for r in adjacency_matrix(
+                spark, store, {"s": "spark", "m": "merge", "r": "river"}
+            ).collect()
+        }
+        assert got == want
+    # boolean-query filters compose; bad args rejected
+    got = {
+        r["key"]: r["doc_count"]
+        for r in adjacency_matrix(
+            spark, astore, {"sm": "spark AND merge", "r": "river"}
+        ).collect()
+    }
+    both = sets["s"] & sets["m"]
+    expect = {"r": len(sets["r"]), "sm": len(both)}
+    inter = len(both & sets["r"])
+    if inter:
+        expect["r&sm"] = inter
+    assert got == expect
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="named filter"):
+        adjacency_matrix(spark, astore, {})
+    with _pt.raises(ValueError, match="'&'"):
+        adjacency_matrix(spark, astore, {"a&b": "spark"})
