@@ -321,6 +321,19 @@ def field_value_factor(
     return mods[modifier](x)
 
 
+def random_score(seed: int = 0, col: str = "doc_id"):
+    """ES ``function_score.random_score`` with seed + field: a
+    deterministic pseudo-uniform [0, 1) factor per doc — xxhash64 of
+    the id column and the seed, scaled. Reproducible across runs and
+    partitionings (ES requires a seed+field pair for exactly this
+    guarantee); different seeds give independent orderings. Use with
+    function_score_topk for seeded result shuffling / sampled
+    ranking."""
+    h = F.xxhash64(F.col(col), F.lit(int(seed)))
+    # signed 64-bit → [-0.5, 0.5) → [0, 1)
+    return h.cast("double") / F.lit(float(2**64)) + F.lit(0.5)
+
+
 def gauss_decay(col: str, origin: float, scale: float, decay: float = 0.5,
                 offset: float = 0.0):
     """ES ``function_score.gauss`` decay as a Column:

@@ -131,3 +131,33 @@ def test_reciprocal_zero_field(spark):
     }
     assert got == {0: 0.25, 1: 0.0, 2: 0.5}
 
+
+def test_random_score_deterministic_uniform(spark, setup):
+    """random_score: in [0,1), reproducible, seed-independent orders,
+    and composes with function_score_topk."""
+    from inverted_index_spark.operators.bm25 import random_score
+
+    store, fields = setup
+    vals = fields.select(
+        "doc_id",
+        random_score(7).alias("r7"),
+        random_score(8).alias("r8"),
+    )
+    rows = vals.collect()
+    assert all(0.0 <= r["r7"] < 1.0 for r in rows)
+    # deterministic across evaluations
+    again = {r["doc_id"]: r["r7"] for r in vals.collect()}
+    assert all(again[r["doc_id"]] == r["r7"] for r in rows)
+    # different seeds → different orderings (not a constant shift)
+    by7 = [r["doc_id"] for r in sorted(rows, key=lambda r: r["r7"])]
+    by8 = [r["doc_id"] for r in sorted(rows, key=lambda r: r["r8"])]
+    assert by7 != by8
+    # rough uniformity: mean of ~400 draws within [0.4, 0.6]
+    mean = sum(r["r7"] for r in rows) / len(rows)
+    assert 0.4 < mean < 0.6
+    # composes as a function_score factor
+    top = function_score_topk(
+        spark, store, TERMS, fields, random_score(7), k=5,
+        boost_mode="sum",
+    ).collect()
+    assert len(top) == 5
