@@ -1382,6 +1382,21 @@ def _q_collapse_topk(spark, sf):
     return t.select("doc_id", "lang", F.round("score", 4).alias("score"))
 
 
+def _q_top_hits(spark, sf):
+    """ES top_hits inside a terms bucket: the 3 busiest langs over the
+    match set, each with its 2 best BM25-ranked hits."""
+    from inverted_index_spark.operators.aggregations import top_hits
+
+    t = top_hits(
+        spark, _store_for(spark, sf), "spark OR merge",
+        _docs(spark, sf), "lang", n_buckets=3, size=2,
+    )
+    return t.select(
+        "lang", "n_docs", "rank", "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_facet_percentiles(spark, sf):
     """Percentiles facet (ES percentiles aggregation): exact p50/p90/p99
     of n_chars per lang over the match set."""
@@ -1887,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_percentiles": _q_facet_percentiles,
         "synonym_topk": _q_synonym_topk,
         "collapse_topk": _q_collapse_topk,
+        "top_hits": _q_top_hits,
         "contamination_overlap": _q_contamination,
         "pii_scrub": _q_pii_scrub,
         "embed_kmeans_assign": _q_kmeans_assign,
@@ -3189,6 +3205,23 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             f"LEFT JOIN ({_bm25_contrib_sql(['merge', 'spark'])}) s USING (doc_id) "
             "JOIN documents d ON d.doc_id = m.doc_id) "
             "WHERE rn = 1 ORDER BY score DESC, doc_id ASC LIMIT 5"
+        ),
+        "top_hits": (
+            "WITH j AS (SELECT m.doc_id, d.lang, "
+            "coalesce(s.raw_score, 0) AS score "
+            "FROM (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark')) m "
+            f"LEFT JOIN ({_bm25_contrib_sql(['merge', 'spark'])}) s "
+            "USING (doc_id) "
+            "JOIN documents d ON d.doc_id = m.doc_id), "
+            "b AS (SELECT lang, count(*) AS n_docs FROM j "
+            "GROUP BY lang ORDER BY n_docs DESC, lang LIMIT 3) "
+            "SELECT j.lang, b.n_docs, "
+            "row_number() OVER (PARTITION BY j.lang "
+            "ORDER BY j.score DESC, j.doc_id ASC) AS rank, "
+            "j.doc_id, round(j.score, 4) AS score "
+            "FROM j JOIN b ON b.lang = j.lang "
+            "QUALIFY rank <= 2 ORDER BY b.n_docs DESC, j.lang, rank"
         ),
         "facet_percentiles": (
             "SELECT lang, count(*) AS n_docs, "

@@ -17,6 +17,9 @@ reference's read path — SURVEY.md §2 extensions):
     adjacency_matrix    ES adjacency_matrix: per-filter and pairwise
                         intersection doc counts for named boolean
                         filters
+    top_hits            ES top_hits inside a terms bucket: the busiest
+                        n_buckets facet values, each with its size
+                        best BM25-ranked hits
 
 All of these compile to one decode pass over the postings scan plus one
 aggregation exchange — no driver-side set math. The whole-index scans
@@ -425,3 +428,70 @@ def facet_cardinality(
         else F.approx_count_distinct(col, rsd)
     )
     return narrow.agg(agg.alias("cardinality"))
+
+
+def top_hits(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    size: int = 3,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES top_hits aggregation nested inside a terms bucket: the
+    ``n_buckets`` facet values with the most matching docs, each
+    carrying its ``size`` best BM25-ranked hits (collapse_topk keeps
+    the global top-k; this keeps every selected bucket's local
+    ranking). One match-set semi-join against the narrow
+    (doc_id, col) projection, one k-group count to pick buckets
+    (broadcast back — n_buckets rows), one per-bucket window. The
+    shuffle carries (doc_id, facet, score) for matches only; skewed
+    facet values are the only skew surface, same profile as
+    facet_counts."""
+    from pyspark.sql import Window
+
+    from inverted_index_spark.operators.bm25 import bm25_scores
+    from inverted_index_spark.operators.boolean import (
+        _scoring_terms,
+        _scoring_weights,
+    )
+
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    terms = sorted(set(_scoring_terms(q)))
+    if not terms:
+        ranked = matches.select("doc_id", F.lit(0.0).alias("score"))
+    else:
+        weights = _scoring_weights(q)
+        boosts = {t: w for t, w in weights.items() if w != 1.0} or None
+        scores = bm25_scores(
+            spark, store, terms, min_doc, max_doc, boosts=boosts
+        )
+        ranked = matches.join(scores, "doc_id", "left").select(
+            "doc_id", F.coalesce("score", F.lit(0.0)).alias("score")
+        )
+    narrow = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col(col)
+    )
+    joined = ranked.join(narrow, "doc_id")
+    buckets = (
+        joined.groupBy(col)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc(col))
+        .limit(n_buckets)
+    )
+    w = Window.partitionBy(col).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        joined.join(F.broadcast(buckets), col)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= size)
+        .select(col, "n_docs", "rank", "doc_id", "score")
+        .orderBy(F.desc("n_docs"), F.asc(col), F.asc("rank"))
+    )

@@ -344,3 +344,73 @@ def test_adjacency_matrix(spark, astore, astore_multiseg):
         adjacency_matrix(spark, astore, {})
     with _pt.raises(ValueError, match="'&'"):
         adjacency_matrix(spark, astore, {"a&b": "spark"})
+
+
+def test_top_hits(spark, astore, astore_multiseg):
+    """Bucket selection by match count, per-bucket BM25 ranking, and
+    the size cap — checked against a python recomputation that uses
+    the engine's own (separately parity-tested) bm25_scores."""
+    from inverted_index_spark.operators.aggregations import top_hits
+    from inverted_index_spark.operators.bm25 import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(d, ["en", "de", "fr"][d % 3]) for d, _ in DOCS],
+        "doc_id long, lang string",
+    )
+    match_ids = sorted(
+        d for d, _ in DOCS if {"spark", "merge"} & set(_toks(d))
+    )
+    for store in (astore, astore_multiseg):
+        score = {
+            r["doc_id"]: r["score"]
+            for r in bm25_scores(
+                spark, store, ["spark", "merge"]
+            ).collect()
+        }
+        rows = []
+        for d in match_ids:
+            rows.append((["en", "de", "fr"][d % 3], d, score.get(d, 0.0)))
+        from collections import Counter as _C
+
+        n_per = _C(lang for lang, _, _ in rows)
+        keep_buckets = sorted(n_per, key=lambda x: (-n_per[x], x))[:2]
+        want = []
+        for b in sorted(keep_buckets, key=lambda x: (-n_per[x], x)):
+            hits = sorted(
+                [(d, s) for lang, d, s in rows if lang == b],
+                key=lambda x: (-x[1], x[0]),
+            )[:2]
+            for rank, (d, s) in enumerate(hits, 1):
+                want.append((b, n_per[b], rank, d, round(s, 6)))
+        got = [
+            (r["lang"], r["n_docs"], r["rank"], r["doc_id"],
+             round(r["score"], 6))
+            for r in top_hits(
+                spark, store, "spark OR merge", docs, "lang",
+                n_buckets=2, size=2,
+            ).collect()
+        ]
+        assert got == want
+    # pure-filter query (Prefix leaf, no scoring terms): scores are
+    # 0.0, ranking falls back to doc_id within each bucket
+    pref_ids = sorted(
+        d for d, _ in DOCS if any(t.startswith("s") for t in _toks(d))
+    )
+    langs = {d: ["en", "de", "fr"][d % 3] for d in pref_ids}
+    from collections import Counter as _C2
+
+    n_per2 = _C2(langs.values())
+    top_b = sorted(n_per2, key=lambda x: (-n_per2[x], x))[0]
+    want2 = [
+        (top_b, n_per2[top_b], rank, d, 0.0)
+        for rank, d in enumerate(
+            sorted(d for d in pref_ids if langs[d] == top_b), 1
+        )
+    ][:3]
+    got = [
+        (r["lang"], r["n_docs"], r["rank"], r["doc_id"], r["score"])
+        for r in top_hits(
+            spark, astore, "s*", docs, "lang", n_buckets=1, size=3
+        ).collect()
+    ]
+    assert got == want2
