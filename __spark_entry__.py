@@ -526,6 +526,32 @@ def _q_child_inner_hits(spark, sf):
     ).orderBy("parent_id", "child_rank")
 
 
+def _q_has_parent_topk(spark, sf):
+    """Round-5: ES has_parent — children inherit their parent's BM25
+    score; parents here are each source's head doc (min doc_id)."""
+    from inverted_index_spark.operators.parent_child import has_parent_topk
+
+    d = _docs(spark, sf)
+    heads = d.groupBy("source").agg(F.min("doc_id").alias("parent_id"))
+    cp = d.join(heads, "source").select("doc_id", "parent_id")
+    t = has_parent_topk(spark, _store_for(spark, sf), Q_TERMS, cp, k=10)
+    return t.select(
+        "doc_id", "parent_id", F.round("score", 6).alias("score")
+    )
+
+
+def _q_boosting_topk(spark, sf):
+    """Round-5: ES boosting query — positive 'spark OR merge' ranks,
+    negative 'window' demotes by 0.5 without excluding."""
+    from inverted_index_spark.operators.boolean import boosting_topk
+
+    t = boosting_topk(
+        spark, _store_for(spark, sf), "spark OR merge", "window",
+        negative_boost=0.5, k=10,
+    )
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
 # pinned graded judgments for the rank-eval entry (doc ids exist at
 # every sf; 999999 never retrieved -> recall/ndcg denominators bite)
 RANK_JUDGE = {
@@ -1865,6 +1891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval_metrics": _q_rank_eval,
         "has_child_topk": _q_has_child_topk,
         "child_inner_hits": _q_child_inner_hits,
+        "has_parent_topk": _q_has_parent_topk,
+        "boosting_topk": _q_boosting_topk,
         # --- round-4's crowded-out block, promoted ---
         "terms_within_window": _q_terms_within_window,
         "ii_read_terms_prefix": _q_terms_prefix,
@@ -2816,6 +2844,30 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "SELECT parent_id, rn::INT AS child_rank, doc_id, "
             "round(raw_score, 6) AS score FROM r WHERE rn <= 2 "
             "ORDER BY parent_id, child_rank"
+        ),
+        "has_parent_topk": (
+            f"WITH s AS ({_BM25_CONTRIB}), "
+            "p AS (SELECT source, min(doc_id) AS parent_id "
+            "FROM documents GROUP BY source), "
+            "cp AS (SELECT d.doc_id, p.parent_id "
+            "FROM documents d JOIN p USING (source)) "
+            "SELECT cp.doc_id, cp.parent_id, "
+            "round(s.raw_score, 6) AS score "
+            "FROM cp JOIN s ON s.doc_id = cp.parent_id "
+            "ORDER BY s.raw_score DESC, cp.doc_id ASC LIMIT 10"
+        ),
+        "boosting_topk": (
+            "SELECT doc_id, round(sc, 4) AS score FROM ("
+            "SELECT m.doc_id, CASE WHEN n.doc_id IS NOT NULL "
+            "THEN coalesce(s.raw_score, 0) * 0.5 "
+            "ELSE coalesce(s.raw_score, 0) END AS sc "
+            "FROM (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark')) m "
+            f"LEFT JOIN ({_bm25_contrib_sql(['merge', 'spark'])}) s "
+            "USING (doc_id) "
+            "LEFT JOIN (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term = 'window') n ON n.doc_id = m.doc_id) "
+            "ORDER BY sc DESC, doc_id ASC LIMIT 10"
         ),
         "read_values_batch": (
             f"SELECT qid, doc_id FROM ({_READ_BATCH}) ORDER BY qid, doc_id"

@@ -877,3 +877,69 @@ def facet_counts(
         .agg(F.count("*").alias("n_docs"))
         .orderBy(col)
     )
+
+
+def boosting_topk(
+    spark: SparkSession,
+    store: SegmentStore,
+    positive,
+    negative,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES ``boosting`` query: rank by the positive query's BM25 score,
+    DEMOTING (not excluding) docs that also match the negative query —
+    their score is multiplied by ``negative_boost`` (ES requires it in
+    [0, 1); 0 sinks them to the bottom without the hard exclusion a
+    ``NOT`` clause would apply). Docs matching only the negative query
+    are not returned, per ES. Both arguments accept a tree or a
+    parse_query string.
+
+    Plan shape: the positive match set + score stream (same as
+    ranked_topk) plus ONE left join against the negative match set —
+    matches only on both sides, AQE broadcasts the smaller; then
+    TakeOrdered.
+    """
+    from inverted_index_spark.operators.bm25 import bm25_scores
+
+    if not 0.0 <= float(negative_boost) < 1.0:
+        raise ValueError("negative_boost must be in [0, 1)")
+    if isinstance(positive, str):
+        positive = parse_query(positive)
+    if isinstance(negative, str):
+        negative = parse_query(negative)
+    matches = _matches(
+        spark, store, positive, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    terms = sorted(set(_scoring_terms(positive)))
+    if not terms:
+        ranked = matches.select("doc_id", F.lit(0.0).alias("score"))
+    else:
+        weights = _scoring_weights(positive)
+        boosts = {t: w for t, w in weights.items() if w != 1.0} or None
+        scores = bm25_scores(
+            spark, store, terms, min_doc, max_doc, boosts=boosts
+        )
+        ranked = matches.join(scores, "doc_id", "left").select(
+            "doc_id", F.coalesce("score", F.lit(0.0)).alias("score")
+        )
+    neg = _matches(
+        spark, store, negative, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id", F.lit(True).alias("_neg"))
+    return (
+        ranked.join(neg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("_neg").isNotNull(),
+                F.col("score") * F.lit(float(negative_boost)),
+            )
+            .otherwise(F.col("score"))
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -36,7 +36,13 @@ from pyspark.sql import functions as F
 from ..sources.store import SegmentStore
 from .bm25 import bm25_scores
 
-__all__ = ["has_child_scores", "has_child_topk", "child_inner_hits"]
+__all__ = [
+    "has_child_scores",
+    "has_child_topk",
+    "child_inner_hits",
+    "has_parent_scores",
+    "has_parent_topk",
+]
 
 _MODES = {
     "max": F.max,
@@ -124,3 +130,51 @@ def child_inner_hits(
         .where(F.col("child_rank") <= n_per_parent)
         .select("parent_id", "child_rank", "doc_id", "score")
     )
+
+
+def has_parent_scores(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    child_parent: DataFrame,
+    score: bool = True,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """ES ``has_parent``: the inverse direction — return CHILD docs
+    whose parent matches the query. ``score=True`` is ES's
+    ``score: true`` (each child inherits its parent's BM25 score);
+    ``score=False`` is filter context (constant 0). Parents here are
+    ordinary indexed docs referenced by the mapping's ``parent_id``.
+
+    Scale shape: the parent match set (doc_id, score) joins the
+    child→parent mapping on parent_id — one equi-join whose build side
+    is matches only (AQE broadcasts it when small); no window, no
+    per-parent fan-in.
+    """
+    s = bm25_scores(spark, store, terms, min_doc, max_doc)
+    parents = s.select(
+        F.col("doc_id").alias("parent_id"),
+        F.col("score").alias("_pscore"),
+    )
+    out = child_parent.select("doc_id", "parent_id").join(parents, "parent_id")
+    scol = F.col("_pscore") if score else F.lit(0.0)
+    return out.select("doc_id", "parent_id", scol.alias("score"))
+
+
+def has_parent_topk(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    child_parent: DataFrame,
+    k: int = 10,
+    score: bool = True,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """Top-k children by inherited parent score (ties by doc_id asc;
+    filter context degenerates to doc_id order, like ES)."""
+    s = has_parent_scores(
+        spark, store, terms, child_parent, score, min_doc, max_doc
+    )
+    return s.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

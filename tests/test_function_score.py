@@ -161,3 +161,46 @@ def test_random_score_deterministic_uniform(spark, setup):
         boost_mode="sum",
     ).collect()
     assert len(top) == 5
+
+
+def test_boosting_query_demotes(spark, setup):
+    """ES boosting query: negative matches keep their rank order but
+    their scores shrink by negative_boost; negative-only docs absent."""
+    from inverted_index_spark.operators.boolean import boosting_topk
+
+    store, _ = setup
+    pos = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(spark, store, TERMS).collect()
+    }
+    neg = {
+        r["doc_id"]
+        for r in bm25_scores(spark, store, ["w00002"]).collect()
+    }
+    rescored = [
+        (d, s * 0.25 if d in neg else s) for d, s in pos.items()
+    ]
+    rescored.sort(key=lambda t: (-t[1], t[0]))
+    want = rescored[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in boosting_topk(
+            spark, store, "w00000 OR w00001", "w00002",
+            negative_boost=0.25, k=10,
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, g), (_, w) in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-12)
+    # no negative matches -> identical to ranked_topk
+    from inverted_index_spark.operators.boolean import ranked_topk
+
+    plain = ranked_topk(spark, store, "w00000 OR w00001", k=10).collect()
+    same = boosting_topk(
+        spark, store, "w00000 OR w00001", "zzznotaterm", k=10
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in plain] == [
+        (r["doc_id"], r["score"]) for r in same
+    ]
+    with pytest.raises(ValueError, match="negative_boost"):
+        boosting_topk(spark, store, "w00000", "w00001", negative_boost=1.0)

@@ -135,3 +135,40 @@ def test_bad_mode(spark, fixture):
     store, cp = fixture
     with pytest.raises(ValueError, match="score_mode"):
         has_child_scores(spark, store, TERMS, cp, score_mode="median")
+
+
+def test_has_parent_topk(spark, fixture):
+    """has_parent: children inherit their parent's BM25 score; filter
+    context (score=False) is constant-0 with doc_id order."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.operators.parent_child import has_parent_topk
+
+    store, _ = fixture
+    # parents must be indexed docs for has_parent: child d -> doc d % 7
+    cp = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % N_PARENTS).alias("parent_id")
+    )
+    pscores = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(spark, store, TERMS).collect()
+    }
+    cand = [
+        (d, d % N_PARENTS, pscores[d % N_PARENTS])
+        for d in range(500)
+        if d % N_PARENTS in pscores
+    ]
+    want = sorted(cand, key=lambda t: (-t[2], t[0]))[:10]
+    got = [
+        (r["doc_id"], r["parent_id"], r["score"])
+        for r in has_parent_topk(spark, store, TERMS, cp, k=10).collect()
+    ]
+    assert [(d, p) for d, p, _ in got] == [(d, p) for d, p, _ in want]
+    for (_, _, g), (_, _, w) in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-12)
+    # filter context: scores 0.0, first k matching children by doc_id
+    got0 = has_parent_topk(
+        spark, store, TERMS, cp, k=5, score=False
+    ).collect()
+    assert all(r["score"] == 0.0 for r in got0)
+    assert [r["doc_id"] for r in got0] == sorted(d for d, _, _ in cand)[:5]
