@@ -1423,6 +1423,17 @@ def _q_top_hits(spark, sf):
     )
 
 
+def _q_facet_histogram(spark, sf):
+    """ES histogram aggregation: 200-char n_chars buckets over the
+    match set (empty buckets absent, ES min_doc_count=1)."""
+    from inverted_index_spark.operators.boolean import facet_histogram
+
+    return facet_histogram(
+        spark, _store_for(spark, sf), "spark OR merge",
+        _docs(spark, sf), "n_chars", 200.0,
+    )
+
+
 def _q_facet_percentiles(spark, sf):
     """Percentiles facet (ES percentiles aggregation): exact p50/p90/p99
     of n_chars per lang over the match set."""
@@ -1931,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_topk": _q_synonym_topk,
         "collapse_topk": _q_collapse_topk,
         "top_hits": _q_top_hits,
+        "facet_histogram": _q_facet_histogram,
         "contamination_overlap": _q_contamination,
         "pii_scrub": _q_pii_scrub,
         "embed_kmeans_assign": _q_kmeans_assign,
@@ -3274,6 +3286,13 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "j.doc_id, round(j.score, 4) AS score "
             "FROM j JOIN b ON b.lang = j.lang "
             "QUALIFY rank <= 2 ORDER BY b.n_docs DESC, j.lang, rank"
+        ),
+        "facet_histogram": (
+            "SELECT floor(n_chars / 200.0) * 200.0 AS bucket, "
+            "count(*) AS n_docs FROM documents "
+            "WHERE doc_id IN (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark')) "
+            "GROUP BY bucket ORDER BY bucket"
         ),
         "facet_percentiles": (
             "SELECT lang, count(*) AS n_docs, "

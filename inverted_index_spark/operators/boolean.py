@@ -943,3 +943,45 @@ def boosting_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def facet_histogram(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    stat_col: str,
+    interval: float,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES ``histogram`` aggregation: fixed-interval numeric buckets of
+    a metadata column over the match set (``bucket = floor(v /
+    interval) * interval``, ES's key rule; empty buckets are absent —
+    ES ``min_doc_count: 1``). Same shuffle shape as facet_counts: one
+    semi-join of the narrow (doc_id, stat) projection against the
+    match set, one groupBy on the bucket key — the exchange carries
+    bucket keys, never documents."""
+    if float(interval) <= 0:
+        raise ValueError("interval must be > 0")
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    narrow = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(stat_col).cast("double").alias("_stat"),
+    )
+    bucket = (
+        F.floor(F.col("_stat") / F.lit(float(interval)))
+        * F.lit(float(interval))
+    ).alias("bucket")
+    return (
+        narrow.join(matches, "doc_id", "leftsemi")
+        .select(bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket")
+    )

@@ -414,3 +414,31 @@ def test_top_hits(spark, astore, astore_multiseg):
         ).collect()
     ]
     assert got == want2
+
+
+def test_facet_histogram(spark, astore):
+    """ES histogram agg: floor(v/interval)*interval buckets over the
+    match set, empty buckets absent."""
+    import math as _m
+
+    import pytest as _pt
+
+    from inverted_index_spark.operators.boolean import facet_histogram
+
+    docs = spark.createDataFrame(
+        [(d, float(len(t))) for d, t in DOCS],
+        "doc_id long, n_chars double",
+    )
+    match_ids = {d for d, _ in DOCS if "merge" in _toks(d)}
+    want = Counter(
+        _m.floor(float(len(dict(DOCS)[d])) / 7.0) * 7.0 for d in match_ids
+    )
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in facet_histogram(
+            spark, astore, "merge", docs, "n_chars", 7.0
+        ).collect()
+    }
+    assert got == dict(want)
+    with _pt.raises(ValueError, match="interval"):
+        facet_histogram(spark, astore, "merge", docs, "n_chars", 0)
