@@ -1557,6 +1557,57 @@ def _q_ts_histogram(spark, sf):
     ).select(F.col("bucket").alias("bucket_us"), "n")
 
 
+def _q_ts_pipeline_aggs(spark, sf):
+    """ES pipeline aggregations over a per-event-type 6h date
+    histogram: derivative + cumulative_sum of the doc count, trailing
+    moving average of the value sum, a bucket_script ratio, then a
+    bucket_selector over the finished buckets (windows run BEFORE the
+    selector, matching ES sibling-agg order)."""
+    from inverted_index_spark.operators import pipeline_aggs as pa
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    h = pa.date_histogram(
+        ev, TS_BUCKET_US, group_cols=["event_type"], value_col="value"
+    )
+    h = pa.derivative(h, "n", group_cols=["event_type"])
+    h = pa.cumulative_sum(h, "n", group_cols=["event_type"])
+    h = pa.moving_fn(h, "sum_v", window=3, fn="avg", group_cols=["event_type"])
+    h = pa.bucket_script(h, "sum_v / n", "avg_v")
+    h = pa.bucket_selector(h, "n >= 5")
+    return h.select(
+        "event_type",
+        "bucket_us",
+        "n",
+        F.round("sum_v", 6).alias("sum_v"),
+        "n_deriv",
+        "n_cumsum",
+        F.round("sum_v_mov_avg", 6).alias("mov_avg"),
+        F.round("avg_v", 6).alias("avg_v"),
+    ).orderBy("event_type", "bucket_us")
+
+
+COMPOSITE_AFTER = ("click", 3)  # resume cursor: strictly after this key tuple
+
+
+def _q_composite_page(spark, sf):
+    """ES composite aggregation: one size-12 page of (event_type,
+    user_id%8) buckets in key order, resumed from a fixed after
+    cursor — the scalable deep-pagination contract (O(page) per call,
+    the bucket frame built once by a single groupBy)."""
+    from inverted_index_spark.operators.pipeline_aggs import composite_page
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type", (F.col("user_id") % 8).alias("ub"), "value"
+    )
+    return composite_page(
+        ev,
+        ["event_type", "ub"],
+        size=12,
+        after=COMPOSITE_AFTER,
+        metrics=[F.round(F.sum("value"), 6).alias("sum_v")],
+    )
+
+
 def _q_contamination(spark, sf):
     """Benchmark decontamination: every 13th doc is the held-out
     benchmark; flag training docs sharing any token 3-gram with it
@@ -1936,6 +1987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize_events,
         "session_stats": _q_session_stats,
         "ts_date_histogram": _q_ts_histogram,
+        "ts_pipeline_aggs": _q_ts_pipeline_aggs,
+        "composite_page": _q_composite_page,
         "search_after_page2": _q_search_after,
         "facet_stats": _q_facet_stats,
         "facet_percentiles": _q_facet_percentiles,
@@ -3308,6 +3361,31 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             f"FROM ({_TOK}) GROUP BY term) "
             "WHERE levenshtein(term, 'tble') <= 2 "
             "ORDER BY df DESC, term LIMIT 5"
+        ),
+        "ts_pipeline_aggs": (
+            "WITH h AS (SELECT event_type, "
+            f"epoch_us(ts) - epoch_us(ts) % {TS_BUCKET_US} AS bucket_us, "
+            "count(*)::BIGINT AS n, sum(value) AS sum_v "
+            "FROM events GROUP BY 1, 2), "
+            "w AS (SELECT event_type, bucket_us, n, sum_v, "
+            "n - lag(n) OVER pw AS n_deriv, "
+            "(sum(n) OVER (PARTITION BY event_type ORDER BY bucket_us "
+            "ROWS UNBOUNDED PRECEDING))::BIGINT AS n_cumsum, "
+            "avg(sum_v) OVER (PARTITION BY event_type ORDER BY bucket_us "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov "
+            "FROM h WINDOW pw AS (PARTITION BY event_type ORDER BY bucket_us)) "
+            "SELECT event_type, bucket_us, n, round(sum_v, 6) AS sum_v, "
+            "n_deriv, n_cumsum, round(mov, 6) AS mov_avg, "
+            "round(sum_v / n, 6) AS avg_v "
+            "FROM w WHERE n >= 5 ORDER BY event_type, bucket_us"
+        ),
+        "composite_page": (
+            "SELECT event_type, user_id % 8 AS ub, count(*)::BIGINT AS n, "
+            "round(sum(value), 6) AS sum_v FROM events "
+            "GROUP BY event_type, ub "
+            f"HAVING (event_type, user_id % 8) > "
+            f"('{COMPOSITE_AFTER[0]}', {COMPOSITE_AFTER[1]}) "
+            "ORDER BY event_type, ub LIMIT 12"
         ),
         "ts_date_histogram": (
             "SELECT us - us % " + str(TS_BUCKET_US) + " AS bucket_us, "
