@@ -1385,6 +1385,76 @@ def _q_facet_stats(spark, sf):
     )
 
 
+FACET_RANGES = [("small", None, 150.0), ("mid", 150.0, 350.0), ("big", 350.0, None)]
+FACET_FILTERS = {
+    "short": "n_chars < 200",
+    "en": "lang = 'en'",
+    "long_zh": "n_chars >= 300 AND lang = 'zh'",
+    "none": "n_chars < 0",
+}
+
+
+def _q_facet_ranges(spark, sf):
+    """ES range aggregation: named [from, to) n_chars buckets over the
+    match set, with min/max/avg sub-stats; empty ranges kept at 0."""
+    from inverted_index_spark.operators.boolean import facet_ranges
+
+    t = facet_ranges(
+        spark, _store_for(spark, sf), "spark OR merge",
+        _docs(spark, sf), "n_chars", FACET_RANGES,
+    )
+    return t.select(
+        "range_name", "n_docs", "min_v", "max_v",
+        F.round("avg_v", 4).alias("avg_v"),
+    )
+
+
+def _q_filters_agg(spark, sf):
+    """ES filters aggregation: named metadata-predicate buckets over
+    the match set, all counted in ONE pass (conditional aggregates)."""
+    from inverted_index_spark.operators.boolean import filters_agg
+
+    return filters_agg(
+        spark, _store_for(spark, sf), "spark OR merge",
+        _docs(spark, sf), FACET_FILTERS,
+    )
+
+
+def _q_facet_extended_stats(spark, sf):
+    """ES extended_stats: population moments of n_chars over the
+    match set (count/min/max/sum/avg/sum_sq/var_pop/stddev_pop)."""
+    from inverted_index_spark.operators.boolean import facet_extended_stats
+
+    t = facet_extended_stats(
+        spark, _store_for(spark, sf), "spark OR merge",
+        _docs(spark, sf), "n_chars",
+    )
+    return t.select(
+        "n_docs", "min_v", "max_v",
+        F.round("sum_v", 4).alias("sum_v"),
+        F.round("avg_v", 4).alias("avg_v"),
+        F.round("sum_sq", 4).alias("sum_sq"),
+        F.round("variance", 4).alias("variance"),
+        F.round("std_dev", 4).alias("std_dev"),
+    )
+
+
+def _q_facet_string_stats(spark, sf):
+    """ES string_stats: length moments + base-2 Shannon entropy of the
+    character distribution of the source keyword over the match set."""
+    from inverted_index_spark.operators.boolean import facet_string_stats
+
+    t = facet_string_stats(
+        spark, _store_for(spark, sf), "spark OR merge",
+        _docs(spark, sf), "source",
+    )
+    return t.select(
+        "n_docs", "min_len", "max_len",
+        F.round("avg_len", 4).alias("avg_len"),
+        F.round("entropy", 4).alias("entropy"),
+    )
+
+
 def _q_synonym_topk(spark, sf):
     """Lucene SynonymQuery scoring: {spark} and {merge, window} each
     score as one pseudo-term (tf summed, idf from max member df)."""
@@ -1991,6 +2061,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_page": _q_composite_page,
         "search_after_page2": _q_search_after,
         "facet_stats": _q_facet_stats,
+        "facet_ranges": _q_facet_ranges,
+        "filters_agg": _q_filters_agg,
+        "facet_extended_stats": _q_facet_extended_stats,
+        "facet_string_stats": _q_facet_string_stats,
         "facet_percentiles": _q_facet_percentiles,
         "synonym_topk": _q_synonym_topk,
         "collapse_topk": _q_collapse_topk,
@@ -3280,6 +3354,56 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             f"LEFT JOIN ({_bm25_contrib_sql(['merge', 'spark'])}) s USING (doc_id) "
             "ORDER BY coalesce(s.raw_score, 0) DESC, m.doc_id ASC "
             "LIMIT 10 OFFSET 10"
+        ),
+        "facet_ranges": (
+            "WITH m AS (SELECT n_chars::DOUBLE AS v FROM documents "
+            "WHERE doc_id IN (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark'))), "
+            "r(range_name, ord, lo, hi) AS (VALUES "
+            "('small', 0, NULL, 150.0), ('mid', 1, 150.0, 350.0), "
+            "('big', 2, 350.0, NULL)) "
+            "SELECT range_name, count(v) AS n_docs, min(v) AS min_v, "
+            "max(v) AS max_v, round(avg(v), 4) AS avg_v "
+            "FROM r LEFT JOIN m ON (lo IS NULL OR v >= lo) "
+            "AND (hi IS NULL OR v < hi) "
+            "GROUP BY range_name, ord ORDER BY ord"
+        ),
+        "filters_agg": (
+            "WITH m AS (SELECT * FROM documents "
+            "WHERE doc_id IN (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark'))) "
+            "SELECT bucket, n_docs FROM (VALUES "
+            "('short', (SELECT count(*) FROM m WHERE n_chars < 200)), "
+            "('en', (SELECT count(*) FROM m WHERE lang = 'en')), "
+            "('long_zh', (SELECT count(*) FROM m "
+            "WHERE n_chars >= 300 AND lang = 'zh')), "
+            "('none', (SELECT count(*) FROM m WHERE n_chars < 0))"
+            ") AS t(bucket, n_docs)"
+        ),
+        "facet_extended_stats": (
+            "SELECT count(*) AS n_docs, min(v) AS min_v, max(v) AS max_v, "
+            "round(sum(v), 4) AS sum_v, round(avg(v), 4) AS avg_v, "
+            "round(sum(v * v), 4) AS sum_sq, "
+            "round(var_pop(v), 4) AS variance, "
+            "round(stddev_pop(v), 4) AS std_dev "
+            "FROM (SELECT n_chars::DOUBLE AS v FROM documents "
+            "WHERE doc_id IN (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark')))"
+        ),
+        "facet_string_stats": (
+            "WITH m AS (SELECT source AS s FROM documents "
+            "WHERE doc_id IN (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark'))), "
+            "lens AS (SELECT count(*) AS n_docs, min(strlen(s)) AS min_len, "
+            "max(strlen(s)) AS max_len, round(avg(strlen(s)), 4) AS avg_len "
+            "FROM m), "
+            "ch AS (SELECT unnest(string_split(s, '')) AS c FROM m), "
+            "hist AS (SELECT c, count(*)::DOUBLE AS n FROM ch "
+            "WHERE c <> '' GROUP BY c), "
+            "ent AS (SELECT round(-sum(p * log2(p)), 4) AS entropy FROM "
+            "(SELECT n / (SELECT sum(n) FROM hist) AS p FROM hist)) "
+            "SELECT n_docs, min_len, max_len, avg_len, entropy "
+            "FROM lens, ent"
         ),
         "facet_stats": (
             "SELECT lang, count(*) AS n_docs, "

@@ -985,3 +985,191 @@ def facet_histogram(
         .agg(F.count("*").alias("n_docs"))
         .orderBy("bucket")
     )
+
+
+def facet_ranges(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    stat_col: str,
+    ranges: list[tuple[str, float | None, float | None]],
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES ``range`` aggregation: named [from, to) buckets of a numeric
+    metadata column over the match set, each with doc count and the
+    min/max/avg sub-stats ES users attach.  Ranges may overlap (a doc
+    lands in EVERY range containing it, the ES contract), so the
+    projection explodes one row per matching range — the explode factor
+    is len(ranges), a constant, and the exchange carries range names,
+    never documents.  Empty ranges are emitted with n_docs=0 (ES
+    returns every requested range)."""
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    narrow = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(stat_col).cast("double").alias("_stat"),
+    ).join(matches, "doc_id", "leftsemi")
+    names = F.array(
+        *[
+            F.when(
+                (F.lit(lo is None) | (F.col("_stat") >= F.lit(lo if lo is not None else 0.0)))
+                & (F.lit(hi is None) | (F.col("_stat") < F.lit(hi if hi is not None else 0.0))),
+                F.lit(name),
+            )
+            for name, lo, hi in ranges
+        ]
+    )
+    hit = narrow.select(
+        F.explode(F.filter(names, lambda x: x.isNotNull())).alias("range_name"),
+        "_stat",
+    )
+    counted = hit.groupBy("range_name").agg(
+        F.count("*").alias("n_docs"),
+        F.min("_stat").alias("min_v"),
+        F.max("_stat").alias("max_v"),
+        F.avg("_stat").alias("avg_v"),
+    )
+    order = {name: i for i, (name, _, _) in enumerate(ranges)}
+    all_ranges = spark.createDataFrame(
+        [(name, order[name]) for name, _, _ in ranges],
+        "range_name string, _ord int",
+    )
+    return (
+        all_ranges.join(F.broadcast(counted), "range_name", "left")
+        .select(
+            "range_name",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            "min_v",
+            "max_v",
+            "avg_v",
+            "_ord",
+        )
+        .orderBy("_ord")
+        .drop("_ord")
+    )
+
+
+def filters_agg(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    filters: dict[str, str],
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES ``filters`` aggregation: one named bucket per metadata
+    predicate over the match set.  Each predicate is a Spark SQL
+    boolean expression over the docs columns; a doc can land in any
+    number of buckets.  ONE pass over the semi-joined projection —
+    each filter becomes a conditional count inside the same aggregate,
+    so bucket count never multiplies the scan."""
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    matched = docs.withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    ).join(matches, "doc_id", "leftsemi")
+    aggs = [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(name)
+        for name, pred in filters.items()
+    ]
+    wide = matched.agg(*aggs)
+    # unpivot to (bucket, n_docs) rows, preserving the request order
+    pairs = F.array(
+        *[
+            F.struct(F.lit(name).alias("bucket"), F.col(name).alias("n_docs"))
+            for name in filters
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("p")).select("p.bucket", "p.n_docs")
+
+
+def facet_extended_stats(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    stat_col: str,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES ``extended_stats``: count/min/max/sum/avg plus
+    sum_of_squares, population variance and population std deviation
+    of a numeric column over the match set (ES reports population
+    moments).  Single aggregate over the semi-joined projection."""
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    narrow = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(stat_col).cast("double").alias("_stat"),
+    ).join(matches, "doc_id", "leftsemi")
+    return narrow.agg(
+        F.count("*").alias("n_docs"),
+        F.min("_stat").alias("min_v"),
+        F.max("_stat").alias("max_v"),
+        F.sum("_stat").alias("sum_v"),
+        F.avg("_stat").alias("avg_v"),
+        F.sum(F.col("_stat") * F.col("_stat")).alias("sum_sq"),
+        F.var_pop("_stat").alias("variance"),
+        F.stddev_pop("_stat").alias("std_dev"),
+    )
+
+
+def facet_string_stats(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    str_col: str,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES ``string_stats``: count, min/max/avg length and the Shannon
+    entropy of the CHARACTER distribution of a keyword column over the
+    match set (the ES contract: entropy is over characters, base 2).
+    Two narrow aggregates — length moments in one pass, the character
+    histogram via explode(split) in a second; both exchanges carry
+    characters/lengths, never documents."""
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    narrow = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(str_col).cast("string").alias("_s"),
+    ).join(matches, "doc_id", "leftsemi")
+    lens = narrow.agg(
+        F.count("*").alias("n_docs"),
+        F.min(F.length("_s")).alias("min_len"),
+        F.max(F.length("_s")).alias("max_len"),
+        F.avg(F.length("_s")).alias("avg_len"),
+    )
+    chars = (
+        narrow.select(F.explode(F.split("_s", "")).alias("c"))
+        .where(F.col("c") != "")
+        .groupBy("c")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    tot = chars.agg(F.sum("n").alias("tot"))
+    ent = (
+        chars.crossJoin(F.broadcast(tot))
+        .select((F.col("n") / F.col("tot")).alias("p"))
+        .agg((-F.sum(F.col("p") * F.log2("p"))).alias("entropy"))
+    )
+    return lens.crossJoin(ent)

@@ -1,0 +1,140 @@
+"""range / filters / extended_stats / string_stats facet aggregations
+vs brute-force python oracles over a tiny corpus with metadata."""
+
+from __future__ import annotations
+
+import math
+import tempfile
+from collections import Counter
+
+import pytest
+
+from inverted_index_spark.operators.boolean import (
+    facet_extended_stats,
+    facet_ranges,
+    facet_string_stats,
+    filters_agg,
+    parse_query,
+)
+from inverted_index_spark.operators.build import build_index
+from inverted_index_spark.sources.store import SegmentStore
+
+DOCS = [
+    # (doc_id, text, lang, n_chars)
+    (0, "spark shuffle merge", "en", 120),
+    (1, "spark window", "en", 340),
+    (2, "quiet river bank", "de", 90),
+    (3, "spark spark shuffle", "fr", 510),
+    (4, "river bank merge", "en", 260),
+    (5, "window merge partition", "de", 400),
+    (6, "a quiet dog", "en", 75),
+    (7, "partition pruning spark", "fr", 615),
+]
+Q = "spark OR merge"
+# the match set for Q: docs containing spark or merge
+MATCHED = [0, 1, 3, 4, 5, 7]
+
+
+@pytest.fixture(scope="module")
+def fstore(spark):
+    store = SegmentStore(tempfile.mkdtemp(prefix="ii_facetagg_") + "/idx")
+    df = spark.createDataFrame(
+        [(d, t) for d, t, _, _ in DOCS], "doc_id long, text string"
+    )
+    build_index(spark, df, store, bucket_size=4)
+    return store
+
+
+@pytest.fixture(scope="module")
+def meta(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, n_chars long"
+    )
+
+
+RANGES = [("small", None, 100.0), ("mid", 100.0, 400.0), ("big", 400.0, None)]
+
+
+def test_facet_ranges(spark, fstore, meta):
+    out = facet_ranges(spark, fstore, Q, meta, "n_chars", RANGES).collect()
+    stats = {r.range_name: (r.n_docs, r.min_v, r.max_v) for r in out}
+    vals = {d: c for d, _, _, c in DOCS}
+    for name, lo, hi in RANGES:
+        hit = [
+            vals[d]
+            for d in MATCHED
+            if (lo is None or vals[d] >= lo) and (hi is None or vals[d] < hi)
+        ]
+        if hit:
+            assert stats[name] == (len(hit), min(hit), max(hit))
+        else:
+            assert stats[name][0] == 0
+    # request order preserved, every range present
+    assert [r.range_name for r in out] == [n for n, _, _ in RANGES]
+
+
+def test_facet_ranges_overlapping(spark, fstore, meta):
+    # ES contract: a doc lands in EVERY range containing it
+    ranges = [("all", None, None), ("low", None, 400.0)]
+    out = {
+        r.range_name: r.n_docs
+        for r in facet_ranges(spark, fstore, Q, meta, "n_chars", ranges).collect()
+    }
+    vals = {d: c for d, _, _, c in DOCS}
+    assert out["all"] == len(MATCHED)
+    assert out["low"] == sum(1 for d in MATCHED if vals[d] < 400)
+
+
+def test_filters_agg(spark, fstore, meta):
+    filters = {
+        "short": "n_chars < 300",
+        "en": "lang = 'en'",
+        "long_fr": "n_chars >= 500 AND lang = 'fr'",
+        "none": "n_chars < 0",
+    }
+    out = filters_agg(spark, fstore, Q, meta, filters).collect()
+    got = {r.bucket: r.n_docs for r in out}
+    meta_by_id = {d: (lang, c) for d, _, lang, c in DOCS}
+    assert got["short"] == sum(1 for d in MATCHED if meta_by_id[d][1] < 300)
+    assert got["en"] == sum(1 for d in MATCHED if meta_by_id[d][0] == "en")
+    assert got["long_fr"] == sum(
+        1 for d in MATCHED if meta_by_id[d][1] >= 500 and meta_by_id[d][0] == "fr"
+    )
+    assert got["none"] == 0
+    assert [r.bucket for r in out] == list(filters)  # request order
+
+
+def test_facet_extended_stats(spark, fstore, meta):
+    row = facet_extended_stats(spark, fstore, Q, meta, "n_chars").collect()[0]
+    vals = [c for d, _, _, c in DOCS if d in MATCHED]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / n
+    assert row.n_docs == n
+    assert row.min_v == min(vals) and row.max_v == max(vals)
+    assert row.sum_v == pytest.approx(sum(vals))
+    assert row.avg_v == pytest.approx(mean)
+    assert row.sum_sq == pytest.approx(sum(v * v for v in vals))
+    assert row.variance == pytest.approx(var)
+    assert row.std_dev == pytest.approx(math.sqrt(var))
+
+
+def test_facet_string_stats(spark, fstore, meta):
+    row = facet_string_stats(spark, fstore, Q, meta, "lang").collect()[0]
+    strs = [lang for d, _, lang, _ in DOCS if d in MATCHED]
+    assert row.n_docs == len(strs)
+    assert row.min_len == min(len(s) for s in strs)
+    assert row.max_len == max(len(s) for s in strs)
+    assert row.avg_len == pytest.approx(sum(len(s) for s in strs) / len(strs))
+    chars = Counter("".join(strs))
+    tot = sum(chars.values())
+    want_entropy = -sum(
+        (c / tot) * math.log2(c / tot) for c in chars.values()
+    )
+    assert row.entropy == pytest.approx(want_entropy)
+
+
+def test_parsed_tree_accepted(spark, fstore, meta):
+    # all four accept a pre-parsed tree too
+    tree = parse_query(Q)
+    assert facet_extended_stats(spark, fstore, tree, meta, "n_chars").count() == 1
