@@ -733,3 +733,159 @@ def phrase_bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def ordered_gap_chain(
+    doc: np.ndarray, pos: np.ndarray, tid: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Segmented minimal ORDERED interval, fully vectorized (numpy).
+
+    Inputs are occurrence arrays sorted by (doc, pos); ``tid`` maps
+    each occurrence to its query-term index in [0, k) — term order IS
+    the required match order. For every occurrence of term 0, chain to
+    the EARLIEST strictly-later occurrence of term 1, then term 2, …
+    (k-1 global ``searchsorted`` calls — queries are few terms, so no
+    per-doc or per-row Python). Greedy earliest-successor chaining is
+    optimal for a fixed start, so the per-doc minimum over starts is
+    the doc's true minimal ordered gap count. Doc resets ride the same
+    doc_index * OFF + pos key trick as :func:`min_cover_spans`: a
+    chain that crosses into a later doc lands >= that doc's base and
+    is discarded by the same-doc check.
+
+    Returns (doc_ids, min_gaps) for docs with at least one complete
+    ordered chain; min_gaps = (end - start + 1) - k, the total slack
+    the ES/Lucene ``intervals`` query bounds with ``max_gaps``.
+    Thin wrapper over :func:`_chain_sequence` with the identity slot
+    mapping — the sequence form also handles repeated query terms.
+    """
+    return _chain_sequence(doc, pos, tid, list(range(k)))
+
+
+def intervals_match(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    max_gaps: int,
+    ordered: bool = True,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """ES ``intervals`` query (match rule): docs containing all
+    ``terms`` inside one interval whose total slack — interval width
+    minus the number of terms — is at most ``max_gaps``; with
+    ``ordered=True`` the terms must appear in query order (Lucene's
+    ordered interval iterator), otherwise any order (which reduces to
+    the minimal covering span, :func:`min_cover_spans`).
+
+    Returns (doc_id, min_gaps) with min_gaps <= max_gaps, sorted by
+    doc_id. Repeated query terms must bind to distinct positions (the
+    successor chain is strictly increasing), matching Lucene.
+
+    Scale: the positions scan is pruned to the query terms, groups by
+    a coarse doc-hash (many docs per Arrow batch, no per-doc Python),
+    and the kernel is k-1 vectorized searchsorted passes — the same
+    cost envelope as terms_within_window."""
+    if max_gaps < 0:
+        raise ValueError(f"max_gaps must be >= 0, got {max_gaps}")
+    seq = list(terms)
+    if not seq:
+        return spark.createDataFrame([], "doc_id long, min_gaps long")
+    if not ordered:
+        uniq = sorted(set(seq))
+        spans = terms_within_window(
+            spark, store, uniq, window=max_gaps + len(uniq), min_doc=min_doc,
+            max_doc=max_doc,
+        )
+        return (
+            spans.select(
+                "doc_id", (F.col("min_span") - len(uniq)).alias("min_gaps")
+            )
+            .where(F.col("min_gaps") <= int(max_gaps))
+            .orderBy("doc_id")
+        )
+    tmap: dict[str, int] = {}
+    for t in seq:
+        tmap.setdefault(t, len(tmap))
+    tids = [tmap[t] for t in seq]
+    uniq = sorted(tmap)
+    rows = read_positions(
+        spark, store, with_gen=store.has_deletes()
+    ).where(F.col("term").isin(uniq))
+    if min_doc is not None:
+        rows = rows.where(F.col("max_doc") >= F.lit(int(min_doc)))
+    if max_doc is not None:
+        rows = rows.where(F.col("min_doc") <= F.lit(int(max_doc)))
+    occ = decoded_occurrences(spark, store, rows, min_doc, max_doc)
+    n_groups = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    k = len(seq)
+
+    # remap: occurrence term -> position in the UNIQUE term list, then
+    # chain over the QUERY sequence (repeats share one occurrence set)
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "min_gaps": pd.Series(dtype="int64")}
+            )
+        pdf = pdf.sort_values(["doc_id", "pos"], kind="mergesort")
+        # duplicate occurrences across overlapping live segments would
+        # not change minimal gaps, but drop them for hygiene
+        pdf = pdf.drop_duplicates(["term", "doc_id", "pos"])
+        d = pdf["doc_id"].to_numpy(np.int64)
+        p = pdf["pos"].to_numpy(np.int64)
+        occ_tid = pdf["term"].map(tmap).to_numpy(np.int64)
+        # expand the unique-term occurrence stream into the query
+        # sequence's id space: occurrence of unique-term u serves every
+        # sequence slot whose term is u — the chain below walks slots,
+        # so relabel per slot via equality masks (k is tiny)
+        docs_out, gaps_out = _chain_sequence(d, p, occ_tid, tids)
+        return pd.DataFrame({"doc_id": docs_out, "min_gaps": gaps_out})
+
+    spans = (
+        occ.withColumn("_g", F.pmod(F.hash("doc_id"), F.lit(n_groups)))
+        .groupBy("_g")
+        .applyInPandas(
+            lambda _key, pdf: run(pdf), schema="doc_id long, min_gaps long"
+        )
+    )
+    return spans.where(F.col("min_gaps") <= int(max_gaps)).orderBy("doc_id")
+
+
+def _chain_sequence(
+    doc: np.ndarray, pos: np.ndarray, occ_tid: np.ndarray, slot_tids: list[int]
+) -> tuple[np.ndarray, np.ndarray]:
+    """ordered_gap_chain over a query SEQUENCE whose slots may repeat
+    terms: slot i consumes occurrences of unique-term slot_tids[i]."""
+    n = len(doc)
+    k = len(slot_tids)
+    if n == 0 or k < 1:
+        return doc[:0], pos[:0]
+    new_doc = np.empty(n, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = doc[1:] != doc[:-1]
+    di = (np.cumsum(new_doc) - 1).astype(np.int64)
+    off = np.int64(pos.max()) + 2
+    gkey = di * off + pos
+    keys_by_term = {t: gkey[occ_tid == t] for t in set(slot_tids)}
+    start = keys_by_term[slot_tids[0]]
+    if not len(start):
+        return doc[:0], pos[:0]
+    cur = start.copy()
+    for t in slot_tids[1:]:
+        kt = keys_by_term[t]
+        idx = np.searchsorted(kt, cur, side="right")
+        ok = idx < len(kt)
+        nxt = np.full(len(cur), _I64_MAX, dtype=np.int64)
+        nxt[ok] = kt[idx[ok]]
+        cur = nxt
+    same_doc = (cur < _I64_MAX) & (cur // off == start // off)
+    gaps = np.where(same_doc, cur - start + 1 - k, _I64_MAX)
+    sdoc = (start // off).astype(np.int64)
+    first = np.empty(len(sdoc), dtype=bool)
+    first[0] = True
+    first[1:] = sdoc[1:] != sdoc[:-1]
+    heads = np.flatnonzero(first)
+    best = np.minimum.reduceat(gaps, heads)
+    has_chain = best < _I64_MAX
+    doc_of_di = doc[np.flatnonzero(new_doc)]
+    return doc_of_di[sdoc[heads][has_chain]], best[has_chain]

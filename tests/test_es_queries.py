@@ -1,0 +1,102 @@
+"""ES query types (operators.es_queries): terms_set, term range,
+pinned — pinned against brute-force Python oracles over the shared
+tokenizer contract."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from inverted_index_spark.functions.tokenizer import tokenize_text
+from inverted_index_spark.operators.build import build_index
+from inverted_index_spark.operators.es_queries import (
+    pinned_topk,
+    term_range_values,
+    terms_set_match,
+)
+from inverted_index_spark.sources.store import SegmentStore
+
+DOCS = [
+    (0, "alpha beta gamma delta"),
+    (1, "alpha beta"),
+    (2, "gamma delta epsilon"),
+    (3, "alpha epsilon zeta"),
+    (4, "beta beta beta"),  # tf>1, still one distinct term
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    s = SegmentStore(tempfile.mkdtemp(prefix="ii_esq_") + "/idx")
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_index(spark, df, s, bucket_size=3)
+    return s
+
+
+def _toks():
+    return {d: set(tokenize_text(t)) for d, t in DOCS}
+
+
+def test_terms_set_match_counts(spark, store):
+    terms = ["alpha", "beta", "epsilon"]
+    for m in (1, 2, 3):
+        got = {
+            r["doc_id"]: r["n_matched"]
+            for r in terms_set_match(spark, store, terms, m).collect()
+        }
+        want = {
+            d: len(ts & set(terms))
+            for d, ts in _toks().items()
+            if len(ts & set(terms)) >= m
+        }
+        assert got == want, m
+
+
+def test_terms_set_match_bounds(spark, store):
+    with pytest.raises(ValueError):
+        terms_set_match(spark, store, ["alpha"], 0)
+    with pytest.raises(ValueError):
+        terms_set_match(spark, store, ["alpha", "beta"], 3)
+
+
+def test_term_range_values(spark, store):
+    cases = [
+        ("beta", "epsilon", True, True),
+        ("beta", "epsilon", False, True),
+        ("beta", "epsilon", True, False),
+        (None, "delta", True, True),
+        ("gamma", None, True, True),
+        (None, None, True, True),
+    ]
+    for lo, hi, il, iu in cases:
+        got = [
+            r["doc_id"]
+            for r in term_range_values(spark, store, lo, hi, il, iu).collect()
+        ]
+        def _in(t):
+            if lo is not None and (t < lo or (not il and t == lo)):
+                return False
+            if hi is not None and (t > hi or (not iu and t == hi)):
+                return False
+            return True
+        want = sorted(d for d, ts in _toks().items() if any(_in(t) for t in ts))
+        assert got == want, (lo, hi, il, iu)
+
+
+def test_pinned_topk_order_and_exclusion(spark, store):
+    # organic 'alpha' matches: 0, 1, 3; pin doc 3 and a missing id 99
+    rows = pinned_topk(spark, store, "alpha", [3, 99], k=3).collect()
+    assert [r["doc_id"] for r in rows][0] == 3
+    assert rows[0]["is_pinned"] == 1 and rows[0]["score"] is None
+    organic = [r["doc_id"] for r in rows if r["is_pinned"] == 0]
+    assert 3 not in organic  # pinned excluded from organic tail
+    assert set(organic) <= {0, 1}
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_pinned_topk_pins_fill_k(spark, store):
+    rows = pinned_topk(spark, store, "alpha", [2, 4, 0], k=2).collect()
+    assert [(r["doc_id"], r["is_pinned"]) for r in rows] == [(2, 1), (4, 1)]

@@ -500,3 +500,102 @@ def test_phrase_bm25_topk_slop(spark, pos_store):
     sloppy = {r["doc_id"] for r in
               phrase_bm25_topk(spark, pos_store, ["quick", "fox"], k=10, slop=2).collect()}
     assert sloppy == set(oracle_sloppy(["quick", "fox"], 2))
+
+
+# ---------------------------------------------------------------- intervals
+
+
+def _oracle_ordered_gaps(toks: list[str], seq: list[str]) -> int | None:
+    """Brute force: minimal (span - k) over all strictly-increasing
+    position tuples matching seq in order; None if no complete chain."""
+    import itertools
+
+    occ = [[i for i, t in enumerate(toks) if t == s] for s in seq]
+    best = None
+    for combo in itertools.product(*occ):
+        if all(a < b for a, b in zip(combo, combo[1:])):
+            gaps = combo[-1] - combo[0] + 1 - len(seq)
+            best = gaps if best is None else min(best, gaps)
+    return best
+
+
+def test_chain_sequence_random_vs_bruteforce():
+    from inverted_index_spark.operators.positions import _chain_sequence
+
+    rng = np.random.default_rng(7)
+    vocab = ["a", "b", "c", "d"]
+    for trial in range(200):
+        n_docs = int(rng.integers(1, 5))
+        docs = {}
+        rows = []
+        for d in range(n_docs):
+            toks = [vocab[i] for i in rng.integers(0, len(vocab), int(rng.integers(0, 12)))]
+            docs[d] = toks
+            rows += [(d, p, t) for p, t in enumerate(toks)]
+        seq = [vocab[i] for i in rng.integers(0, len(vocab), int(rng.integers(1, 4)))]
+        uniq = {}
+        for t in seq:
+            uniq.setdefault(t, len(uniq))
+        keep = [r for r in rows if r[2] in uniq]
+        keep.sort(key=lambda r: (r[0], r[1]))
+        doc = np.array([r[0] for r in keep], dtype=np.int64)
+        pos = np.array([r[1] for r in keep], dtype=np.int64)
+        tid = np.array([uniq[r[2]] for r in keep], dtype=np.int64)
+        slot = [uniq[t] for t in seq]
+        got_d, got_g = _chain_sequence(doc, pos, tid, slot)
+        got = dict(zip(got_d.tolist(), got_g.tolist()))
+        want = {}
+        for d, toks in docs.items():
+            g = _oracle_ordered_gaps(toks, seq)
+            if g is not None:
+                want[d] = g
+        assert got == want, (trial, seq, docs, got, want)
+
+
+def test_intervals_match_ordered(spark, pos_store):
+    from inverted_index_spark.operators.positions import intervals_match
+
+    # 'quick ... fox' in order with bounded slack
+    for max_gaps in (0, 1, 3):
+        got = {
+            r["doc_id"]: r["min_gaps"]
+            for r in intervals_match(
+                spark, pos_store, ["quick", "fox"], max_gaps
+            ).collect()
+        }
+        want = {}
+        for doc_id, text in DOCS:
+            g = _oracle_ordered_gaps(tokenize_text(text), ["quick", "fox"])
+            if g is not None and g <= max_gaps:
+                want[doc_id] = g
+        assert got == want, max_gaps
+
+
+def test_intervals_match_repeated_term(spark, pos_store):
+    from inverted_index_spark.operators.positions import intervals_match
+
+    got = {
+        r["doc_id"]: r["min_gaps"]
+        for r in intervals_match(
+            spark, pos_store, ["quick", "brown", "quick"], 5
+        ).collect()
+    }
+    want = {}
+    for doc_id, text in DOCS:
+        g = _oracle_ordered_gaps(tokenize_text(text), ["quick", "brown", "quick"])
+        if g is not None and g <= 5:
+            want[doc_id] = g
+    assert got == want
+
+
+def test_intervals_match_unordered(spark, pos_store):
+    from inverted_index_spark.operators.positions import intervals_match
+
+    # unordered = minimal covering span; doc 3 ('brown the quick')
+    # matches unordered but NOT ordered at max_gaps=1
+    uno = {r["doc_id"] for r in intervals_match(
+        spark, pos_store, ["quick", "brown"], 1, ordered=False).collect()}
+    ord_ = {r["doc_id"] for r in intervals_match(
+        spark, pos_store, ["quick", "brown"], 1, ordered=True).collect()}
+    assert 3 in uno
+    assert ord_ <= uno
