@@ -1455,6 +1455,121 @@ def _q_facet_string_stats(spark, sf):
     )
 
 
+def _q_terms_set(spark, sf):
+    """ES terms_set query: docs matching at least 2 of 3 terms
+    (operators/es_queries.py) — the whole AND..OR family as a count."""
+    from inverted_index_spark.operators.es_queries import terms_set_match
+
+    return terms_set_match(
+        spark, _store_for(spark, sf), ["spark", "merge", "window"], 2
+    )
+
+
+def _q_term_range(spark, sf):
+    """Lucene TermRangeQuery: OR-union of every dictionary term in
+    ['merge', 'spark') — the FST range seek as a pushed range scan."""
+    from inverted_index_spark.operators.es_queries import term_range_values
+
+    return term_range_values(
+        spark, _store_for(spark, sf), "merge", "spark", True, False
+    )
+
+
+def _q_pinned_topk(spark, sf):
+    """ES pinned query: editorial ids [3, 7] first (score NULL), then
+    the organic BM25 ranking with pins excluded, to k=10."""
+    from inverted_index_spark.operators.es_queries import pinned_topk
+
+    t = pinned_topk(spark, _store_for(spark, sf), "spark OR merge", [3, 7], k=10)
+    return t.select(
+        "rank", "doc_id", F.round("score", 4).alias("score"), "is_pinned"
+    )
+
+
+def _q_intervals_ordered(spark, sf):
+    """ES intervals query (ordered, max_gaps): docs where 'spark'
+    precedes 'merge' with total slack <= 30, plus the minimal slack —
+    the vectorized ordered-chain kernel over the positions store."""
+    from inverted_index_spark.operators.positions import intervals_match
+
+    return intervals_match(
+        spark, _store_for(spark, sf), ["spark", "merge"], 30, ordered=True
+    )
+
+
+def _q_weighted_avg(spark, sf):
+    """ES weighted_avg aggregation: n_chars weighted by a
+    deterministic per-doc weight over the match set."""
+    from inverted_index_spark.operators.aggregations import facet_weighted_avg
+
+    docs = _docs(spark, sf).withColumn(
+        "w", (F.col("doc_id") % 7 + 1).cast("double")
+    )
+    t = facet_weighted_avg(
+        spark, _store_for(spark, sf), "spark OR merge", docs, "n_chars", "w"
+    )
+    return t.select(
+        "n_docs",
+        F.round("weighted_avg", 4).alias("weighted_avg"),
+        F.round("sum_weight", 4).alias("sum_weight"),
+    )
+
+
+def _q_facet_mad(spark, sf):
+    """ES median_absolute_deviation of n_chars over the match set
+    (exact interpolated median, the value ES's TDigest approximates)."""
+    from inverted_index_spark.operators.aggregations import facet_mad
+
+    t = facet_mad(
+        spark, _store_for(spark, sf), "spark OR merge", _docs(spark, sf),
+        "n_chars",
+    )
+    return t.select("n_docs", F.round("mad", 4).alias("mad"))
+
+
+def _q_matrix_stats(spark, sf):
+    """ES matrix_stats: pairwise population covariance + Pearson
+    correlation of n_chars and a derived numeric field, one agg pass."""
+    from inverted_index_spark.operators.aggregations import matrix_stats
+
+    docs = _docs(spark, sf).withColumn(
+        "y2", (F.col("n_chars") * 2 + F.col("doc_id") % 97).cast("double")
+    )
+    t = matrix_stats(
+        spark, _store_for(spark, sf), "spark OR merge", docs,
+        ["n_chars", "y2"],
+    )
+    return t.select(
+        "col_x", "col_y", "n_docs",
+        F.round("mean_x", 4).alias("mean_x"),
+        F.round("mean_y", 4).alias("mean_y"),
+        F.round("covariance", 4).alias("covariance"),
+        F.round("correlation", 4).alias("correlation"),
+    ).orderBy("col_x", "col_y")
+
+
+def _q_sampler(spark, sf):
+    """ES sampler aggregation: the 10 best-BM25 matches as the
+    sub-aggregation input set."""
+    from inverted_index_spark.operators.aggregations import sampler_agg
+
+    t = sampler_agg(spark, _store_for(spark, sf), "spark OR merge", shard_size=10)
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_diversified_sampler(spark, sf):
+    """ES diversified_sampler: best match per lang (max_docs_per_value
+    =1), then the top 5 of those survivors."""
+    from inverted_index_spark.operators.aggregations import sampler_agg
+
+    t = sampler_agg(
+        spark, _store_for(spark, sf), "spark OR merge", shard_size=5,
+        diversify_docs=_docs(spark, sf), diversify_col="lang",
+        max_docs_per_value=1,
+    )
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_synonym_topk(spark, sf):
     """Lucene SynonymQuery scoring: {spark} and {merge, window} each
     score as one pseudo-term (tf summed, idf from max member df)."""
@@ -2065,6 +2180,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filters_agg": _q_filters_agg,
         "facet_extended_stats": _q_facet_extended_stats,
         "facet_string_stats": _q_facet_string_stats,
+        "terms_set": _q_terms_set,
+        "term_range": _q_term_range,
+        "pinned_topk": _q_pinned_topk,
+        "intervals_ordered": _q_intervals_ordered,
+        "weighted_avg": _q_weighted_avg,
+        "facet_mad": _q_facet_mad,
+        "matrix_stats": _q_matrix_stats,
+        "sampler": _q_sampler,
+        "diversified_sampler": _q_diversified_sampler,
         "facet_percentiles": _q_facet_percentiles,
         "synonym_topk": _q_synonym_topk,
         "collapse_topk": _q_collapse_topk,
@@ -3404,6 +3528,94 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "(SELECT n / (SELECT sum(n) FROM hist) AS p FROM hist)) "
             "SELECT n_docs, min_len, max_len, avg_len, entropy "
             "FROM lens, ent"
+        ),
+        "terms_set": (
+            f"SELECT doc_id, count(DISTINCT term) AS n_matched FROM ({_TOK}) "
+            "WHERE term IN ('merge', 'spark', 'window') GROUP BY doc_id "
+            "HAVING count(DISTINCT term) >= 2 ORDER BY doc_id"
+        ),
+        "term_range": (
+            f"SELECT DISTINCT doc_id FROM ({_TOK}) "
+            "WHERE term >= 'merge' AND term < 'spark' ORDER BY doc_id"
+        ),
+        "pinned_topk": (
+            "WITH org AS (SELECT m.doc_id, coalesce(s.raw_score, 0) AS sc "
+            "FROM (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark')) m "
+            f"LEFT JOIN ({_bm25_contrib_sql(['merge', 'spark'])}) s USING (doc_id) "
+            "WHERE m.doc_id NOT IN (3, 7) "
+            "ORDER BY sc DESC, m.doc_id ASC LIMIT 8) "
+            "SELECT rank, doc_id, NULL::DOUBLE AS score, 1 AS is_pinned "
+            "FROM (VALUES (1, 3::BIGINT), (2, 7::BIGINT)) h(rank, doc_id) "
+            "UNION ALL "
+            "SELECT (2 + row_number() OVER (ORDER BY sc DESC, doc_id ASC))"
+            "::INTEGER AS rank, doc_id, round(sc, 4) AS score, "
+            "0 AS is_pinned FROM org ORDER BY rank"
+        ),
+        "intervals_ordered": (
+            f"WITH p AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term, "
+            f"generate_subscripts({_TOKS_SQL}, 1) AS pos FROM documents), "
+            "a AS (SELECT doc_id, pos FROM p WHERE term = 'spark'), "
+            "b AS (SELECT doc_id, pos FROM p WHERE term = 'merge') "
+            "SELECT a.doc_id, min(b.pos - a.pos - 1)::BIGINT AS min_gaps "
+            "FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos > a.pos "
+            "GROUP BY a.doc_id HAVING min(b.pos - a.pos - 1) <= 30 "
+            "ORDER BY a.doc_id"
+        ),
+        "weighted_avg": (
+            "WITH m AS (SELECT n_chars::DOUBLE AS v, "
+            "(doc_id % 7 + 1)::DOUBLE AS w FROM documents "
+            "WHERE doc_id IN (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark'))) "
+            "SELECT count(*) AS n_docs, "
+            "round(sum(v * w) / sum(w), 4) AS weighted_avg, "
+            "round(sum(w), 4) AS sum_weight FROM m"
+        ),
+        "facet_mad": (
+            "WITH m AS (SELECT n_chars::DOUBLE AS v FROM documents "
+            "WHERE doc_id IN (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark'))), "
+            "med AS (SELECT median(v) AS md FROM m) "
+            "SELECT count(*) AS n_docs, "
+            "round(median(abs(v - md)), 4) AS mad FROM m, med"
+        ),
+        "matrix_stats": (
+            "WITH m AS (SELECT n_chars::DOUBLE AS x, "
+            "(n_chars * 2 + doc_id % 97)::DOUBLE AS y FROM documents "
+            "WHERE doc_id IN (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark'))) "
+            "SELECT 'n_chars' AS col_x, 'n_chars' AS col_y, "
+            "count(*) AS n_docs, round(avg(x), 4) AS mean_x, "
+            "round(avg(x), 4) AS mean_y, "
+            "round(covar_pop(x, x), 4) AS covariance, "
+            "round(corr(x, x), 4) AS correlation FROM m "
+            "UNION ALL SELECT 'n_chars', 'y2', count(*), "
+            "round(avg(x), 4), round(avg(y), 4), "
+            "round(covar_pop(x, y), 4), round(corr(x, y), 4) FROM m "
+            "UNION ALL SELECT 'y2', 'y2', count(*), "
+            "round(avg(y), 4), round(avg(y), 4), "
+            "round(covar_pop(y, y), 4), round(corr(y, y), 4) FROM m "
+            "ORDER BY col_x, col_y"
+        ),
+        "sampler": (
+            "SELECT m.doc_id, round(coalesce(s.raw_score, 0), 4) AS score "
+            "FROM (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark')) m "
+            f"LEFT JOIN ({_bm25_contrib_sql(['merge', 'spark'])}) s USING (doc_id) "
+            "ORDER BY coalesce(s.raw_score, 0) DESC, m.doc_id ASC LIMIT 10"
+        ),
+        "diversified_sampler": (
+            "WITH ranked AS (SELECT m.doc_id, "
+            "coalesce(s.raw_score, 0) AS sc, d.lang FROM "
+            "(SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark')) m "
+            f"LEFT JOIN ({_bm25_contrib_sql(['merge', 'spark'])}) s USING (doc_id) "
+            "JOIN documents d USING (doc_id)), "
+            "dv AS (SELECT doc_id, sc, row_number() OVER "
+            "(PARTITION BY lang ORDER BY sc DESC, doc_id ASC) AS r "
+            "FROM ranked) "
+            "SELECT doc_id, round(sc, 4) AS score FROM dv WHERE r = 1 "
+            "ORDER BY sc DESC, doc_id ASC LIMIT 5"
         ),
         "facet_stats": (
             "SELECT lang, count(*) AS n_docs, "

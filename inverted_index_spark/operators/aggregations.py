@@ -20,6 +20,14 @@ reference's read path — SURVEY.md §2 extensions):
     top_hits            ES top_hits inside a terms bucket: the busiest
                         n_buckets facet values, each with its size
                         best BM25-ranked hits
+    facet_weighted_avg  ES weighted_avg: sum(v*w)/sum(w) over matches
+    facet_mad           ES median_absolute_deviation (exact median)
+    matrix_stats        ES matrix_stats: pairwise covariance and
+                        correlation matrix over the match set
+    sampler_agg         ES sampler / diversified_sampler: best-scoring
+                        shard_size docs, optionally capped per
+                        dedup-field value (NULL dedup values form one
+                        bucket of their own)
 
 All of these compile to one decode pass over the postings scan plus one
 aggregation exchange — no driver-side set math. The whole-index scans
@@ -494,4 +502,228 @@ def top_hits(
         .where(F.col("rank") <= size)
         .select(col, "n_docs", "rank", "doc_id", "score")
         .orderBy(F.desc("n_docs"), F.asc(col), F.asc("rank"))
+    )
+
+
+def facet_weighted_avg(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    value_col: str,
+    weight_col: str,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES ``weighted_avg`` aggregation: sum(value*weight)/sum(weight)
+    over the match set. Docs missing either the value or the weight
+    are skipped (the ES default when no ``missing`` substitute is
+    configured). One narrow semi-joined aggregate — the exchange
+    carries two doubles per matching doc."""
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    narrow = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(value_col).cast("double").alias("_v"),
+            F.col(weight_col).cast("double").alias("_w"),
+        )
+        .where(F.col("_v").isNotNull() & F.col("_w").isNotNull())
+        .join(matches, "doc_id", "leftsemi")
+    )
+    return narrow.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.col("_v") * F.col("_w")) / F.sum("_w")).alias("weighted_avg"),
+        F.sum("_w").alias("sum_weight"),
+    )
+
+
+def facet_mad(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    stat_col: str,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES ``median_absolute_deviation``: median(|x - median(x)|) over
+    the match set. ES approximates with a TDigest; this computes the
+    EXACT interpolated median (Spark ``median`` ≡ percentile 0.5),
+    which is the value the approximation converges to — and what a
+    SQL oracle can verify. Two aggregate passes over the same narrow
+    projection: the first reduces to ONE scalar (broadcast back), the
+    second reduces the absolute deviations. Both exchanges carry one
+    double per matching doc — no doc payloads, no driver data."""
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    narrow = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(stat_col).cast("double").alias("_x"),
+        )
+        .where(F.col("_x").isNotNull())
+        .join(matches, "doc_id", "leftsemi")
+    )
+    med = narrow.agg(F.median("_x").alias("_med"))
+    return (
+        narrow.crossJoin(F.broadcast(med))
+        .select(F.abs(F.col("_x") - F.col("_med")).alias("_d"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.median("_d").alias("mad"),
+        )
+    )
+
+
+def matrix_stats(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    cols: list[str],
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES ``matrix_stats`` aggregation: pairwise population covariance
+    and Pearson correlation (plus per-side means) for every ordered
+    pair of numeric fields over the match set. ES drops documents
+    missing ANY of the fields (its documented multivariate behavior);
+    so does this. ONE aggregate pass — all k·(k+1)/2 moments are
+    columns of the same agg, then unpivoted to rows (k is the request
+    arity, never data-sized), so the scan and the exchange happen
+    once regardless of how many pairs are requested.
+
+    Returns (col_x, col_y, n_docs, mean_x, mean_y, covariance,
+    correlation) for x <= y in ``cols`` order; the diagonal carries
+    the variance and correlation 1."""
+    if len(cols) < 2:
+        raise ValueError("matrix_stats needs at least two columns")
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    proj = [F.col("doc_id").cast("long").alias("doc_id")] + [
+        F.col(c).cast("double").alias(f"_c{i}") for i, c in enumerate(cols)
+    ]
+    narrow = docs.select(*proj)
+    for i in range(len(cols)):
+        narrow = narrow.where(F.col(f"_c{i}").isNotNull())
+    narrow = narrow.join(matches, "doc_id", "leftsemi")
+    aggs = [F.count("*").alias("_n")]
+    for i in range(len(cols)):
+        aggs.append(F.avg(f"_c{i}").alias(f"_m{i}"))
+        for j in range(i, len(cols)):
+            aggs.append(
+                F.covar_pop(f"_c{i}", f"_c{j}").alias(f"_cov_{i}_{j}")
+            )
+            aggs.append(F.corr(f"_c{i}", f"_c{j}").alias(f"_cor_{i}_{j}"))
+    wide = narrow.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(cols[i]).alias("col_x"),
+                F.lit(cols[j]).alias("col_y"),
+                F.col("_n").alias("n_docs"),
+                F.col(f"_m{i}").alias("mean_x"),
+                F.col(f"_m{j}").alias("mean_y"),
+                F.col(f"_cov_{i}_{j}").alias("covariance"),
+                F.col(f"_cor_{i}_{j}").alias("correlation"),
+            )
+            for i in range(len(cols))
+            for j in range(i, len(cols))
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("p")).select("p.*")
+
+
+def sampler_agg(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    shard_size: int = 100,
+    diversify_docs: DataFrame | None = None,
+    diversify_col: str | None = None,
+    max_docs_per_value: int = 1,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES ``sampler`` / ``diversified_sampler`` aggregation: restrict
+    downstream sub-aggregations to the ``shard_size`` BEST-scoring
+    matches. With ``diversify_col`` set, at most ``max_docs_per_value``
+    docs per distinct value of that column survive BEFORE the size cut
+    (the diversified variant — de-biases the sample away from one
+    dominant source). Deterministic: score ties break on doc_id.
+
+    Returns the sample as (doc_id, score) rows — compose it with any
+    facet by passing ``docs.join(sample, "doc_id", "leftsemi")``,
+    exactly how ES nests sub-aggs under the sampler bucket.
+
+    Scale: scoring is the standard pruned BM25 pass; the diversity
+    window partitions by the dedup value (skew bounded by
+    max_docs_per_value surviving rows per value) and the final cut is
+    a TakeOrdered limit — shard_size rows, never the corpus."""
+    from pyspark.sql import Window
+
+    from inverted_index_spark.operators.bm25 import bm25_scores
+    from inverted_index_spark.operators.boolean import (
+        _scoring_terms,
+        _scoring_weights,
+    )
+
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    if (diversify_col is None) != (diversify_docs is None):
+        raise ValueError(
+            "diversify_col and diversify_docs must be given together"
+        )
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    terms = sorted(set(_scoring_terms(q)))
+    if not terms:
+        ranked = matches.select("doc_id", F.lit(0.0).alias("score"))
+    else:
+        weights = _scoring_weights(q)
+        boosts = {t: w for t, w in weights.items() if w != 1.0} or None
+        scores = bm25_scores(
+            spark, store, terms, min_doc, max_doc, boosts=boosts
+        )
+        ranked = matches.join(scores, "doc_id", "left").select(
+            "doc_id", F.coalesce("score", F.lit(0.0)).alias("score")
+        )
+    if diversify_col is not None:
+        if max_docs_per_value < 1:
+            raise ValueError(
+                f"max_docs_per_value must be >= 1, got {max_docs_per_value}"
+            )
+        narrow = diversify_docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(diversify_col).alias("_dv"),
+        )
+        w = Window.partitionBy("_dv").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        ranked = (
+            ranked.join(narrow, "doc_id", "left")
+            .withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= int(max_docs_per_value))
+            .drop("_r", "_dv")
+        )
+    return (
+        ranked.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(shard_size))
     )

@@ -138,3 +138,153 @@ def test_parsed_tree_accepted(spark, fstore, meta):
     # all four accept a pre-parsed tree too
     tree = parse_query(Q)
     assert facet_extended_stats(spark, fstore, tree, meta, "n_chars").count() == 1
+
+
+# --------------------------------------- weighted_avg / mad / matrix_stats
+
+
+def test_facet_weighted_avg(spark, fstore, meta):
+    from inverted_index_spark.operators.aggregations import facet_weighted_avg
+
+    # weight = doc_id + 1 (deterministic, nonzero), value = n_chars
+    docs = meta.withColumn("w", meta.doc_id + 1)
+    row = facet_weighted_avg(spark, fstore, Q, docs, "n_chars", "w").collect()[0]
+    vals = {d: c for d, _, _, c in DOCS}
+    num = sum(vals[d] * (d + 1) for d in MATCHED)
+    den = sum(d + 1 for d in MATCHED)
+    assert row["n_docs"] == len(MATCHED)
+    assert row["weighted_avg"] == pytest.approx(num / den)
+    assert row["sum_weight"] == pytest.approx(den)
+
+
+def test_facet_weighted_avg_skips_missing(spark, fstore, meta):
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.operators.aggregations import facet_weighted_avg
+
+    # null out the weight for doc 0 -> it must be skipped entirely
+    docs = meta.withColumn(
+        "w", F.when(meta.doc_id == 0, None).otherwise(meta.doc_id + 1)
+    )
+    row = facet_weighted_avg(spark, fstore, Q, docs, "n_chars", "w").collect()[0]
+    kept = [d for d in MATCHED if d != 0]
+    vals = {d: c for d, _, _, c in DOCS}
+    num = sum(vals[d] * (d + 1) for d in kept)
+    den = sum(d + 1 for d in kept)
+    assert row["n_docs"] == len(kept)
+    assert row["weighted_avg"] == pytest.approx(num / den)
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    mid = n // 2
+    return float(xs[mid]) if n % 2 else (xs[mid - 1] + xs[mid]) / 2.0
+
+
+def test_facet_mad(spark, fstore, meta):
+    from inverted_index_spark.operators.aggregations import facet_mad
+
+    row = facet_mad(spark, fstore, Q, meta, "n_chars").collect()[0]
+    vals = [c for d, _, _, c in DOCS if d in MATCHED]
+    med = _median(vals)
+    want = _median([abs(v - med) for v in vals])
+    assert row["n_docs"] == len(MATCHED)
+    assert row["mad"] == pytest.approx(want)
+
+
+def test_matrix_stats(spark, fstore, meta):
+    from inverted_index_spark.operators.aggregations import matrix_stats
+
+    # second numeric column correlated-with-noise against n_chars
+    docs = meta.withColumn("score2", (meta.n_chars * 2 + meta.doc_id * 37))
+    out = matrix_stats(spark, fstore, Q, docs, ["n_chars", "score2"]).collect()
+    vals = {d: c for d, _, _, c in DOCS}
+    xs = [float(vals[d]) for d in MATCHED]
+    ys = [float(vals[d] * 2 + d * 37) for d in MATCHED]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov_xy = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / n
+    var_x = sum((a - mx) ** 2 for a in xs) / n
+    var_y = sum((b - my) ** 2 for b in ys) / n
+    corr = cov_xy / math.sqrt(var_x * var_y)
+    rows = {(r["col_x"], r["col_y"]): r for r in out}
+    assert set(rows) == {
+        ("n_chars", "n_chars"), ("n_chars", "score2"), ("score2", "score2")
+    }
+    d = rows[("n_chars", "score2")]
+    assert d["n_docs"] == n
+    assert d["mean_x"] == pytest.approx(mx)
+    assert d["mean_y"] == pytest.approx(my)
+    assert d["covariance"] == pytest.approx(cov_xy)
+    assert d["correlation"] == pytest.approx(corr)
+    assert rows[("n_chars", "n_chars")]["covariance"] == pytest.approx(var_x)
+    assert rows[("n_chars", "n_chars")]["correlation"] == pytest.approx(1.0)
+    with pytest.raises(ValueError):
+        matrix_stats(spark, fstore, Q, docs, ["n_chars"])
+
+
+def test_matrix_stats_drops_rows_missing_any_field(spark, fstore, meta):
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.operators.aggregations import matrix_stats
+
+    docs = meta.withColumn(
+        "score2", F.when(meta.doc_id == 3, None).otherwise(meta.n_chars + 1)
+    )
+    out = matrix_stats(spark, fstore, Q, docs, ["n_chars", "score2"]).collect()
+    n = len([d for d in MATCHED if d != 3])
+    assert all(r["n_docs"] == n for r in out)
+
+
+# ------------------------------------------------- sampler / diversified
+
+
+def test_sampler_agg_equals_ranked_topk(spark, fstore):
+    from inverted_index_spark.operators.aggregations import sampler_agg
+    from inverted_index_spark.operators.boolean import ranked_topk
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in sampler_agg(spark, fstore, Q, shard_size=4).collect()
+    ]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in ranked_topk(spark, fstore, Q, k=4).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b)
+
+
+def test_diversified_sampler_caps_per_value(spark, fstore, meta):
+    from inverted_index_spark.operators.aggregations import sampler_agg
+    from inverted_index_spark.operators.boolean import ranked_topk
+
+    sample = sampler_agg(
+        spark, fstore, Q, shard_size=10,
+        diversify_docs=meta, diversify_col="lang", max_docs_per_value=1,
+    ).collect()
+    langs = {d: l for d, _, l, _ in DOCS}
+    seen = [langs[r["doc_id"]] for r in sample]
+    assert len(seen) == len(set(seen))  # one doc per lang
+    # and each survivor is its lang's best-ranked match
+    ranked = ranked_topk(spark, fstore, Q, k=len(MATCHED)).collect()
+    best = {}
+    for r in ranked:
+        best.setdefault(langs[r["doc_id"]], r["doc_id"])
+    assert {r["doc_id"] for r in sample} == set(best.values())
+
+
+def test_sampler_agg_validation(spark, fstore, meta):
+    from inverted_index_spark.operators.aggregations import sampler_agg
+
+    with pytest.raises(ValueError):
+        sampler_agg(spark, fstore, Q, shard_size=0)
+    with pytest.raises(ValueError):
+        sampler_agg(spark, fstore, Q, diversify_col="lang")  # missing docs
+    with pytest.raises(ValueError):
+        sampler_agg(
+            spark, fstore, Q, diversify_docs=meta, diversify_col="lang",
+            max_docs_per_value=0,
+        )
