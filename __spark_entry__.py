@@ -2604,6 +2604,27 @@ SELECT doc_id, n_matches FROM (
 WHERE n_matches > 0 ORDER BY doc_id
 """
 
+_PERCOLATE_SQL = (
+    f"WITH tok AS (SELECT DISTINCT doc_id, term FROM ({_TOK})) "
+    "SELECT doc_id, query_id FROM ("
+    "SELECT doc_id, 'qa' AS query_id FROM tok "
+    "WHERE term IN ('spark','window') "
+    "GROUP BY doc_id HAVING count(DISTINCT term) = 2 "
+    "UNION ALL "
+    "SELECT DISTINCT doc_id, 'qb' FROM tok "
+    "WHERE term IN ('merge','scan') "
+    "UNION ALL "
+    "SELECT doc_id, 'qc' FROM tok WHERE term = 'table' "
+    "AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'window') "
+    "UNION ALL "
+    f"SELECT doc_id, 'qd' FROM ({_PHRASE_SQL}) "
+    "UNION ALL "
+    "SELECT doc_id, 'qe' FROM tok "
+    "WHERE term IN ('spark','merge','scan') "
+    "GROUP BY doc_id HAVING count(DISTINCT term) >= 2"
+    ") ORDER BY doc_id, query_id"
+)
+
 # clusters twin: recursive min-label propagation over the SAME minhash
 # pair set (the engine runs alternating large/small-star — same fixpoint)
 
@@ -3457,6 +3478,59 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "WHERE regexp_matches(lower(text), 'spark merge|window .able') "
             "ORDER BY doc_id"
         ),
+        "asof_click_view": (
+            "WITH clicks AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "views AS (SELECT user_id, ts AS vts, event_id AS view_id, "
+            "value AS view_value FROM events WHERE event_type = 'view') "
+            "SELECT c.event_id AS click_id, c.user_id, v.view_id, "
+            "round(v.view_value, 6) AS view_value "
+            "FROM clicks c LEFT JOIN LATERAL ("
+            "SELECT view_id, view_value FROM views v "
+            "WHERE v.user_id = c.user_id AND v.vts <= c.ts "
+            "ORDER BY v.vts DESC, v.view_id DESC LIMIT 1) v ON TRUE "
+            "ORDER BY click_id"
+        ),
+        "sessionize_events": (
+            "WITH g AS (SELECT event_id, user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "(epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 > 1800.0 "
+            "THEN 1 ELSE 0 END AS isn FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT *, sum(isn) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS sn FROM g) "
+            "SELECT event_id, user_id, "
+            "user_id::VARCHAR || '#' || sn::VARCHAR AS session_id, "
+            "(row_number() OVER (PARTITION BY user_id, sn ORDER BY ts) - 1)"
+            "::BIGINT AS session_seq FROM s ORDER BY event_id"
+        ),
+        "session_stats": (
+            # session_window's end is EXCLUSIVE: an event exactly gap
+            # after the last one starts a NEW session (>=, not >)
+            "WITH g AS (SELECT user_id, ts, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 "
+            "THEN 1 ELSE 0 END AS isn FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT *, sum(isn) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sn FROM g) "
+            "SELECT user_id, min(epoch_us(ts)) AS start_us, "
+            "max(epoch_us(ts)) + 1800000000 AS end_us, "
+            "count(*) AS n_events, round(sum(value), 6) AS sum_value "
+            "FROM s GROUP BY user_id, sn ORDER BY user_id, start_us"
+        ),
+        "turn_context": (
+            "WITH corpus AS (SELECT l_orderkey AS conv, "
+            "l_linenumber AS turn, l_orderkey * 8 + l_linenumber AS doc_id, "
+            "l_quantity::DOUBLE AS qty FROM lineitem), "
+            "hits AS (SELECT doc_id AS hit_id, conv AS g, turn AS o "
+            "FROM corpus WHERE qty = 50 AND turn = 4 AND conv % 10 = 1) "
+            "SELECT h.hit_id, c.conv, c.turn, c.doc_id, c.qty, "
+            "(c.turn - h.o)::BIGINT AS \"offset\" FROM corpus c "
+            "JOIN hits h ON c.conv = h.g "
+            "AND c.turn BETWEEN h.o - 1 AND h.o + 1 "
+            "ORDER BY hit_id, \"offset\""
+        ),
         "ts_index_range": (
             "SELECT DISTINCT epoch_us(ts) AS ts_us FROM events "
             f"WHERE event_type IN ('{TS_TYPES[0]}', '{TS_TYPES[1]}') "
@@ -3863,26 +3937,10 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "WHERE regexp_full_match(term, 'w.ndow') "
             "OR regexp_full_match(term, 'sp.*rk') ORDER BY doc_id"
         ),
-        "percolate_queries": (
-            f"WITH tok AS (SELECT DISTINCT doc_id, term FROM ({_TOK})) "
-            "SELECT doc_id, query_id FROM ("
-            "SELECT doc_id, 'qa' AS query_id FROM tok "
-            "WHERE term IN ('spark','window') "
-            "GROUP BY doc_id HAVING count(DISTINCT term) = 2 "
-            "UNION ALL "
-            "SELECT DISTINCT doc_id, 'qb' FROM tok "
-            "WHERE term IN ('merge','scan') "
-            "UNION ALL "
-            "SELECT doc_id, 'qc' FROM tok WHERE term = 'table' "
-            "AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'window') "
-            "UNION ALL "
-            f"SELECT doc_id, 'qd' FROM ({_PHRASE_SQL}) "
-            "UNION ALL "
-            "SELECT doc_id, 'qe' FROM tok "
-            "WHERE term IN ('spark','merge','scan') "
-            "GROUP BY doc_id HAVING count(DISTINCT term) >= 2"
-            ") ORDER BY doc_id, query_id"
-        ),
+        "percolate_queries": _PERCOLATE_SQL,
+        # the stream entry unions per-micro-batch percolations over the
+        # same table — identical result set, identical twin
+        "stream_percolate": _PERCOLATE_SQL,
         "rescore_topk": (
             "WITH orig AS (SELECT doc_id, raw_score FROM ("
             f"{_bm25_contrib_sql(PHRASE)}"
