@@ -1548,6 +1548,25 @@ def _q_matrix_stats(spark, sf):
     ).orderBy("col_x", "col_y")
 
 
+def _q_rank_feature(spark, sf):
+    """ES rank_feature query: BM25 + boost * saturation(n_chars,
+    pivot=256) as a SHOULD clause — static doc-quality signals folded
+    into the ranking (operators/es_queries.py)."""
+    from inverted_index_spark.operators.es_queries import (
+        rank_feature_topk,
+        saturation,
+    )
+
+    feats = _docs(spark, sf).select(
+        "doc_id", F.col("n_chars").cast("double").alias("f")
+    )
+    t = rank_feature_topk(
+        spark, _store_for(spark, sf), ["merge", "spark"], feats,
+        saturation("f", 256.0), k=10, boost=2.0,
+    )
+    return t.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_sampler(spark, sf):
     """ES sampler aggregation: the 10 best-BM25 matches as the
     sub-aggregation input set."""
@@ -2187,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_avg": _q_weighted_avg,
         "facet_mad": _q_facet_mad,
         "matrix_stats": _q_matrix_stats,
+        "rank_feature": _q_rank_feature,
         "sampler": _q_sampler,
         "diversified_sampler": _q_diversified_sampler,
         "facet_percentiles": _q_facet_percentiles,
@@ -3670,6 +3690,14 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "round(avg(y), 4), round(avg(y), 4), "
             "round(covar_pop(y, y), 4), round(corr(y, y), 4) FROM m "
             "ORDER BY col_x, col_y"
+        ),
+        "rank_feature": (
+            "SELECT doc_id, round(sc, 4) AS score FROM ("
+            "SELECT s.doc_id, s.raw_score "
+            "+ 2.0 * (d.n_chars::DOUBLE / (d.n_chars::DOUBLE + 256.0)) AS sc "
+            f"FROM ({_bm25_contrib_sql(['merge', 'spark'])}) s "
+            "JOIN documents d USING (doc_id)) "
+            "ORDER BY sc DESC, doc_id ASC LIMIT 10"
         ),
         "sampler": (
             "SELECT m.doc_id, round(coalesce(s.raw_score, 0), 4) AS score "

@@ -161,3 +161,62 @@ def pinned_topk(
         F.lit(0).alias("is_pinned"),
     )
     return head.unionByName(tail).orderBy("rank")
+
+
+def saturation(col, pivot: float):
+    """ES rank_feature ``saturation``: f / (f + pivot) — approaches 1
+    as the feature grows, 0.5 at the pivot."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c / (c + F.lit(float(pivot)))
+
+
+def log_feature(col, scaling_factor: float = 1.0):
+    """ES rank_feature ``log``: ln(scaling_factor + f)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.log(F.lit(float(scaling_factor)) + c)
+
+
+def sigmoid_feature(col, pivot: float, exponent: float):
+    """ES rank_feature ``sigmoid``: f^exp / (f^exp + pivot^exp)."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.pow(c, F.lit(float(exponent)))
+    return p / (p + F.lit(float(pivot) ** float(exponent)))
+
+
+def rank_feature_topk(
+    spark: SparkSession,
+    store: SegmentStore,
+    terms: list[str],
+    features: DataFrame,
+    feature,
+    k: int = 10,
+    boost: float = 1.0,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+) -> DataFrame:
+    """ES ``rank_feature`` query in its canonical position — a bool
+    SHOULD clause next to a text query:
+
+        final = bm25(terms) + boost * S(feature)
+
+    where S is one of the saturation / log / sigmoid monotone
+    squashes (pass the Column built by :func:`saturation`,
+    :func:`log_feature` or :func:`sigmoid_feature` — or any
+    expression over the ``features`` columns). Docs missing the
+    feature keep their BM25 score unchanged (the SHOULD clause simply
+    contributes nothing — ES behavior).
+
+    Returns (doc_id, score) top-k. Scale: same envelope as
+    function_score_topk — the feature join touches the MATCH SET
+    only (AQE-broadcast when small), the squash stays in
+    whole-stage codegen, top-k is TakeOrdered."""
+    from inverted_index_spark.operators.bm25 import bm25_scores
+
+    s = bm25_scores(spark, store, sorted(set(terms)), min_doc, max_doc)
+    joined = s.join(features, "doc_id", "left")
+    contrib = F.coalesce(feature, F.lit(0.0)) * F.lit(float(boost))
+    return (
+        joined.select("doc_id", (F.col("score") + contrib).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -100,3 +100,51 @@ def test_pinned_topk_order_and_exclusion(spark, store):
 def test_pinned_topk_pins_fill_k(spark, store):
     rows = pinned_topk(spark, store, "alpha", [2, 4, 0], k=2).collect()
     assert [(r["doc_id"], r["is_pinned"]) for r in rows] == [(2, 1), (4, 1)]
+
+
+def test_rank_feature_topk(spark, store):
+    import math
+
+    from inverted_index_spark.operators.bm25 import bm25_scores
+    from inverted_index_spark.operators.es_queries import (
+        log_feature,
+        rank_feature_topk,
+        saturation,
+        sigmoid_feature,
+    )
+
+    # features: doc 5 (empty, unindexed) and doc 3 missing on purpose
+    feats = spark.createDataFrame(
+        [(0, 10.0), (1, 50.0), (2, 5.0), (4, 200.0)], "doc_id long, f double"
+    )
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(spark, store, ["alpha", "beta"]).collect()
+    }
+    fv = {0: 10.0, 1: 50.0, 2: 5.0, 4: 200.0}
+
+    cases = [
+        (saturation("f", 20.0), lambda x: x / (x + 20.0)),
+        (log_feature("f", 1.0), lambda x: math.log(1.0 + x)),
+        (
+            sigmoid_feature("f", 20.0, 2.0),
+            lambda x: x**2 / (x**2 + 20.0**2),
+        ),
+    ]
+    for col, fn in cases:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in rank_feature_topk(
+                spark, store, ["alpha", "beta"], feats, col, k=10, boost=3.0
+            ).collect()
+        ]
+        want = sorted(
+            (
+                (d, s + (3.0 * fn(fv[d]) if d in fv else 0.0))
+                for d, s in base.items()
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, a), (_, b) in zip(got, want):
+            assert a == pytest.approx(b)
