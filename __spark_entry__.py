@@ -3681,14 +3681,14 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "SELECT 'n_chars' AS col_x, 'n_chars' AS col_y, "
             "count(*) AS n_docs, round(avg(x), 4) AS mean_x, "
             "round(avg(x), 4) AS mean_y, "
-            "round(covar_pop(x, x), 4) AS covariance, "
+            "round(covar_samp(x, x), 4) AS covariance, "
             "round(corr(x, x), 4) AS correlation FROM m "
             "UNION ALL SELECT 'n_chars', 'y2', count(*), "
             "round(avg(x), 4), round(avg(y), 4), "
-            "round(covar_pop(x, y), 4), round(corr(x, y), 4) FROM m "
+            "round(covar_samp(x, y), 4), round(corr(x, y), 4) FROM m "
             "UNION ALL SELECT 'y2', 'y2', count(*), "
             "round(avg(y), 4), round(avg(y), 4), "
-            "round(covar_pop(y, y), 4), round(corr(y, y), 4) FROM m "
+            "round(covar_samp(y, y), 4), round(corr(y, y), 4) FROM m "
             "ORDER BY col_x, col_y"
         ),
         "rank_feature": (

@@ -462,29 +462,11 @@ def top_hits(
     facet_counts."""
     from pyspark.sql import Window
 
-    from inverted_index_spark.operators.bm25 import bm25_scores
-    from inverted_index_spark.operators.boolean import (
-        _scoring_terms,
-        _scoring_weights,
-    )
+    from inverted_index_spark.operators.boolean import ranked_matches
 
-    if isinstance(q, str):
-        q = parse_query(q)
-    matches = _matches(
+    ranked = ranked_matches(
         spark, store, q, min_doc, max_doc, field_stores=field_stores
-    ).select("doc_id")
-    terms = sorted(set(_scoring_terms(q)))
-    if not terms:
-        ranked = matches.select("doc_id", F.lit(0.0).alias("score"))
-    else:
-        weights = _scoring_weights(q)
-        boosts = {t: w for t, w in weights.items() if w != 1.0} or None
-        scores = bm25_scores(
-            spark, store, terms, min_doc, max_doc, boosts=boosts
-        )
-        ranked = matches.join(scores, "doc_id", "left").select(
-            "doc_id", F.coalesce("score", F.lit(0.0)).alias("score")
-        )
+    )
     narrow = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.col(col)
     )
@@ -517,10 +499,10 @@ def facet_weighted_avg(
     field_stores: dict[str, SegmentStore] | None = None,
 ) -> DataFrame:
     """ES ``weighted_avg`` aggregation: sum(value*weight)/sum(weight)
-    over the match set. Docs missing either the value or the weight
-    are skipped (the ES default when no ``missing`` substitute is
-    configured). One narrow semi-joined aggregate — the exchange
-    carries two doubles per matching doc."""
+    over the match set. Docs missing the VALUE are skipped and docs
+    missing only the WEIGHT count with weight 1 — the ES defaults when
+    no ``missing`` substitute is configured. One narrow semi-joined
+    aggregate — the exchange carries two doubles per matching doc."""
     if isinstance(q, str):
         q = parse_query(q)
     matches = _matches(
@@ -530,9 +512,11 @@ def facet_weighted_avg(
         docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col(value_col).cast("double").alias("_v"),
-            F.col(weight_col).cast("double").alias("_w"),
+            F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0)).alias(
+                "_w"
+            ),
         )
-        .where(F.col("_v").isNotNull() & F.col("_w").isNotNull())
+        .where(F.col("_v").isNotNull())
         .join(matches, "doc_id", "leftsemi")
     )
     return narrow.agg(
@@ -594,18 +578,19 @@ def matrix_stats(
     max_doc: int | None = None,
     field_stores: dict[str, SegmentStore] | None = None,
 ) -> DataFrame:
-    """ES ``matrix_stats`` aggregation: pairwise population covariance
-    and Pearson correlation (plus per-side means) for every ordered
-    pair of numeric fields over the match set. ES drops documents
-    missing ANY of the fields (its documented multivariate behavior);
-    so does this. ONE aggregate pass — all k·(k+1)/2 moments are
-    columns of the same agg, then unpivoted to rows (k is the request
-    arity, never data-sized), so the scan and the exchange happen
-    once regardless of how many pairs are requested.
+    """ES ``matrix_stats`` aggregation: pairwise SAMPLE covariance
+    (n−1 normalization, matching ES's MatrixStatsResults) and Pearson
+    correlation (plus per-side means) for every ordered pair of
+    numeric fields over the match set. ES drops documents missing ANY
+    of the fields (its documented multivariate behavior); so does
+    this. ONE aggregate pass — all k·(k+1)/2 moments are columns of
+    the same agg, then unpivoted to rows (k is the request arity,
+    never data-sized), so the scan and the exchange happen once
+    regardless of how many pairs are requested.
 
     Returns (col_x, col_y, n_docs, mean_x, mean_y, covariance,
     correlation) for x <= y in ``cols`` order; the diagonal carries
-    the variance and correlation 1."""
+    the sample variance and correlation 1."""
     if len(cols) < 2:
         raise ValueError("matrix_stats needs at least two columns")
     if isinstance(q, str):
@@ -625,7 +610,7 @@ def matrix_stats(
         aggs.append(F.avg(f"_c{i}").alias(f"_m{i}"))
         for j in range(i, len(cols)):
             aggs.append(
-                F.covar_pop(f"_c{i}", f"_c{j}").alias(f"_cov_{i}_{j}")
+                F.covar_samp(f"_c{i}", f"_c{j}").alias(f"_cov_{i}_{j}")
             )
             aggs.append(F.corr(f"_c{i}", f"_c{j}").alias(f"_cor_{i}_{j}"))
     wide = narrow.agg(*aggs)
@@ -676,11 +661,7 @@ def sampler_agg(
     a TakeOrdered limit — shard_size rows, never the corpus."""
     from pyspark.sql import Window
 
-    from inverted_index_spark.operators.bm25 import bm25_scores
-    from inverted_index_spark.operators.boolean import (
-        _scoring_terms,
-        _scoring_weights,
-    )
+    from inverted_index_spark.operators.boolean import ranked_matches
 
     if shard_size < 1:
         raise ValueError(f"shard_size must be >= 1, got {shard_size}")
@@ -688,23 +669,9 @@ def sampler_agg(
         raise ValueError(
             "diversify_col and diversify_docs must be given together"
         )
-    if isinstance(q, str):
-        q = parse_query(q)
-    matches = _matches(
+    ranked = ranked_matches(
         spark, store, q, min_doc, max_doc, field_stores=field_stores
-    ).select("doc_id")
-    terms = sorted(set(_scoring_terms(q)))
-    if not terms:
-        ranked = matches.select("doc_id", F.lit(0.0).alias("score"))
-    else:
-        weights = _scoring_weights(q)
-        boosts = {t: w for t, w in weights.items() if w != 1.0} or None
-        scores = bm25_scores(
-            spark, store, terms, min_doc, max_doc, boosts=boosts
-        )
-        ranked = matches.join(scores, "doc_id", "left").select(
-            "doc_id", F.coalesce("score", F.lit(0.0)).alias("score")
-        )
+    )
     if diversify_col is not None:
         if max_docs_per_value < 1:
             raise ValueError(

@@ -585,6 +585,46 @@ def _scoring_weights(q, mult: float = 1.0) -> dict[str, float]:
     return out
 
 
+def ranked_matches(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+    deterministic: bool = False,
+) -> DataFrame:
+    """The UNLIMITED BM25-ranked match stream (doc_id, score) —
+    the tree FILTERS, BM25 over its positive scoring terms RANKS;
+    matches with no scoring term (e.g. reached only through a Prefix
+    clause) score 0.0 and are never dropped. ranked_topk, top_hits,
+    collapse_topk, boosting_topk, sampler_agg and search_after all cut
+    this one stream differently — sharing it keeps their rankings
+    bit-identical by construction. ``deterministic`` requests the
+    sorted-fold score summation (search_after needs bit-stable floats
+    for its cursor comparison; the plain shuffle-order sum drifts
+    ~1e-11 run-to-run)."""
+    from inverted_index_spark.operators.bm25 import bm25_scores
+
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    terms = sorted(set(_scoring_terms(q)))
+    if not terms:
+        return matches.select("doc_id", F.lit(0.0).alias("score"))
+    weights = _scoring_weights(q)
+    boosts = {t: w for t, w in weights.items() if w != 1.0} or None
+    scores = bm25_scores(
+        spark, store, terms, min_doc, max_doc,
+        deterministic=deterministic, boosts=boosts,
+    )
+    return matches.join(scores, "doc_id", "left").select(
+        "doc_id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
 def ranked_topk(
     spark: SparkSession,
     store: SegmentStore,
@@ -595,33 +635,14 @@ def ranked_topk(
     field_stores: dict[str, SegmentStore] | None = None,
 ) -> DataFrame:
     """BM25-ranked boolean search — the full search-engine surface in
-    one call (Lucene BooleanQuery + similarity): the tree FILTERS,
-    BM25 over its positive scoring terms RANKS. Accepts a tree or a
-    query string (parse_query grammar). Matches with no scoring term
-    (e.g. reached only through a Prefix clause) score 0.0 and rank by
-    doc_id — they are never dropped while k is unfilled. Ties break
-    (score DESC, doc_id ASC) like every other top-k in the engine;
-    compiles to the match-set plan + one score stream + TakeOrdered."""
-    from inverted_index_spark.operators.bm25 import bm25_scores
-
-    if isinstance(q, str):
-        q = parse_query(q)
-    matches = _matches(
-        spark, store, q, min_doc, max_doc, field_stores=field_stores
-    ).select("doc_id")
-    terms = sorted(set(_scoring_terms(q)))
-    if not terms:
-        return (
-            matches.select("doc_id", F.lit(0.0).alias("score"))
-            .orderBy("doc_id")
-            .limit(k)
-        )
-    weights = _scoring_weights(q)
-    boosts = {t: w for t, w in weights.items() if w != 1.0} or None
-    scores = bm25_scores(spark, store, terms, min_doc, max_doc, boosts=boosts)
+    one call (Lucene BooleanQuery + similarity). Accepts a tree or a
+    query string (parse_query grammar). Ties break (score DESC,
+    doc_id ASC) like every other top-k in the engine; compiles to the
+    match-set plan + one score stream + TakeOrdered."""
     return (
-        matches.join(scores, "doc_id", "left")
-        .select("doc_id", F.coalesce("score", F.lit(0.0)).alias("score"))
+        ranked_matches(
+            spark, store, q, min_doc, max_doc, field_stores=field_stores
+        )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
@@ -653,26 +674,10 @@ def search_after(
     float compared against the cursor is bit-identical across runs
     (the plain shuffle-order sum drifts ~1e-11 run-to-run, which
     breaks exact cursor equality)."""
-    from inverted_index_spark.operators.bm25 import bm25_scores
-
-    if isinstance(q, str):
-        q = parse_query(q)
-    matches = _matches(
-        spark, store, q, min_doc, max_doc, field_stores=field_stores
-    ).select("doc_id")
-    terms = sorted(set(_scoring_terms(q)))
-    if not terms:
-        ranked = matches.select("doc_id", F.lit(0.0).alias("score"))
-    else:
-        weights = _scoring_weights(q)
-        boosts = {t: w for t, w in weights.items() if w != 1.0} or None
-        scores = bm25_scores(
-            spark, store, terms, min_doc, max_doc,
-            deterministic=True, boosts=boosts,
-        )
-        ranked = matches.join(scores, "doc_id", "left").select(
-            "doc_id", F.coalesce("score", F.lit(0.0)).alias("score")
-        )
+    ranked = ranked_matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores,
+        deterministic=True,
+    )
     if after is not None:
         s, d = float(after[0]), int(after[1])
         ranked = ranked.where(
@@ -742,23 +747,9 @@ def collapse_topk(
     facet_counts)."""
     from pyspark.sql import Window
 
-    from inverted_index_spark.operators.bm25 import bm25_scores
-
-    if isinstance(q, str):
-        q = parse_query(q)
-    matches = _matches(
+    ranked = ranked_matches(
         spark, store, q, min_doc, max_doc, field_stores=field_stores
-    ).select("doc_id")
-    terms = sorted(set(_scoring_terms(q)))
-    if not terms:
-        ranked = matches.select("doc_id", F.lit(0.0).alias("score"))
-    else:
-        weights = _scoring_weights(q)
-        boosts = {t: w for t, w in weights.items() if w != 1.0} or None
-        scores = bm25_scores(spark, store, terms, min_doc, max_doc, boosts=boosts)
-        ranked = matches.join(scores, "doc_id", "left").select(
-            "doc_id", F.coalesce("score", F.lit(0.0)).alias("score")
-        )
+    )
     narrow = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.col(field)
     )
@@ -903,29 +894,13 @@ def boosting_topk(
     matches only on both sides, AQE broadcasts the smaller; then
     TakeOrdered.
     """
-    from inverted_index_spark.operators.bm25 import bm25_scores
-
     if not 0.0 <= float(negative_boost) < 1.0:
         raise ValueError("negative_boost must be in [0, 1)")
-    if isinstance(positive, str):
-        positive = parse_query(positive)
     if isinstance(negative, str):
         negative = parse_query(negative)
-    matches = _matches(
+    ranked = ranked_matches(
         spark, store, positive, min_doc, max_doc, field_stores=field_stores
-    ).select("doc_id")
-    terms = sorted(set(_scoring_terms(positive)))
-    if not terms:
-        ranked = matches.select("doc_id", F.lit(0.0).alias("score"))
-    else:
-        weights = _scoring_weights(positive)
-        boosts = {t: w for t, w in weights.items() if w != 1.0} or None
-        scores = bm25_scores(
-            spark, store, terms, min_doc, max_doc, boosts=boosts
-        )
-        ranked = matches.join(scores, "doc_id", "left").select(
-            "doc_id", F.coalesce("score", F.lit(0.0)).alias("score")
-        )
+    )
     neg = _matches(
         spark, store, negative, min_doc, max_doc, field_stores=field_stores
     ).select("doc_id", F.lit(True).alias("_neg"))

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from inverted_index_spark.operators.query import postings_df, _decode_rows
+from inverted_index_spark.operators.query import postings_df
 from inverted_index_spark.sources.store import SegmentStore
 
 
@@ -70,29 +70,21 @@ def term_range_values(
     query.py:read_terms_prefix).
 
     Returns sorted unique (doc_id). Both bounds None = ReadAllValues.
+    Rides postings_df's one scan/decode/delete-scoping path — the
+    range predicate pushes into the same sorted parquet layout.
     """
-    rows = store.read_postings(spark, with_gen=store.has_deletes())
+    pred = F.lit(True)
     if lower is not None:
-        rows = rows.where(
+        pred = pred & (
             F.col("term") >= lower if include_lower else F.col("term") > lower
         )
     if upper is not None:
-        rows = rows.where(
+        pred = pred & (
             F.col("term") <= upper if include_upper else F.col("term") < upper
         )
-    if min_doc is not None:
-        rows = rows.where(F.col("max_doc") >= F.lit(int(min_doc)))
-    if max_doc is not None:
-        rows = rows.where(F.col("min_doc") <= F.lit(int(max_doc)))
-    dels = store.has_deletes()
-    decoded = rows.mapInPandas(
-        lambda it: _decode_rows(it, min_doc, max_doc, False),
-        schema="term string, doc_id long" + (", _sgen long" if dels else ""),
+    decoded = postings_df(
+        spark, store, None, min_doc, max_doc, with_tf=False, term_pred=pred
     )
-    if dels:
-        from inverted_index_spark.sources.store import scoped_minus_deletes
-
-        decoded = scoped_minus_deletes(spark, store, decoded)
     return decoded.select("doc_id").distinct().orderBy("doc_id")
 
 
@@ -125,14 +117,15 @@ def pinned_topk(
         raise ValueError("pinned_topk needs at least one pinned id")
     if isinstance(q, str):
         q = parse_query(q)
-    # which pins exist (deleted/absent ids are skipped, ES behavior)
-    present = {
-        r["doc_id"]
-        for r in store.read_docstats(spark)
-        .where(F.col("doc_id").isin(pins))
-        .select("doc_id")
-        .collect()
-    }
+    # which pins exist (deleted/absent ids are skipped, ES behavior);
+    # the [min_doc, max_doc] scope is a hard envelope here like on
+    # every other read path — out-of-range pins are skipped too
+    probe = store.read_docstats(spark).where(F.col("doc_id").isin(pins))
+    if min_doc is not None:
+        probe = probe.where(F.col("doc_id") >= int(min_doc))
+    if max_doc is not None:
+        probe = probe.where(F.col("doc_id") <= int(max_doc))
+    present = {r["doc_id"] for r in probe.select("doc_id").collect()}
     live_pins = [p for p in pins if p in present][:k]
     # organic: over-fetch so pinned hits can be excluded post-rank
     organic = ranked_topk(

@@ -778,8 +778,11 @@ def intervals_match(
     the minimal covering span, :func:`min_cover_spans`).
 
     Returns (doc_id, min_gaps) with min_gaps <= max_gaps, sorted by
-    doc_id. Repeated query terms must bind to distinct positions (the
-    successor chain is strictly increasing), matching Lucene.
+    doc_id. In ordered mode repeated query terms bind to distinct
+    positions (the successor chain is strictly increasing), matching
+    Lucene; unordered mode rejects repeated terms — its covering-span
+    reduction would let one occurrence satisfy both copies, which is
+    NOT Lucene's unordered-intervals semantics.
 
     Scale: the positions scan is pruned to the query terms, groups by
     a coarse doc-hash (many docs per Arrow batch, no per-doc Python),
@@ -791,6 +794,12 @@ def intervals_match(
     if not seq:
         return spark.createDataFrame([], "doc_id long, min_gaps long")
     if not ordered:
+        if len(set(seq)) != len(seq):
+            raise ValueError(
+                "unordered intervals with repeated terms are not "
+                "supported (one occurrence would satisfy both copies); "
+                "use ordered=True, where repeats bind distinct positions"
+            )
         uniq = sorted(set(seq))
         spans = terms_within_window(
             spark, store, uniq, window=max_gaps + len(uniq), min_doc=min_doc,

@@ -65,17 +65,27 @@ def matching_rows(
     min_doc: int | None = None,
     max_doc: int | None = None,
     with_gen: bool = False,
+    term_pred=None,
 ) -> DataFrame:
     """Pruned segment rows for a term set: predicate pushdown on term
     (sorted/partitioned layout → file + row-group skipping) plus
     row-level [min_doc, max_doc] envelope pruning — the reference's
     readTermsBitmaps + preselectSegments (single/single.go:548-657).
     ``terms=None`` keeps EVERY term (whole-index scans: term vectors,
-    significant-terms — doc-range pruning still applies).
-    ``with_gen`` adds the ``_sgen`` scan-class column (delete
-    scoping); filters still push into every per-class scan."""
+    significant-terms — doc-range pruning still applies), unless
+    ``term_pred`` gives an arbitrary pushable predicate over the term
+    column instead (range/prefix reads — mutually exclusive with
+    ``terms``). ``with_gen`` adds the ``_sgen`` scan-class column
+    (delete scoping); filters still push into every per-class scan."""
+    if terms is not None and term_pred is not None:
+        raise ValueError("pass terms or term_pred, not both")
     seg = store.read_postings(spark, with_gen=with_gen)
-    out = seg if terms is None else seg.where(F.col("term").isin(list(terms)))
+    if terms is not None:
+        out = seg.where(F.col("term").isin(list(terms)))
+    elif term_pred is not None:
+        out = seg.where(term_pred)
+    else:
+        out = seg
     if min_doc is not None:
         out = out.where(F.col("max_doc") >= F.lit(int(min_doc)))
     if max_doc is not None:
@@ -90,6 +100,7 @@ def postings_df(
     min_doc: int | None = None,
     max_doc: int | None = None,
     with_tf: bool = True,
+    term_pred=None,
 ) -> DataFrame:
     """Decoded (term, doc_id, tf, dl) rows for a term set (range-pruned;
     ``terms=None`` decodes ALL terms, for whole-index consumers),
@@ -99,7 +110,10 @@ def postings_df(
     than a tombstone survive it, which is what makes reindex (delete +
     re-add) read correctly."""
     dels = store.has_deletes()
-    rows = matching_rows(spark, store, terms, min_doc, max_doc, with_gen=dels)
+    rows = matching_rows(
+        spark, store, terms, min_doc, max_doc, with_gen=dels,
+        term_pred=term_pred,
+    )
     schema = "term string, doc_id long" + (", tf long, dl long" if with_tf else "")
     if dels:
         schema += ", _sgen long"

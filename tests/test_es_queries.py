@@ -148,3 +148,11 @@ def test_rank_feature_topk(spark, store):
         assert [d for d, _ in got] == [d for d, _ in want]
         for (_, a), (_, b) in zip(got, want):
             assert a == pytest.approx(b)
+
+
+def test_pinned_topk_scope_excludes_pins(spark, store):
+    # doc 3 matches 'alpha' but lies outside [min_doc=4, ...): the pin
+    # must be skipped like every other out-of-scope doc
+    rows = pinned_topk(spark, store, "alpha", [3], k=3, min_doc=4).collect()
+    assert all(r["doc_id"] != 3 for r in rows)
+    assert all(r["is_pinned"] == 0 for r in rows)

@@ -157,20 +157,23 @@ def test_facet_weighted_avg(spark, fstore, meta):
     assert row["sum_weight"] == pytest.approx(den)
 
 
-def test_facet_weighted_avg_skips_missing(spark, fstore, meta):
+def test_facet_weighted_avg_missing_semantics(spark, fstore, meta):
     from pyspark.sql import functions as F
 
     from inverted_index_spark.operators.aggregations import facet_weighted_avg
 
-    # null out the weight for doc 0 -> it must be skipped entirely
+    # ES defaults: a null WEIGHT counts as 1, a null VALUE skips the doc
     docs = meta.withColumn(
         "w", F.when(meta.doc_id == 0, None).otherwise(meta.doc_id + 1)
+    ).withColumn(
+        "v", F.when(meta.doc_id == 1, None).otherwise(meta.n_chars)
     )
-    row = facet_weighted_avg(spark, fstore, Q, docs, "n_chars", "w").collect()[0]
-    kept = [d for d in MATCHED if d != 0]
+    row = facet_weighted_avg(spark, fstore, Q, docs, "v", "w").collect()[0]
+    kept = [d for d in MATCHED if d != 1]
     vals = {d: c for d, _, _, c in DOCS}
-    num = sum(vals[d] * (d + 1) for d in kept)
-    den = sum(d + 1 for d in kept)
+    wts = {d: (1 if d == 0 else d + 1) for d in kept}
+    num = sum(vals[d] * wts[d] for d in kept)
+    den = sum(wts[d] for d in kept)
     assert row["n_docs"] == len(kept)
     assert row["weighted_avg"] == pytest.approx(num / den)
 
@@ -204,9 +207,10 @@ def test_matrix_stats(spark, fstore, meta):
     ys = [float(vals[d] * 2 + d * 37) for d in MATCHED]
     n = len(xs)
     mx, my = sum(xs) / n, sum(ys) / n
-    cov_xy = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / n
-    var_x = sum((a - mx) ** 2 for a in xs) / n
-    var_y = sum((b - my) ** 2 for b in ys) / n
+    # ES MatrixStatsResults normalizes by n-1 (sample covariance)
+    cov_xy = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / (n - 1)
+    var_x = sum((a - mx) ** 2 for a in xs) / (n - 1)
+    var_y = sum((b - my) ** 2 for b in ys) / (n - 1)
     corr = cov_xy / math.sqrt(var_x * var_y)
     rows = {(r["col_x"], r["col_y"]): r for r in out}
     assert set(rows) == {

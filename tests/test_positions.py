@@ -599,3 +599,12 @@ def test_intervals_match_unordered(spark, pos_store):
         spark, pos_store, ["quick", "brown"], 1, ordered=True).collect()}
     assert 3 in uno
     assert ord_ <= uno
+
+
+def test_intervals_match_unordered_rejects_repeats(spark, pos_store):
+    from inverted_index_spark.operators.positions import intervals_match
+
+    with pytest.raises(ValueError, match="repeated terms"):
+        intervals_match(
+            spark, pos_store, ["quick", "quick"], 2, ordered=False
+        )
