@@ -105,8 +105,9 @@ def moving_fn(
     out_col: str | None = None,
 ) -> DataFrame:
     """ES ``moving_fn`` with a trailing window of ``window`` buckets
-    (current bucket included, matching ES's shift=window default of
-    covering [i-window+1, i]).  ``fn`` in {avg, sum, min, max}."""
+    (current bucket included — ES's shift=1 window [i-window+1, i];
+    ES's shift=0 default excludes the current bucket).
+    ``fn`` in {avg, sum, min, max}."""
     if fn not in ("avg", "sum", "min", "max"):
         raise ValueError(f"unsupported moving fn {fn!r}")
     out = out_col or f"{value_col}_mov_{fn}"
