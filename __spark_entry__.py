@@ -1528,8 +1528,9 @@ def _q_facet_mad(spark, sf):
 
 
 def _q_matrix_stats(spark, sf):
-    """ES matrix_stats: pairwise population covariance + Pearson
-    correlation of n_chars and a derived numeric field, one agg pass."""
+    """ES matrix_stats: pairwise SAMPLE covariance (n−1, matching ES
+    MatrixStatsResults) + Pearson correlation of n_chars and a derived
+    numeric field, one agg pass."""
     from inverted_index_spark.operators.aggregations import matrix_stats
 
     docs = _docs(spark, sf).withColumn(

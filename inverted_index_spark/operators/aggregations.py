@@ -590,7 +590,10 @@ def matrix_stats(
 
     Returns (col_x, col_y, n_docs, mean_x, mean_y, covariance,
     correlation) for x <= y in ``cols`` order; the diagonal carries
-    the sample variance and correlation 1."""
+    the sample variance and correlation 1. A single-doc match set
+    yields NULL covariance/correlation (n−1 = 0 — ES returns NaN
+    there; NULL is the SQL spelling, and Spark and DuckDB agree on
+    it)."""
     if len(cols) < 2:
         raise ValueError("matrix_stats needs at least two columns")
     if isinstance(q, str):

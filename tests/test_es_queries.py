@@ -151,8 +151,11 @@ def test_rank_feature_topk(spark, store):
 
 
 def test_pinned_topk_scope_excludes_pins(spark, store):
-    # doc 3 matches 'alpha' but lies outside [min_doc=4, ...): the pin
-    # must be skipped like every other out-of-scope doc
-    rows = pinned_topk(spark, store, "alpha", [3], k=3, min_doc=4).collect()
-    assert all(r["doc_id"] != 3 for r in rows)
+    # doc 0 matches 'alpha OR beta' but lies outside [min_doc=3, ...):
+    # the pin must be skipped like every other out-of-scope doc, while
+    # the in-scope organic matches (3: alpha, 4: beta) still rank
+    rows = pinned_topk(
+        spark, store, "alpha OR beta", [0], k=3, min_doc=3
+    ).collect()
+    assert {r["doc_id"] for r in rows} == {3, 4}
     assert all(r["is_pinned"] == 0 for r in rows)
