@@ -1527,6 +1527,22 @@ def _q_facet_mad(spark, sf):
     return t.select("n_docs", F.round("mad", 4).alias("mad"))
 
 
+def _q_percentile_ranks(spark, sf):
+    """ES percentile_ranks: % of matching docs with n_chars <= each
+    requested value (exact empirical CDF, the TDigest limit)."""
+    from inverted_index_spark.operators.aggregations import (
+        facet_percentile_ranks,
+    )
+
+    t = facet_percentile_ranks(
+        spark, _store_for(spark, sf), "spark OR merge", _docs(spark, sf),
+        "n_chars", (200.0, 800.0, 5000.0),
+    )
+    return t.select(
+        "value", "n_docs", F.round("pct_rank", 4).alias("pct_rank")
+    )
+
+
 def _q_matrix_stats(spark, sf):
     """ES matrix_stats: pairwise SAMPLE covariance (n−1, matching ES
     MatrixStatsResults) + Pearson correlation of n_chars and a derived
@@ -2207,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_avg": _q_weighted_avg,
         "facet_mad": _q_facet_mad,
         "matrix_stats": _q_matrix_stats,
+        "percentile_ranks": _q_percentile_ranks,
         "rank_feature": _q_rank_feature,
         "sampler": _q_sampler,
         "diversified_sampler": _q_diversified_sampler,
@@ -3673,6 +3690,16 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "med AS (SELECT median(v) AS md FROM m) "
             "SELECT count(*) AS n_docs, "
             "round(median(abs(v - md)), 4) AS mad FROM m, med"
+        ),
+        "percentile_ranks": (
+            "WITH m AS (SELECT n_chars::DOUBLE AS v FROM documents "
+            "WHERE doc_id IN (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark'))) "
+            "SELECT t.value, (SELECT count(*) FROM m) AS n_docs, "
+            "round(100.0 * (SELECT count(*) FROM m WHERE v <= t.value) "
+            "/ (SELECT count(*) FROM m), 4) AS pct_rank "
+            "FROM (VALUES (200.0), (800.0), (5000.0)) AS t(value) "
+            "ORDER BY t.value"
         ),
         "matrix_stats": (
             "WITH m AS (SELECT n_chars::DOUBLE AS x, "

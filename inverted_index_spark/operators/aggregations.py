@@ -22,6 +22,8 @@ reference's read path — SURVEY.md §2 extensions):
                         best BM25-ranked hits
     facet_weighted_avg  ES weighted_avg: sum(v*w)/sum(w) over matches
     facet_mad           ES median_absolute_deviation (exact median)
+    facet_percentile_ranks  ES percentile_ranks: % of matching docs
+                        with value <= each requested v (exact CDF)
     matrix_stats        ES matrix_stats: pairwise covariance and
                         correlation matrix over the match set
     sampler_agg         ES sampler / diversified_sampler: best-scoring
@@ -566,6 +568,69 @@ def facet_mad(
             F.median("_d").alias("mad"),
         )
     )
+
+
+def facet_percentile_ranks(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    stat_col: str,
+    values: tuple[float, ...],
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES ``percentile_ranks``: for each requested value v, the
+    percentage of matching docs whose ``stat_col`` <= v — the inverse
+    of the percentiles aggregation. ES approximates with a TDigest
+    (interpolating between centroids); this computes the EXACT
+    empirical CDF the approximation converges to, which is what a SQL
+    oracle can verify (the same exact-limit argument facet_mad and
+    facet_percentiles use). Docs with a NULL value are skipped (ES
+    default without a ``missing`` substitute).
+
+    Returns one row per requested value: (value, n_docs, pct_rank)
+    in request order. ONE aggregate pass — every requested value is a
+    column of the same agg (k is the request arity, never data-sized),
+    then unpivoted driver-side, so the scan and exchange happen once
+    regardless of how many values are asked for."""
+    if not values:
+        raise ValueError("percentile_ranks needs at least one value")
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    narrow = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(stat_col).cast("double").alias("_x"),
+        )
+        .where(F.col("_x").isNotNull())
+        .join(matches, "doc_id", "leftsemi")
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, v in enumerate(values):
+        aggs.append(
+            F.avg(
+                F.when(F.col("_x") <= F.lit(float(v)), 1.0).otherwise(0.0)
+            ).alias(f"_r{i}")
+        )
+    wide = narrow.agg(*aggs)
+    # unpivot like matrix_stats: explode an array of structs built
+    # from the ONE agg row — the agg runs once, not once per value
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(float(v)).alias("value"),
+                F.col("_n").alias("n_docs"),
+                (F.col(f"_r{i}") * 100.0).alias("pct_rank"),
+            )
+            for i, v in enumerate(values)
+        ]
+    )
+    return wide.select(F.explode(cells).alias("c")).select("c.*")
 
 
 def matrix_stats(

@@ -292,3 +292,47 @@ def test_sampler_agg_validation(spark, fstore, meta):
             spark, fstore, Q, diversify_docs=meta, diversify_col="lang",
             max_docs_per_value=0,
         )
+
+
+def test_facet_percentile_ranks(spark, fstore, meta):
+    from inverted_index_spark.operators.aggregations import (
+        facet_percentile_ranks,
+    )
+
+    vals = {d: c for d, _, _, c in DOCS}
+    xs = [vals[d] for d in MATCHED]
+    req = (100.0, 340.0, 999.0)
+    out = facet_percentile_ranks(
+        spark, fstore, Q, meta, "n_chars", req
+    ).collect()
+    assert [r["value"] for r in out] == list(req)
+    for r in out:
+        want = 100.0 * sum(1 for x in xs if x <= r["value"]) / len(xs)
+        assert r["n_docs"] == len(xs)
+        assert r["pct_rank"] == pytest.approx(want)
+
+
+def test_facet_percentile_ranks_skips_null(spark, fstore, meta):
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.operators.aggregations import (
+        facet_percentile_ranks,
+    )
+
+    docs = meta.withColumn(
+        "v", F.when(meta.doc_id == 0, None).otherwise(meta.n_chars)
+    )
+    out = facet_percentile_ranks(
+        spark, fstore, Q, docs, "v", (999.0,)
+    ).collect()
+    assert out[0]["n_docs"] == len(MATCHED) - 1
+    assert out[0]["pct_rank"] == pytest.approx(100.0)
+
+
+def test_facet_percentile_ranks_empty_values(spark, fstore, meta):
+    from inverted_index_spark.operators.aggregations import (
+        facet_percentile_ranks,
+    )
+
+    with pytest.raises(ValueError):
+        facet_percentile_ranks(spark, fstore, Q, meta, "n_chars", ())
