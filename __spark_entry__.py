@@ -1543,6 +1543,52 @@ def _q_percentile_ranks(spark, sf):
     )
 
 
+def _q_boxplot(spark, sf):
+    """ES boxplot aggregation: exact min/q1/q2/q3/max of n_chars over
+    the match set (linear-interpolated quartiles, the TDigest limit)."""
+    from inverted_index_spark.operators.aggregations import facet_boxplot
+
+    t = facet_boxplot(
+        spark, _store_for(spark, sf), "spark OR merge", _docs(spark, sf),
+        "n_chars",
+    )
+    return t.select(
+        "n_docs", "min_v",
+        F.round("q1", 4).alias("q1"),
+        F.round("q2", 4).alias("q2"),
+        F.round("q3", 4).alias("q3"),
+        "max_v",
+    )
+
+
+def _q_top_metrics(spark, sf):
+    """ES top_metrics: lang + n_chars taken from the 5 matching docs
+    with the largest n_chars (ties on doc_id)."""
+    from inverted_index_spark.operators.aggregations import top_metrics
+
+    return top_metrics(
+        spark, _store_for(spark, sf), "spark OR merge", _docs(spark, sf),
+        "n_chars", ["lang"], k=5,
+    )
+
+
+def _q_date_histogram_gapfill(spark, sf):
+    """ES date_histogram with min_doc_count=0: every 6h bucket between
+    each event_type's first and last event, zero-filled in the gaps."""
+    from inverted_index_spark.operators import pipeline_aggs as pa
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    h = pa.date_histogram(
+        ev, TS_BUCKET_US, group_cols=["event_type"], value_col="value"
+    )
+    g = pa.histogram_gapfill(
+        h, TS_BUCKET_US, group_cols=["event_type"], fill_cols=["n", "sum_v"]
+    )
+    return g.select(
+        "event_type", "bucket_us", "n", F.round("sum_v", 4).alias("sum_v")
+    )
+
+
 def _q_matrix_stats(spark, sf):
     """ES matrix_stats: pairwise SAMPLE covariance (n−1, matching ES
     MatrixStatsResults) + Pearson correlation of n_chars and a derived
@@ -2224,6 +2270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_mad": _q_facet_mad,
         "matrix_stats": _q_matrix_stats,
         "percentile_ranks": _q_percentile_ranks,
+        "boxplot": _q_boxplot,
+        "top_metrics": _q_top_metrics,
+        "date_histogram_gapfill": _q_date_histogram_gapfill,
         "rank_feature": _q_rank_feature,
         "sampler": _q_sampler,
         "diversified_sampler": _q_diversified_sampler,
@@ -3690,6 +3739,38 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "med AS (SELECT median(v) AS md FROM m) "
             "SELECT count(*) AS n_docs, "
             "round(median(abs(v - md)), 4) AS mad FROM m, med"
+        ),
+        "boxplot": (
+            "WITH m AS (SELECT n_chars::DOUBLE AS v FROM documents "
+            "WHERE doc_id IN (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark'))) "
+            "SELECT count(*) AS n_docs, min(v) AS min_v, "
+            "round(quantile_cont(v, 0.25), 4) AS q1, "
+            "round(quantile_cont(v, 0.5), 4) AS q2, "
+            "round(quantile_cont(v, 0.75), 4) AS q3, "
+            "max(v) AS max_v FROM m"
+        ),
+        "top_metrics": (
+            "SELECT doc_id, n_chars, lang FROM documents "
+            "WHERE doc_id IN (SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark')) "
+            "ORDER BY n_chars DESC, doc_id ASC LIMIT 5"
+        ),
+        "date_histogram_gapfill": (
+            "WITH h AS (SELECT event_type, "
+            "us - us % 21600000000 AS bucket_us, count(*) AS n, "
+            "sum(value) AS sv FROM (SELECT event_type, epoch_us(ts) AS "
+            "us, value FROM events) GROUP BY event_type, bucket_us), "
+            "b AS (SELECT event_type, min(bucket_us) AS lo, "
+            "max(bucket_us) AS hi FROM h GROUP BY event_type), "
+            "f AS (SELECT event_type, "
+            "unnest(generate_series(lo, hi, 21600000000)) AS bucket_us "
+            "FROM b) "
+            "SELECT f.event_type, f.bucket_us, coalesce(h.n, 0) AS n, "
+            "round(coalesce(h.sv, 0), 4) AS sum_v FROM f "
+            "LEFT JOIN h ON f.event_type = h.event_type "
+            "AND f.bucket_us = h.bucket_us "
+            "ORDER BY f.event_type, f.bucket_us"
         ),
         "percentile_ranks": (
             "WITH m AS (SELECT n_chars::DOUBLE AS v FROM documents "

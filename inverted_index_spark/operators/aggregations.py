@@ -24,6 +24,9 @@ reference's read path — SURVEY.md §2 extensions):
     facet_mad           ES median_absolute_deviation (exact median)
     facet_percentile_ranks  ES percentile_ranks: % of matching docs
                         with value <= each requested v (exact CDF)
+    facet_boxplot       ES boxplot: min/q1/q2/q3/max (exact quartiles)
+    top_metrics         ES top_metrics: metric values from the k docs
+                        with the best sort value (TakeOrdered k)
     matrix_stats        ES matrix_stats: pairwise covariance and
                         correlation matrix over the match set
     sampler_agg         ES sampler / diversified_sampler: best-scoring
@@ -41,6 +44,8 @@ the shuffle carries (term, counts) pairs, never documents.
 """
 
 from __future__ import annotations
+
+from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -631,6 +636,91 @@ def facet_percentile_ranks(
         ]
     )
     return wide.select(F.explode(cells).alias("c")).select("c.*")
+
+
+def facet_boxplot(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    stat_col: str,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES ``boxplot`` aggregation: (n_docs, min, q1, q2, q3, max) of a
+    numeric column over the match set — exact linear-interpolated
+    quartiles (the TDigest limit ES approximates, same argument as
+    facet_mad / facet_percentiles). NULL values are skipped (ES
+    default). ONE aggregate pass over the narrow semi-joined
+    projection; the exchange carries one double per matching doc."""
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    narrow = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(stat_col).cast("double").alias("_x"),
+        )
+        .where(F.col("_x").isNotNull())
+        .join(matches, "doc_id", "leftsemi")
+    )
+    p = F.percentile("_x", F.lit([0.25, 0.5, 0.75]))
+    return narrow.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("_x").alias("min_v"),
+        p.alias("_p"),
+        F.max("_x").alias("max_v"),
+    ).select(
+        "n_docs",
+        "min_v",
+        F.col("_p")[0].alias("q1"),
+        F.col("_p")[1].alias("q2"),
+        F.col("_p")[2].alias("q3"),
+        "max_v",
+    )
+
+
+def top_metrics(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    sort_col: str,
+    metric_cols: Sequence[str],
+    k: int = 1,
+    ascending: bool = False,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES ``top_metrics`` aggregation: the metric column values taken
+    from the ``k`` matching docs with the largest (or smallest, with
+    ``ascending``) sort value. Ties break on doc_id ASC so pagination
+    and the oracle are deterministic (ES leaves sort-tie order to
+    shard iteration; a total order is strictly more reproducible).
+
+    Returns (doc_id, <sort_col>, <metric_cols...>) in rank order.
+    Plan: narrow projection semi-joined to the match set →
+    TakeOrdered k — sort-size is k, never the corpus."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    narrow = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(sort_col),
+        *[F.col(c) for c in metric_cols],
+    ).join(matches, "doc_id", "leftsemi")
+    order = (
+        F.asc_nulls_last(sort_col) if ascending else F.desc_nulls_last(sort_col)
+    )
+    return narrow.orderBy(order, F.asc("doc_id")).limit(k)
 
 
 def matrix_stats(

@@ -57,6 +57,61 @@ def date_histogram(
     return df.select(*cols).groupBy(*keys).agg(*aggs)
 
 
+def histogram_gapfill(
+    buckets: DataFrame,
+    interval,
+    bucket_col: str = "bucket_us",
+    group_cols: Sequence[str] = (),
+    fill_cols: Sequence[str] = ("n",),
+    lo=None,
+    hi=None,
+) -> DataFrame:
+    """ES ``min_doc_count: 0`` (+ optional ``extended_bounds``) for a
+    histogram / date_histogram bucket frame: emit EVERY interval step
+    between each group's first and last observed bucket — widened to
+    [lo, hi] when extended_bounds are given — with ``fill_cols``
+    zero-filled in the gaps (ES's empty-bucket rendering: doc count 0,
+    sub-agg sums 0).
+
+    Works on any fixed-interval bucket key produced by the ES rule
+    ``bucket = floor(v / interval) * interval`` (date_histogram's
+    epoch-micros or facet_histogram's numeric doubles): the gap
+    sequence is generated in integer bucket-index space and multiplied
+    back, so float intervals never accumulate drift.
+
+    Scale shape: one tiny per-group (min, max) agg over the ALREADY
+    AGGREGATED bucket frame, then ``sequence() → explode`` whose
+    length is range/interval — bounded by the histogram's own bucket
+    universe, never by input rows; the left join back is
+    AQE-broadcast (the bucket frame is the small side by
+    construction)."""
+    step = float(interval)
+    if step <= 0:
+        raise ValueError("interval must be > 0")
+    b = F.col(bucket_col)
+    idx = F.round(b / F.lit(step)).cast("long")
+    lo_idx = F.min(idx)
+    hi_idx = F.max(idx)
+    if lo is not None:
+        lo_idx = F.least(lo_idx, F.lit(int(round(float(lo) / step))))
+    if hi is not None:
+        hi_idx = F.greatest(hi_idx, F.lit(int(round(float(hi) / step))))
+    bounds = buckets.groupBy(*group_cols).agg(
+        lo_idx.alias("_lo"), hi_idx.alias("_hi")
+    )
+    bucket_type = dict(buckets.dtypes)[bucket_col]
+    full = bounds.select(
+        *group_cols, F.explode(F.sequence("_lo", "_hi")).alias("_i")
+    ).select(
+        *group_cols,
+        (F.col("_i") * F.lit(step)).cast(bucket_type).alias(bucket_col),
+    )
+    out = full.join(F.broadcast(buckets), [*group_cols, bucket_col], "left")
+    for c in fill_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out
+
+
 def _w(group_cols: Sequence[str], order_col: str) -> Window:
     w = Window.orderBy(order_col)
     if group_cols:

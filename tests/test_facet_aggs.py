@@ -336,3 +336,40 @@ def test_facet_percentile_ranks_empty_values(spark, fstore, meta):
 
     with pytest.raises(ValueError):
         facet_percentile_ranks(spark, fstore, Q, meta, "n_chars", ())
+
+
+def test_facet_boxplot(spark, fstore, meta):
+    import numpy as np
+
+    from inverted_index_spark.operators.aggregations import facet_boxplot
+
+    vals = {d: c for d, _, _, c in DOCS}
+    xs = [float(vals[d]) for d in MATCHED]
+    row = facet_boxplot(spark, fstore, Q, meta, "n_chars").collect()[0]
+    assert row["n_docs"] == len(xs)
+    assert row["min_v"] == min(xs)
+    assert row["max_v"] == max(xs)
+    for name, p in (("q1", 25), ("q2", 50), ("q3", 75)):
+        assert row[name] == pytest.approx(
+            float(np.percentile(xs, p, method="linear"))
+        )
+
+
+def test_top_metrics(spark, fstore, meta):
+    from inverted_index_spark.operators.aggregations import top_metrics
+
+    vals = {d: c for d, _, _, c in DOCS}
+    langs = {d: lg for d, _, lg, _ in DOCS}
+    out = top_metrics(
+        spark, fstore, Q, meta, "n_chars", ["lang"], k=3
+    ).collect()
+    want = sorted(MATCHED, key=lambda d: (-vals[d], d))[:3]
+    assert [r["doc_id"] for r in out] == want
+    assert [r["lang"] for r in out] == [langs[d] for d in want]
+    assert [r["n_chars"] for r in out] == [vals[d] for d in want]
+    # ascending variant
+    out = top_metrics(
+        spark, fstore, Q, meta, "n_chars", ["lang"], k=2, ascending=True
+    ).collect()
+    want = sorted(MATCHED, key=lambda d: (vals[d], d))[:2]
+    assert [r["doc_id"] for r in out] == want

@@ -165,3 +165,40 @@ def test_composite_metrics(spark, events):
     )
     got = {(r.kind): (r.n, r.sum_v) for r in out.collect()}
     assert got == {"a": (6, 17.0), "b": (3, 35.0)}
+
+
+def test_histogram_gapfill(spark, hist):
+    from inverted_index_spark.operators.pipeline_aggs import histogram_gapfill
+
+    out = histogram_gapfill(
+        hist, HOUR_US, group_cols=["kind"], fill_cols=["n", "sum_v"]
+    ).collect()
+    got = {(r["kind"], r["bucket_us"]): (r["n"], r["sum_v"]) for r in out}
+    want = _hist_oracle()
+    # kind a spans hours 0..3 (gap at hour 2), kind b hours 0..2 (gap 1)
+    t0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    for kind, hours in (("a", range(0, 4)), ("b", range(0, 3))):
+        for h in hours:
+            key = (kind, t0 + h * HOUR_US)
+            assert key in got, key
+            if key in want:
+                assert got[key] == want[key]
+            else:
+                assert got[key] == (0, 0.0)
+    assert len(got) == 4 + 3
+
+
+def test_histogram_gapfill_extended_bounds(spark, hist):
+    from inverted_index_spark.operators.pipeline_aggs import histogram_gapfill
+
+    t0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    out = histogram_gapfill(
+        hist, HOUR_US, group_cols=["kind"], fill_cols=["n", "sum_v"],
+        lo=t0 - HOUR_US, hi=t0 + 5 * HOUR_US,
+    ).collect()
+    per_kind = {}
+    for r in out:
+        per_kind.setdefault(r["kind"], []).append(r["bucket_us"])
+    # both groups widen to [-1h, +5h]: 7 buckets each
+    for kind, bs in per_kind.items():
+        assert sorted(bs) == [t0 + h * HOUR_US for h in range(-1, 6)], kind
