@@ -890,6 +890,19 @@ def _q_hybrid_topk(spark, sf):
     return t.select("doc_id", F.round("rrf", 6).alias("rrf"))
 
 
+def _q_hybrid_linear_topk(spark, sf):
+    """Round-5: ES linear retriever — minmax-normalized weighted-sum
+    fusion (0.7 lexical + 0.3 dense) of the same two top-100 pools
+    hybrid_topk fuses by rank."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    t = _sim.hybrid_linear_topk(
+        spark, _store_for(spark, sf), Q_TERMS, qv, emb, k=10,
+        w_lex=0.7, w_dense=0.3,
+    )
+    return t.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_boolean_ranked_topk(spark, sf):
     """Round-4: BM25-ranked boolean search (the tree filters, BM25 over
     its positive scoring terms ranks; matches without a scoring term
@@ -2350,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ii_fuzzy_values": _q_fuzzy_values,
         "more_like_this": _q_more_like_this,
         "hybrid_topk": _q_hybrid_topk,
+        "hybrid_linear_topk": _q_hybrid_linear_topk,
         "fielded_query": _q_fielded_query,
         "term_snippets": _q_term_snippets,
         "top_terms": _q_top_terms,
@@ -3482,6 +3496,23 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "AS rrf FROM b FULL OUTER JOIN c ON b.doc_id = c.doc_id "
             "ORDER BY coalesce(1.0 / (60 + rb), 0) + coalesce(1.0 / (60 + rc), 0) DESC, "
             "coalesce(b.doc_id, c.doc_id) ASC LIMIT 10"
+        ),
+        "hybrid_linear_topk": (
+            "WITH b AS (SELECT doc_id, raw_score "
+            f"FROM ({_BM25_CONTRIB}) ORDER BY raw_score DESC, doc_id ASC LIMIT 100), "
+            "bn AS (SELECT min(raw_score) AS lo, max(raw_score) AS hi FROM b), "
+            "c AS (SELECT vec_id AS doc_id, raw_cos "
+            f"FROM ({_COS}) ORDER BY raw_cos DESC, vec_id ASC LIMIT 100), "
+            "cn AS (SELECT min(raw_cos) AS lo, max(raw_cos) AS hi FROM c), "
+            "f AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id, "
+            "0.7 * coalesce(CASE WHEN bn.hi > bn.lo THEN "
+            "(b.raw_score - bn.lo) / (bn.hi - bn.lo) ELSE 1.0 END, 0) "
+            "+ 0.3 * coalesce(CASE WHEN cn.hi > cn.lo THEN "
+            "(c.raw_cos - cn.lo) / (cn.hi - cn.lo) ELSE 1.0 END, 0) AS s "
+            "FROM b FULL OUTER JOIN c ON b.doc_id = c.doc_id "
+            "CROSS JOIN bn CROSS JOIN cn) "
+            "SELECT doc_id, round(s, 6) AS score FROM f "
+            "ORDER BY s DESC, doc_id ASC LIMIT 10"
         ),
         "term_snippets": (
             f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), "

@@ -411,6 +411,63 @@ def hybrid_topk(
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
 
 
+def hybrid_linear_topk(
+    spark,
+    store,
+    terms: list[str],
+    query: list[float],
+    vectors: DataFrame,
+    k: int = 10,
+    w_lex: float = 1.0,
+    w_dense: float = 1.0,
+    n_deep: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval via NORMALIZED weighted-sum
+    fusion — the ES ``linear`` retriever (8.16+) next to
+    :func:`hybrid_topk`'s rank-only RRF: each source's top-``n_deep``
+    pool is minmax-normalized to [0, 1] over that pool, then
+    ``score = w_lex·norm_bm25 + w_dense·norm_cosine``; docs absent
+    from a pool contribute 0 from it (ES behavior). A constant pool
+    (max == min) normalizes to 1.0 — its members are all the pool's
+    best. Ties (score DESC, doc_id ASC).
+
+    Scale: both pools are TakeOrdered top-n_deep BEFORE the
+    single-row min/max agg broadcasts back — every post-retrieval
+    step touches ≤ n_deep rows, never the corpus."""
+    from inverted_index_spark.operators.bm25 import bm25_topk
+
+    def _norm(df, score_col, out):
+        mm = df.agg(
+            F.min(score_col).alias("_lo"), F.max(score_col).alias("_hi")
+        )
+        return df.crossJoin(F.broadcast(mm)).select(
+            df.columns[0],
+            F.when(
+                F.col("_hi") > F.col("_lo"),
+                (F.col(score_col) - F.col("_lo"))
+                / (F.col("_hi") - F.col("_lo")),
+            )
+            .otherwise(F.lit(1.0))
+            .alias(out),
+        )
+
+    b = _norm(bm25_topk(spark, store, terms, k=n_deep), "score", "nb")
+    c = _norm(
+        cosine_topk(vectors, query, k=n_deep, id_col=id_col, vec_col=vec_col),
+        "cosine",
+        "nc",
+    ).withColumnRenamed(id_col, "c_doc")
+    score = F.coalesce("nb", F.lit(0.0)) * F.lit(float(w_lex)) + F.coalesce(
+        "nc", F.lit(0.0)
+    ) * F.lit(float(w_dense))
+    fused = b.join(c, b["doc_id"] == c["c_doc"], "full_outer").select(
+        F.coalesce("doc_id", "c_doc").alias("doc_id"), score.alias("score")
+    )
+    return fused.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 # ------------------------------------------------------- filtered kNN ---
 
 

@@ -624,3 +624,64 @@ def test_bigram_perplexity_empty_corpus(spark):
 
     docs = spark.createDataFrame([(0, "")], "doc_id long, text string")
     assert bigram_perplexity(docs).collect() == []
+
+
+def test_hybrid_linear_topk(spark, tmp_path):
+    """Minmax-normalized weighted fusion (ES linear retriever) equals
+    the hand-computed normalization over the two pools; absent-pool
+    docs contribute 0 from that source."""
+    from inverted_index_spark.operators.bm25 import bm25_topk
+    from inverted_index_spark.operators.build import build_index
+    from inverted_index_spark.operators.similarity import (
+        cosine_topk,
+        hybrid_linear_topk,
+    )
+    from inverted_index_spark.sources.store import SegmentStore
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark merge window"),
+            (1, "spark spark merge"),
+            (2, "window table hash"),
+            (3, "unrelated words entirely"),
+            (4, "spark"),
+        ],
+        "doc_id long, text string",
+    )
+    store = SegmentStore(str(tmp_path / "hyl_idx"))
+    build_index(spark, docs, store, bucket_size=2)
+    vecs = spark.createDataFrame(
+        [
+            (2, [1.0, 0.0, 0.0]),
+            (3, [0.9, 0.1, 0.0]),
+            (4, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = [1.0, 0.0, 0.0]
+    terms = ["spark", "merge"]
+    w_lex, w_dense = 0.7, 0.3
+    got = {
+        r["doc_id"]: r["score"]
+        for r in hybrid_linear_topk(
+            spark, store, terms, q, vecs, k=10, w_lex=w_lex, w_dense=w_dense
+        ).collect()
+    }
+    bs = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(spark, store, terms, k=100).collect()
+    }
+    cs = {
+        r["vec_id"]: r["cosine"]
+        for r in cosine_topk(vecs, q, k=100).collect()
+    }
+
+    def norm(d, pool):
+        if d not in pool:
+            return 0.0
+        lo, hi = min(pool.values()), max(pool.values())
+        return (pool[d] - lo) / (hi - lo) if hi > lo else 1.0
+
+    for d in set(bs) | set(cs):
+        want = w_lex * norm(d, bs) + w_dense * norm(d, cs)
+        assert got[d] == pytest.approx(want), d
