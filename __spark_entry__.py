@@ -1556,6 +1556,20 @@ def _q_percentile_ranks(spark, sf):
     )
 
 
+def _q_missing_agg(spark, sf):
+    """ES missing aggregation: matching docs with no value for a
+    (deterministically nulled) field."""
+    from inverted_index_spark.operators.aggregations import missing_agg
+
+    docs = _docs(spark, sf).withColumn(
+        "maybe_lang",
+        F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("lang")),
+    )
+    return missing_agg(
+        spark, _store_for(spark, sf), "spark OR merge", docs, "maybe_lang"
+    )
+
+
 def _q_boxplot(spark, sf):
     """ES boxplot aggregation: exact min/q1/q2/q3/max of n_chars over
     the match set (linear-interpolated quartiles, the TDigest limit)."""
@@ -2283,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_mad": _q_facet_mad,
         "matrix_stats": _q_matrix_stats,
         "percentile_ranks": _q_percentile_ranks,
+        "missing_agg": _q_missing_agg,
         "boxplot": _q_boxplot,
         "top_metrics": _q_top_metrics,
         "date_histogram_gapfill": _q_date_histogram_gapfill,
@@ -3770,6 +3785,13 @@ ORDER BY c DESC, vec_id ASC LIMIT 10
             "med AS (SELECT median(v) AS md FROM m) "
             "SELECT count(*) AS n_docs, "
             "round(median(abs(v - md)), 4) AS mad FROM m, med"
+        ),
+        "missing_agg": (
+            "SELECT count(*) AS n_docs, "
+            "sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_missing FROM documents WHERE doc_id IN ("
+            "SELECT DISTINCT doc_id FROM "
+            f"({_TOK}) WHERE term IN ('merge', 'spark'))"
         ),
         "boxplot": (
             "WITH m AS (SELECT n_chars::DOUBLE AS v FROM documents "

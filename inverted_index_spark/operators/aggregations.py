@@ -24,6 +24,7 @@ reference's read path — SURVEY.md §2 extensions):
     facet_mad           ES median_absolute_deviation (exact median)
     facet_percentile_ranks  ES percentile_ranks: % of matching docs
                         with value <= each requested v (exact CDF)
+    missing_agg         ES missing: matching docs with no field value
     facet_boxplot       ES boxplot: min/q1/q2/q3/max (exact quartiles)
     top_metrics         ES top_metrics: metric values from the k docs
                         with the best sort value (TakeOrdered k)
@@ -636,6 +637,35 @@ def facet_percentile_ranks(
         ]
     )
     return wide.select(F.explode(cells).alias("c")).select("c.*")
+
+
+def missing_agg(
+    spark: SparkSession,
+    store: SegmentStore,
+    q,
+    docs: DataFrame,
+    col: str,
+    min_doc: int | None = None,
+    max_doc: int | None = None,
+    field_stores: dict[str, SegmentStore] | None = None,
+) -> DataFrame:
+    """ES ``missing`` aggregation: the count of matching docs with no
+    value for ``col`` (the bucket ES nests sub-aggs under to analyze
+    the undocumented remainder). One narrow semi-joined aggregate —
+    the exchange carries a boolean per matching doc."""
+    if isinstance(q, str):
+        q = parse_query(q)
+    matches = _matches(
+        spark, store, q, min_doc, max_doc, field_stores=field_stores
+    ).select("doc_id")
+    narrow = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(col).isNull().alias("_miss"),
+    ).join(matches, "doc_id", "leftsemi")
+    return narrow.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_miss").cast("long")).alias("n_missing"),
+    )
 
 
 def facet_boxplot(

@@ -373,3 +373,19 @@ def test_top_metrics(spark, fstore, meta):
     ).collect()
     want = sorted(MATCHED, key=lambda d: (vals[d], d))[:2]
     assert [r["doc_id"] for r in out] == want
+
+
+def test_missing_agg(spark, fstore, meta):
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.operators.aggregations import missing_agg
+
+    # null the lang of docs 1 and 4 (both in the match set) and doc 2
+    # (outside it) — only in-match nulls count
+    docs = meta.withColumn(
+        "lg",
+        F.when(meta.doc_id.isin([1, 2, 4]), None).otherwise(meta.lang),
+    )
+    row = missing_agg(spark, fstore, Q, docs, "lg").collect()[0]
+    assert row["n_docs"] == len(MATCHED)
+    assert row["n_missing"] == 2
