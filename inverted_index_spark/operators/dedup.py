@@ -36,23 +36,43 @@ MERSENNE_P = (1 << 61) - 1
 _U = np.uint64
 
 
+def _fold61(x: np.ndarray) -> np.ndarray:
+    """One Mersenne fold: x < 2^64 → (x mod p) + k·p with result
+    < 2^61 + 8 (p = 2^61-1, so 2^61 ≡ 1). Pure shift/mask/add — no
+    integer division."""
+    return (x & _U(MERSENNE_P)) + (x >> _U(61))
+
+
 def _mulmod61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
     """Exact (a·x) mod (2^61-1) for uint64 arrays, a < 2^61, x < 2^64.
 
     128-bit product via 32-bit limb split — every intermediate stays
     below 2^64, so the universal-hash property actually holds (round-2
-    fix: the previous single multiply wrapped mod 2^64 first)."""
+    fix: the previous single multiply wrapped mod 2^64 first).
+
+    Round-6 (guide §1/§4: the minhash kernel is the signatures hot
+    spot, 85% of kernel time was uint64 ``%``): all reductions use
+    Mersenne folding (2^61 ≡ 1 mod p → x mod p = (x & p) + (x >> 61),
+    iterated) instead of integer division. Bit-identical to the old
+    modulo chain (hypothesis + edge-case tested), ~2x on the kernel.
+
+    Overflow audit (every value < 2^64): a1 < 2^29 ⇒ a1·x1 < 2^61,
+    shifted by 3 (2^64 ≡ 8) < 2^64; a0·x1 < 2^64 folds to < 2^61+8,
+    plus a1·x0 < 2^61 keeps mid < 2^62; the final sum is
+    < (2^61+8) + 2^33 + 2^61 + (2^61+8) < 2^63."""
     mask32 = _U(0xFFFFFFFF)
     a0, a1 = a & mask32, a >> _U(32)
     x0, x1 = x & mask32, x >> _U(32)
     p = _U(MERSENNE_P)
-    hi = (a1 * x1) % p          # a1 < 2^29, x1 < 2^32 → < 2^61
-    mid = ((a1 * x0) % p + (a0 * x1) % p) % p
-    lo = (a0 * x0) % p
-    # a·x = hi·2^64 + mid·2^32 + lo;   2^64 ≡ 8, 2^61 ≡ 1 (mod p)
-    hi_term = (hi * _U(8)) % p
-    mid_term = ((mid >> _U(29)) + ((mid & _U((1 << 29) - 1)) << _U(32))) % p
-    return (hi_term + mid_term + lo) % p
+    mid = a1 * x0 + _fold61(a0 * x1)             # (a·x)'s 2^32 limb, < 2^62
+    t = (
+        _fold61((a1 * x1) << _U(3))              # 2^64 limb: hi·8
+        + (mid >> _U(29))                        # mid·2^32 = m1·2^61 + m0·2^32
+        + ((mid & _U((1 << 29) - 1)) << _U(32))
+        + _fold61(a0 * x0)
+    )
+    t = _fold61(t)
+    return np.where(t >= p, t - p, t)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -84,6 +104,26 @@ def h64_md5_le(col):
     return F.conv(le_hex, 16, -10).cast("long")
 
 
+def _h64_from_md5_hex(m):
+    """signed little-endian first-8-bytes from a PRE-COMPUTED md5 hex
+    column — the md5 is evaluated once by the caller (see
+    :func:`h64_md5_le_arr`)."""
+    le_hex = F.concat(*[F.substring(m, 15 - 2 * i, 2) for i in range(8)])
+    return F.conv(le_hex, 16, -10).cast("long")
+
+
+def h64_md5_le_arr(arr):
+    """:func:`h64_md5_le` mapped over a string ARRAY column.
+
+    Round-6 (guide §2.3/§4): inside higher-order-function lambdas
+    (CodegenFallback, interpreted) common-subexpression elimination
+    does not apply, so the single-transform form evaluated ``md5``
+    once per substring — 8x per element. Hashing the array in two
+    passes (md5 once per element, then the byte-reversal conv) keeps
+    results bit-identical and drops the redundant digests."""
+    return F.transform(F.transform(arr, F.md5), _h64_from_md5_hex)
+
+
 def _shingles_col(toks_col, n: int):
     """Token n-gram shingle strings, in-row (JVM image of
     :func:`_shingles`): fewer than n tokens → one shingle of the whole
@@ -96,6 +136,71 @@ def _shingles_col(toks_col, n: int):
             lambda i: F.concat_ws(" ", F.slice(toks_col, i + 1, n)),
         )
     )
+
+
+def _expand_group_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    doc_col: str = "doc_id",
+    cap: int | None = None,
+) -> DataFrame:
+    """(a, b) with a < b for every within-group pair of ``doc_col``
+    values sharing ``key_cols`` — the LSH-bucket candidate generation,
+    as ONE hash exchange + an Arrow-batched numpy expansion instead of
+    the sizes-groupBy + sizes-join + self-join chain (round-6, guide
+    §2.4: three exchanges and two join builds over the full banded set
+    collapse into one exchange; the pair set is identical).
+
+    ``cap``: groups larger than ``cap`` emit a STAR around the group's
+    min doc instead of all pairs (the hot-bucket skew guard — O(B) per
+    hot bucket, preserving union-find connectivity). Pairs may repeat
+    across groups exactly like the join emitted them (callers dedup or
+    count, same as before).
+
+    Partition contract: rows are hash-repartitioned on ``key_cols`` so
+    each group is wholly in one partition; the kernel concatenates its
+    partition's batches before grouping (a group split across Arrow
+    batches would silently lose cross-batch pairs)."""
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        pdf = pdf.sort_values([*key_cols, doc_col], kind="mergesort")
+        doc = pdf[doc_col].to_numpy(np.int64)
+        n = len(pdf)
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        for kc in key_cols:
+            k = pdf[kc].to_numpy()
+            new[1:] |= k[1:] != k[:-1]
+        seg_start = np.flatnonzero(new)
+        seg_len = np.diff(np.append(seg_start, n))
+        row_seg_start = np.repeat(seg_start, seg_len)
+        within = np.arange(n, dtype=np.int64) - row_seg_start
+        row_len = np.repeat(seg_len, seg_len)
+        normal = row_len <= cap if cap is not None else np.ones(n, dtype=bool)
+        counts = np.where(normal, within, 0)
+        total = int(counts.sum())
+        if total:
+            out_start = np.cumsum(counts) - counts
+            a_pos = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(out_start, counts)
+                + np.repeat(row_seg_start, counts)
+            )
+            a, b = doc[a_pos], np.repeat(doc, counts)
+        else:
+            a = b = np.zeros(0, dtype=np.int64)
+        hot = ~normal & (within > 0)  # min doc (pos 0, sorted) is the rep
+        if hot.any():
+            a = np.concatenate([a, doc[row_seg_start[hot]]])
+            b = np.concatenate([b, doc[hot]])
+        if len(a):
+            yield pd.DataFrame({"a": a, "b": b})
+
+    return df.repartition(*key_cols).mapInPandas(expand, schema="a long, b long")
 
 
 # ------------------------------------------------------------------ exact ---
@@ -187,7 +292,7 @@ def minhash_signatures(
     ).where(F.size("toks") > 0)
     hashed = narrow.select(
         "doc_id",
-        F.transform(_shingles_col(F.col("toks"), shingle_n), h64_md5_le).alias("hs"),
+        h64_md5_le_arr(_shingles_col(F.col("toks"), shingle_n)).alias("hs"),
     )
     # chunk bound for the (num_hashes × shingles) work matrix: keeps
     # each _mulmod61 temporary ~2 MB. Measured (local[32], 270k
@@ -213,7 +318,9 @@ def minhash_signatures(
                 while d1 < n_docs and bounds[d1 + 1] - bounds[d0] <= chunk:
                     d1 += 1
                 h = all_h[bounds[d0] : bounds[d1]]
-                vals = (_mulmod61(a[:, None], h[None, :]) + b[:, None]) % p
+                # (m + b) mod p without division: both < p ⇒ sum < 2p
+                vals = _mulmod61(a[:, None], h[None, :]) + b[:, None]
+                np.subtract(vals, p, out=vals, where=vals >= p)
                 rel = (bounds[d0:d1] - bounds[d0]).astype(np.int64)
                 sig_parts.append(
                     np.minimum.reduceat(vals, rel, axis=1).astype(np.int64)
@@ -259,17 +366,17 @@ def minhash_lsh_pairs(
     connectivity for union-find style dedup. Buckets at test/oracle
     scale never hit the cap, so results are unchanged there.
 
-    Plan shape (round-5 rework): signatures are materialized ONCE
-    (localCheckpoint, the lazy-API-safe persist — see corpus.py), the
-    band exchanges and the bucket self-join carry only NARROW
-    (doc_id, band, band_hash) rows, pairs are deduped while still
-    narrow, and the two 64-long signature arrays join back in only for
-    the one agreement evaluation per UNIQUE pair. The previous plan
-    dragged both sig arrays (~1 KB/row) through the sizes join, the
-    self-join, and the pair dedup; zip_with is CodegenFallback
-    (interpreted per row), so scoring must run once per unique pair,
-    never inside a join condition. Measured at 120k bench turns:
-    21 s → 9 s end-to-end.
+    Plan shape (round-5 rework, round-6 tightened): signatures are
+    materialized ONCE (localCheckpoint, the lazy-API-safe persist —
+    see corpus.py), banding carries only NARROW (doc_id, band,
+    band_hash) rows, candidate pairs come from ONE hash exchange on
+    (band, band_hash) + the numpy expansion kernel
+    (:func:`_expand_group_pairs` — round-6; replaces the sizes
+    groupBy + sizes join + bucket self-join), pairs are deduped while
+    still narrow, and the two 64-long signature arrays join back in
+    only for the one agreement evaluation per UNIQUE pair (zip_with is
+    CodegenFallback — interpreted per row — so scoring runs once per
+    unique pair, never inside a join condition).
     """
     from pyspark import StorageLevel
 
@@ -300,33 +407,14 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    # bucket sizes + representative (min doc_id) — same shuffle key as
-    # the self-join below, so AQE co-partitions the whole chain
-    sizes = banded.groupBy("band", "band_hash").agg(
-        F.count("*").alias("_bn"), F.min("doc_id").alias("_rep")
-    )
-    banded = banded.join(sizes, ["band", "band_hash"])
-    normal = banded.where(F.col("_bn") <= hot_bucket_cap)
-    left = normal.alias("l")
-    right = normal.alias("r")
-    cand = left.join(
-        right,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.band_hash") == F.col("r.band_hash"))
-        & (F.col("l.doc_id") < F.col("r.doc_id")),
-    ).select(
-        F.col("l.doc_id").alias("a"),
-        F.col("r.doc_id").alias("b"),
-    )
-    # hot-bucket star: members pair with the bucket's min-doc rep
-    reps = banded.where(
-        (F.col("_bn") > hot_bucket_cap) & (F.col("doc_id") == F.col("_rep"))
-    ).select("band", "band_hash", F.col("doc_id").alias("a"))
-    hot = banded.where(
-        (F.col("_bn") > hot_bucket_cap) & (F.col("doc_id") != F.col("_rep"))
-    ).select("band", "band_hash", F.col("doc_id").alias("b"))
-    hot_cand = hot.join(reps, ["band", "band_hash"]).select("a", "b")
-    cand = cand.unionByName(hot_cand).dropDuplicates(["a", "b"])
+    # candidate pairs per (band, band_hash) bucket via the one-exchange
+    # expansion kernel (round-6; previously a sizes groupBy + sizes
+    # join + self-join — three exchanges over the full banded set and
+    # two hash-join builds, measured ~3.5 s of the 120k-turn bench row
+    # on their own). Hot buckets emit the same min-doc star as before.
+    cand = _expand_group_pairs(
+        banded, ["band", "band_hash"], "doc_id", cap=hot_bucket_cap
+    ).dropDuplicates(["a", "b"])
     # signatures rejoin AFTER the dedup, so agreement is evaluated
     # exactly once per unique candidate pair
     cand = cand.join(
@@ -374,7 +462,7 @@ def simhash(
         tokens_col(F.col(text_col)).alias("toks"),
     ).where(F.size("toks") > 0)
     hashed = narrow.select(
-        "doc_id", F.transform("toks", h64_md5_le).alias("hs")
+        "doc_id", h64_md5_le_arr(F.col("toks")).alias("hs")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -455,26 +543,25 @@ def simhash_near_pairs(
         )
         for off, w in simhash_chunk_bounds(max_hamming, bands)
     ]
+    from pyspark import StorageLevel
+
+    # simhashes are consumed by banding AND the two verify joins below;
+    # localCheckpoint so the tokenize+hash pass runs once (same
+    # rationale as the minhash signature checkpoint)
+    sh = sh.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     banded = sh.select(
         "doc_id",
-        "simhash",
         F.posexplode(F.array(*chunk_exprs)).alias("band", "chunk"),
     )
-    l, r = banded.alias("l"), banded.alias("r")
+    # candidate pairs per (band, chunk) via the one-exchange expansion
+    # kernel (round-6; replaces the banded self-join — same pair set),
+    # then the 64-bit hashes join back once per unique pair for the
+    # exact Hamming verify
     cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("a"),
-            F.col("r.doc_id").alias("b"),
-            F.col("l.simhash").alias("ha"),
-            F.col("r.simhash").alias("hb"),
-        )
+        _expand_group_pairs(banded, ["band", "chunk"], "doc_id")
         .dropDuplicates(["a", "b"])
+        .join(sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb")), "b")
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
@@ -515,7 +602,7 @@ def winnow_fingerprints(
     # explode+collect_list — collect_list would lose the k-gram order
     # windows depend on, and this way the whole op is shuffle-free
     # until the caller aggregates)
-    seqs = toks.select("doc_id", F.transform(grams, h64_md5_le).alias("hs"))
+    seqs = toks.select("doc_id", h64_md5_le_arr(grams).alias("hs"))
     w = window
     mins = F.when(
         F.size("hs") <= w, F.array(F.array_min("hs"))
@@ -550,10 +637,12 @@ def winnow_match_pairs(
         fp.groupBy("fp").count().where(F.col("count") <= max_fp_df).select("fp"),
         "fp",
     )
-    l, r = rare.alias("l"), rare.alias("r")
+    # per-fp pair expansion (one exchange + numpy) instead of the fp
+    # self-join (round-6, same rework as minhash candidates); pair
+    # multiplicity == number of shared fingerprints, as the join emitted
     return (
-        l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        _expand_group_pairs(rare, ["fp"], "doc_id")
+        .groupBy("a", "b")
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
