@@ -559,6 +559,7 @@ def build_value_index(
     block_size: int = DEFAULT_BLOCK,
     build_id: str = "",
     unsigned: bool = False,
+    docstats: DataFrame | None = None,
 ) -> str:
     """Generic ordered-V indexing: term → sorted unique VALUES, where
     the value is any orderable long — the reference's headline use
@@ -588,7 +589,17 @@ def build_value_index(
         F.lit(1).alias("tf"),
         F.lit(1).cast("long").alias("dl"),
     ).where(F.col("term").isNotNull() & F.col("doc_id").isNotNull())
-    dstats = tokens.select("doc_id").distinct().withColumn("dl", F.lit(1).cast("long"))
+    # value-index docstats are the DISTINCT indexed values (dl=1 each).
+    # Deriving them from ``tokens`` re-runs the whole (term, value)
+    # production a second time — callers whose value stream is an
+    # expensive explode (e.g. the trigram index: every character 3-gram
+    # of the corpus) pass an equivalent ``docstats`` computed WITHOUT
+    # the explode (round-6, guide §1.2: don't compute things twice).
+    if docstats is None:
+        docstats = tokens.select("doc_id").distinct()
+    dstats = docstats.select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).withColumn("dl", F.lit(1).cast("long"))
     return build_index_from_tokens(
         spark, tokens, dstats, store,
         bucket_size=bucket_size, block_size=block_size, build_id=build_id,

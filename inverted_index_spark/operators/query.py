@@ -148,6 +148,13 @@ def read_values(
     (single/single.go:563-568)."""
     if not terms:
         return spark.range(0).select(F.col("id").alias("doc_id"))
+    if not store.has_deletes():
+        # bucket-local union kernel (round-6): one small exchange of
+        # encoded rows + in-kernel np.unique per doc-bucket, instead of
+        # distinct+sort over the exploded (term, doc_id) stream — same
+        # sorted-unique result (buckets partition the doc space)
+        rows = matching_rows(spark, store, sorted(set(terms)), min_doc, max_doc)
+        return _bucket_setop_rows(rows, min_doc, max_doc, None).orderBy("doc_id")
     return (
         postings_df(spark, store, terms, min_doc, max_doc, with_tf=False)
         .select("doc_id")
@@ -546,6 +553,59 @@ def except_values(
     return inc.join(exc, "doc_id", "left_anti").orderBy("doc_id")
 
 
+def _bucket_setop_rows(
+    rows: DataFrame,
+    min_doc: int | None,
+    max_doc: int | None,
+    need_all: int | None,
+) -> DataFrame:
+    """Bucket-local set algebra over ENCODED posting rows: decode one
+    doc-bucket's matched rows inside the kernel and emit only the
+    result doc ids — union (``need_all=None``) or k-way intersection
+    (``need_all=k``).
+
+    Buckets partition the doc space (bucket = doc_id div bucket_size),
+    so both ops decompose exactly per bucket. vs the exploded
+    distinct/countDistinct plans (round-6, guide §2.3/§2.4): the one
+    hash exchange carries varint-encoded rows (~1-2 B/posting) instead
+    of exploded 16-byte (term, doc_id) rows, the two aggregate
+    exchanges disappear, and the Python boundary returns result ids
+    only — never the exploded postings. Cross-segment duplicate
+    (term, doc) rows are deduped in-kernel (np.unique), preserving M4
+    semantics pre-compaction."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term: dict[str, list[np.ndarray]] = {}
+        for term, p, t, l, blocks in zip(
+            pdf["term"], pdf["postings"], pdf["tfs"], pdf["dls"], pdf["blocks"]
+        ):
+            d, _, _ = decode_postings(p, t, l, blocks, min_doc, max_doc)
+            if len(d):
+                per_term.setdefault(term, []).append(d.astype(np.int64))
+        if not per_term:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        sets = [
+            parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+            for parts in per_term.values()
+        ]
+        if need_all is None:
+            out = (
+                sets[0]
+                if len(sets) == 1
+                else np.unique(np.concatenate(sets))
+            )
+        else:
+            if len(per_term) < need_all:
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+            vals, counts = np.unique(np.concatenate(sets), return_counts=True)
+            out = vals[counts == need_all]
+        return pd.DataFrame({"doc_id": out})
+
+    return rows.groupBy("bucket").applyInPandas(
+        lambda _k, pdf: run(pdf), schema="doc_id long"
+    )
+
+
 def and_values(
     spark: SparkSession,
     store: SegmentStore,
@@ -553,12 +613,22 @@ def and_values(
     min_doc: int | None = None,
     max_doc: int | None = None,
 ) -> DataFrame:
-    """North-rule extension: docs containing ALL terms. Expressed as
-    groupBy(doc_id) HAVING count(distinct term) == |terms| — shuffles
-    once on doc_id, no join chain (SURVEY.md §2.5 joins note)."""
+    """North-rule extension: docs containing ALL terms.
+
+    Deletes-free stores run the bucket-local intersect kernel
+    (:func:`_bucket_setop_rows` — one small exchange of encoded rows,
+    exact k-way intersection in numpy per doc-bucket). Stores with
+    live tombstones keep the declarative groupBy(doc_id) HAVING
+    count(distinct term) == |terms| plan, whose decode path carries the
+    generation-scoped delete filter."""
     uniq = sorted(set(terms))
     if not uniq:
         return spark.range(0).select(F.col("id").alias("doc_id"))
+    if not store.has_deletes():
+        rows = matching_rows(spark, store, uniq, min_doc, max_doc)
+        return _bucket_setop_rows(rows, min_doc, max_doc, len(uniq)).orderBy(
+            "doc_id"
+        )
     return (
         postings_df(spark, store, uniq, min_doc, max_doc, with_tf=False)
         .groupBy("doc_id")

@@ -195,6 +195,18 @@ def test_and_values(spark, store):
     assert _vals(and_values(spark, store, ["a", "zz"])) == []
 
 
+def test_and_values_multi_segment_dedup(spark, store):
+    # round-6 bucket-intersect kernel: duplicate (term, doc) rows across
+    # segments must count ONCE toward the k-of-k intersection (doc 2
+    # carries "a" in two segments but never "b" — it must not leak in),
+    # and range scoping applies inside the kernel
+    _write(spark, store, [("a", [1, 2, 5]), ("b", [2, 5, 9])])
+    _write(spark, store, [("a", [2, 7]), ("b", [7])])
+    assert _vals(and_values(spark, store, ["a", "b"])) == [2, 5, 7]
+    assert _vals(and_values(spark, store, ["a", "b"], 3, 7)) == [5, 7]
+    assert _vals(read_values(spark, store, ["a", "b"], 2, 7)) == [2, 5, 7]
+
+
 def test_bucket_spanning_postings(spark, store):
     # postings crossing doc-bucket boundaries reassemble correctly
     vals = [1, 2, 70000, 70001, 200000]
