@@ -166,6 +166,32 @@ def encode_positions_segment(
 # ----------------------------------------------------------------- decode ---
 
 
+def _decode_pos_row(
+    d_buf, c_buf, p_buf, min_doc: int | None, max_doc: int | None
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """One POSITIONS_SCHEMA row's streams → (doc_id, pos) occurrence
+    arrays, doc-range-filtered; None when nothing survives."""
+    d = np.cumsum(decode_varint(d_buf), dtype=np.uint64).astype(np.int64)
+    if not len(d):
+        return None
+    c = decode_varint(c_buf).astype(np.int64)
+    pdeltas = decode_varint(p_buf)
+    # positions: global cumsum minus each doc-group's carried-in base
+    starts = np.concatenate(([0], np.cumsum(c[:-1])))
+    csum = np.cumsum(pdeltas, dtype=np.uint64)
+    base = csum[starts] - pdeltas[starts]
+    pos = (csum - np.repeat(base, c)).astype(np.int64)
+    doc_rep = np.repeat(d, c)
+    lo = -(1 << 62) if min_doc is None else int(min_doc)
+    hi = (1 << 62) if max_doc is None else int(max_doc)
+    m = (doc_rep >= lo) & (doc_rep <= hi)
+    if not m.any():
+        return None
+    if not m.all():
+        doc_rep, pos = doc_rep[m], pos[m]
+    return doc_rep, pos
+
+
 def decode_position_rows(
     batches: Iterator[pd.DataFrame],
     min_doc: int | None = None,
@@ -175,8 +201,6 @@ def decode_position_rows(
     A ``_sgen`` provenance column (scan-class generation, present when
     the scan ran with_gen=True) rides through to every occurrence —
     store.scoped_minus_deletes consumes it downstream."""
-    lo = -(1 << 62) if min_doc is None else int(min_doc)
-    hi = (1 << 62) if max_doc is None else int(max_doc)
     for pdf in batches:
         outs = []
         has_gen = "_sgen" in pdf.columns
@@ -184,30 +208,51 @@ def decode_position_rows(
         for i, (term, d_buf, c_buf, p_buf) in enumerate(zip(
             pdf["term"], pdf["docs"], pdf["counts"], pdf["positions"]
         )):
-            d = np.cumsum(decode_varint(d_buf), dtype=np.uint64).astype(np.int64)
-            if not len(d):
+            dec = _decode_pos_row(d_buf, c_buf, p_buf, min_doc, max_doc)
+            if dec is None:
                 continue
-            c = decode_varint(c_buf).astype(np.int64)
-            pdeltas = decode_varint(p_buf)
-            # positions: global cumsum minus each doc-group's carried-in base
-            starts = np.concatenate(([0], np.cumsum(c[:-1])))
-            csum = np.cumsum(pdeltas, dtype=np.uint64)
-            base = csum[starts] - pdeltas[starts]
-            pos = (csum - np.repeat(base, c)).astype(np.int64)
-            doc_rep = np.repeat(d, c)
-            m = (doc_rep >= lo) & (doc_rep <= hi)
-            if not m.any():
-                continue
+            doc_rep, pos = dec
             cols = {
-                "term": np.repeat(np.asarray(term, dtype=object), int(m.sum())),
-                "doc_id": doc_rep[m],
-                "pos": pos[m],
+                "term": np.repeat(np.asarray(term, dtype=object), len(doc_rep)),
+                "doc_id": doc_rep,
+                "pos": pos,
             }
             if has_gen:
-                cols["_sgen"] = np.repeat(np.int64(gens.iloc[i]), int(m.sum()))
+                cols["_sgen"] = np.repeat(np.int64(gens.iloc[i]), len(doc_rep))
             outs.append(pd.DataFrame(cols))
         if outs:
             yield pd.concat(outs, ignore_index=True)
+
+
+def _per_term_occurrences(
+    pdf: pd.DataFrame, min_doc: int | None, max_doc: int | None
+) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """One doc-bucket's ENCODED position rows → per-term (doc, pos)
+    occurrence arrays, deduped across segments (pre-compaction overlap
+    can repeat a (term, doc, pos) row; duplicates must never reach a
+    counting kernel). Building block of the bucket-local phrase /
+    proximity kernels (round-6)."""
+    per_term: dict[str, list] = {}
+    for term, d_buf, c_buf, p_buf in zip(
+        pdf["term"], pdf["docs"], pdf["counts"], pdf["positions"]
+    ):
+        dec = _decode_pos_row(d_buf, c_buf, p_buf, min_doc, max_doc)
+        if dec is not None:
+            per_term.setdefault(term, []).append(dec)
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for term, parts in per_term.items():
+        if len(parts) == 1:
+            d, p = parts[0]
+        else:
+            d = np.concatenate([x[0] for x in parts])
+            p = np.concatenate([x[1] for x in parts])
+            order = np.lexsort((p, d))
+            d, p = d[order], p[order]
+            keep = np.ones(len(d), dtype=bool)
+            keep[1:] = (d[1:] != d[:-1]) | (p[1:] != p[:-1])
+            d, p = d[keep], p[keep]
+        out[term] = (d, p)
+    return out
 
 
 # ------------------------------------------------------------ store plumbing ---
@@ -437,7 +482,61 @@ def phrase_match_rows(
         rows = rows.where(F.col("max_doc") >= F.lit(int(min_doc)))
     if max_doc is not None:
         rows = rows.where(F.col("min_doc") <= F.lit(int(max_doc)))
-    if store is not None and "_sgen" in rows.columns:
+    if "_sgen" not in rows.columns:
+        # bucket-local kernel (round-6, guide §2.3/§2.4): buckets
+        # partition the doc space, so phrase starts are computable per
+        # doc-bucket — group the ENCODED rows by bucket (one small
+        # exchange of varint streams) and run the fan + dedup +
+        # sloppy_start_counts kernel in numpy, emitting only (doc_id,
+        # n_matches). Replaces the exploded-occurrence plan (decode →
+        # broadcast-join offsets → two aggregate exchanges over fanned
+        # rows); slop=0 under the sloppy definition IS the adjacency
+        # semantics (property-tested), so one kernel serves both.
+        offs_map = {
+            t: [i for i, pt in enumerate(phrase) if pt == t] for t in uniq
+        }
+
+        def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_matches": pd.Series(dtype="int64"),
+                }
+            )
+            per_term = _per_term_occurrences(pdf, min_doc, max_doc)
+            if len(per_term) < len(offs_map):
+                return empty  # a phrase term absent from this bucket
+            d_parts, a_parts, o_parts = [], [], []
+            for term, (d, p) in per_term.items():
+                for off in offs_map[term]:
+                    adj = p - off
+                    m = adj >= 0
+                    d_parts.append(d[m])
+                    a_parts.append(adj[m])
+                    o_parts.append(np.full(int(m.sum()), off, dtype=np.int64))
+            doc = np.concatenate(d_parts)
+            if not len(doc):
+                return empty
+            adj = np.concatenate(a_parts)
+            off = np.concatenate(o_parts)
+            # per-term dedup already ran; a phrase offset maps to ONE
+            # term, so (doc, adj, off) triples are unique — sort is all
+            # sloppy_start_counts needs
+            order = np.lexsort((adj, doc))
+            d2, c2 = sloppy_start_counts(
+                doc[order], off[order], adj[order], k, slop
+            )
+            return pd.DataFrame({"doc_id": d2, "n_matches": c2})
+
+        return (
+            rows.groupBy("bucket")
+            .applyInPandas(
+                lambda _key, pdf: run_bucket(pdf),
+                schema="doc_id long, n_matches long",
+            )
+            .orderBy("doc_id")
+        )
+    if store is not None:
         occ = decoded_occurrences(spark, store, rows, min_doc, max_doc)
     else:
         occ = rows.mapInPandas(
@@ -682,6 +781,44 @@ def terms_within_window(
         rows = rows.where(F.col("max_doc") >= F.lit(int(min_doc)))
     if max_doc is not None:
         rows = rows.where(F.col("min_doc") <= F.lit(int(max_doc)))
+    if "_sgen" not in rows.columns:
+        # bucket-local span kernel (round-6, same rework as
+        # phrase_match_rows): group ENCODED rows by doc-bucket, decode
+        # + min_cover_spans in numpy, emit only qualifying (doc_id,
+        # min_span) — no exploded-occurrence shuffle. Duplicate
+        # cross-segment occurrences dedup in _per_term_occurrences
+        # (harmless to the span math, deduped anyway).
+        def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "min_span": pd.Series(dtype="int64"),
+                }
+            )
+            per_term = _per_term_occurrences(pdf, min_doc, max_doc)
+            if len(per_term) < k:
+                return empty  # a query term absent from this bucket
+            d_parts, p_parts, t_parts = [], [], []
+            for term, (d, p) in per_term.items():
+                d_parts.append(d)
+                p_parts.append(p)
+                t_parts.append(np.full(len(d), tmap[term], dtype=np.int64))
+            doc = np.concatenate(d_parts)
+            pos = np.concatenate(p_parts)
+            tid = np.concatenate(t_parts)
+            order = np.lexsort((pos, doc))
+            d2, s2 = min_cover_spans(doc[order], pos[order], tid[order], k)
+            m = s2 <= int(window)
+            return pd.DataFrame({"doc_id": d2[m], "min_span": s2[m]})
+
+        return (
+            rows.groupBy("bucket")
+            .applyInPandas(
+                lambda _key, pdf: run_bucket(pdf),
+                schema="doc_id long, min_span long",
+            )
+            .orderBy("doc_id")
+        )
     # scoped delete filter BEFORE the span kernel (stale reindexed
     # positions would otherwise distort min spans)
     occ = decoded_occurrences(spark, store, rows, min_doc, max_doc)
