@@ -194,6 +194,20 @@ def test_parent_child_rollup_partial_agg(spark, store):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_unigram_loglik_single_decode_pass(spark, store):
+    # round-6 (VERDICT #7): the decoded pairs stream is checkpointed,
+    # so the ctf aggregate and the per-doc join both read the
+    # materialized RDD — the final plan contains ZERO parquet scans
+    # (one decode pass happens at checkpoint materialization, not once
+    # per consumer)
+    from inverted_index_spark.operators.aggregations import unigram_loglik
+    from inverted_index_spark.plans import formatted_plan
+
+    ll = unigram_loglik(spark, store)
+    assert "Scan parquet" not in formatted_plan(ll)
+    assert ll.count() > 0  # still computes
+
+
 def test_gated_small_query_plans_have_no_exchange(spark, store):
     # the df-complete latency gate (Searcher.read_values / .topk on a
     # small single-segment store) must compile to a single-task plan:
