@@ -143,6 +143,7 @@ def _expand_group_pairs(
     key_cols: list[str],
     doc_col: str = "doc_id",
     cap: int | None = None,
+    dedup_within_partition: bool = False,
 ) -> DataFrame:
     """(a, b) with a < b for every within-group pair of ``doc_col``
     values sharing ``key_cols`` — the LSH-bucket candidate generation,
@@ -198,6 +199,16 @@ def _expand_group_pairs(
             a = np.concatenate([a, doc[row_seg_start[hot]]])
             b = np.concatenate([b, doc[hot]])
         if len(a):
+            if dedup_within_partition:
+                # callers that dropDuplicates afterwards (minhash,
+                # simhash) shuffle fewer rows when the same pair from
+                # several co-located buckets collapses here first;
+                # NEVER set for multiplicity-counting callers (winnow)
+                order = np.lexsort((b, a))
+                a, b = a[order], b[order]
+                keep = np.ones(len(a), dtype=bool)
+                keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+                a, b = a[keep], b[keep]
             yield pd.DataFrame({"a": a, "b": b})
 
     return df.repartition(*key_cols).mapInPandas(expand, schema="a long, b long")
@@ -413,7 +424,8 @@ def minhash_lsh_pairs(
     # two hash-join builds, measured ~3.5 s of the 120k-turn bench row
     # on their own). Hot buckets emit the same min-doc star as before.
     cand = _expand_group_pairs(
-        banded, ["band", "band_hash"], "doc_id", cap=hot_bucket_cap
+        banded, ["band", "band_hash"], "doc_id", cap=hot_bucket_cap,
+        dedup_within_partition=True,
     ).dropDuplicates(["a", "b"])
     # signatures rejoin AFTER the dedup, so agreement is evaluated
     # exactly once per unique candidate pair
@@ -558,7 +570,9 @@ def simhash_near_pairs(
     # then the 64-bit hashes join back once per unique pair for the
     # exact Hamming verify
     cand = (
-        _expand_group_pairs(banded, ["band", "chunk"], "doc_id")
+        _expand_group_pairs(
+            banded, ["band", "chunk"], "doc_id", dedup_within_partition=True
+        )
         .dropDuplicates(["a", "b"])
         .join(sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha")), "a")
         .join(sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb")), "b")
