@@ -87,6 +87,27 @@ def _decode_rows(
             yield pd.concat(outs, ignore_index=True)
 
 
+_SQL_SAFE_MAX_ISIN = 32
+
+
+def term_in_pred(col: str, terms: list[str]):
+    """``col IN (...)`` as a Column, built in O(1) py4j calls.
+
+    ``Column.isin(list)`` creates one literal Column PER element via a
+    py4j round-trip (~0.5 ms each — measured 1.0 s of pure driver time
+    for a 2000-term batch predicate, round-6); rendering the predicate
+    as ONE SQL string costs ~2 ms and parses to the identical In
+    expression (same pushdown, same results). Small lists keep isin;
+    large lists take the expr path with backslash/quote escaping."""
+    terms = list(terms)
+    if len(terms) <= _SQL_SAFE_MAX_ISIN:
+        return F.col(col).isin(terms)
+    inlist = ",".join(
+        "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'" for t in terms
+    )
+    return F.expr(f"`{col}` IN ({inlist})")
+
+
 def matching_rows(
     spark: SparkSession,
     store: SegmentStore,
@@ -110,7 +131,7 @@ def matching_rows(
         raise ValueError("pass terms or term_pred, not both")
     seg = store.read_postings(spark, with_gen=with_gen)
     if terms is not None:
-        out = seg.where(F.col("term").isin(list(terms)))
+        out = seg.where(term_in_pred("term", list(terms)))
     elif term_pred is not None:
         out = seg.where(term_pred)
     else:

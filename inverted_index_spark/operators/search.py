@@ -344,7 +344,9 @@ class Searcher:
 
     # ------------------------------------------------------------ reads ---
     def _matching(self, terms: list[str], min_doc=None, max_doc=None) -> DataFrame:
-        out = self.postings.where(F.col("term").isin(list(terms)))
+        from inverted_index_spark.operators.query import term_in_pred
+
+        out = self.postings.where(term_in_pred("term", list(terms)))
         if min_doc is not None:
             out = out.where(F.col("max_doc") >= F.lit(int(min_doc)))
         if max_doc is not None:
@@ -581,23 +583,35 @@ class Searcher:
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             _qmap, _idf_map = bc.value if bc is not None else payload
-            handles = {
-                t: _wand._term_handles(grp)
-                for t, grp in pdf.groupby("term", sort=True)
-            }
             qids, docs, scores = [], [], []
-            for qid, ts in _qmap.items():
-                sub = {t: handles[t] for t in ts if t in handles}
-                if not sub:
-                    continue
-                kern = (
-                    _wand._wand_from_handles if use_wand
-                    else _wand._exhaustive_from_handles
+            if use_wand:
+                handles = {
+                    t: _wand._term_handles(grp)
+                    for t, grp in pdf.groupby("term", sort=True)
+                }
+                for qid, ts in _qmap.items():
+                    sub = {t: handles[t] for t in ts if t in handles}
+                    if not sub:
+                        continue
+                    for d, s in _wand._wand_from_handles(sub, _idf_map, avgdl, k):
+                        qids.append(qid)
+                        docs.append(d)
+                        scores.append(s)
+            else:
+                # per-posting contributions are query-independent —
+                # decode + score ONCE per bucket (round-6; was half the
+                # kernel profile via per-query handle work), then each
+                # query is a concat + unique + bincount over its terms'
+                # slices. Identical accumulation order to the handle
+                # path (see _materialized_contributions).
+                contribs = _wand._materialized_contributions(
+                    pdf, _idf_map, avgdl
                 )
-                for d, s in kern(sub, _idf_map, avgdl, k):
-                    qids.append(qid)
-                    docs.append(d)
-                    scores.append(s)
+                for qid, ts in _qmap.items():
+                    for d, s in _wand._topk_from_contributions(ts, contribs, k):
+                        qids.append(qid)
+                        docs.append(d)
+                        scores.append(s)
             return pd.DataFrame(
                 {
                     "qid": pd.Series(qids, dtype="object"),

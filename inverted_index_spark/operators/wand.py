@@ -114,6 +114,80 @@ def _term_handles(grp: pd.DataFrame) -> list[_BlockHandle]:
     return out
 
 
+def _materialized_contributions(
+    pdf, idf_map: dict, avgdl: float
+) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """One doc-bucket's matched rows → term → (docs, per-posting BM25
+    contribution), fully precomputed (round-6, guide §1.2/§4.2).
+
+    The batched exhaustive scorer re-derived decode + tf-norm + idf
+    work PER QUERY through the handle machinery (pandas groupby +
+    .iloc + per-block varint decode were half the kernel's profile);
+    every one of those quantities is query-INDEPENDENT, so they are
+    computed once per bucket here — batched varint decode
+    (decode_rows_concat), one vectorized tf-norm over all postings,
+    then per-term slicing. Float semantics are pinned to the handle
+    path: contributions are idf · tf/(tf + k1·(1−b+b·dl/avgdl)) in
+    float64, docs ascending within a term, cross-segment duplicate
+    rows merged doc-sorted keep-first exactly like _term_handles."""
+    from inverted_index_spark.functions.codec import decode_rows_concat
+
+    dec = decode_rows_concat(pdf["postings"], pdf["tfs"], pdf["dls"], pdf["blocks"])
+    if dec is None:
+        return {}
+    row_lens, docs, tf, dl = dec
+    tfn = _tf_norm(tf.astype(np.float64), dl.astype(np.float64), avgdl)
+    starts = np.concatenate(([0], np.cumsum(row_lens)))
+    terms = pdf["term"].to_numpy()
+    parts: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+    for i, t in enumerate(terms):
+        s, e = int(starts[i]), int(starts[i + 1])
+        if e == s or t not in idf_map:
+            continue
+        parts.setdefault(t, []).append((docs[s:e], idf_map[t] * tfn[s:e]))
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t, ps in parts.items():
+        if len(ps) == 1:
+            out[t] = ps[0]
+            continue
+        # pre-compaction overlap: doc-sorted merge, keep-first dedup —
+        # the same rule _term_handles applies before scoring
+        d = np.concatenate([p[0] for p in ps])
+        c = np.concatenate([p[1] for p in ps])
+        order = np.argsort(d, kind="mergesort")
+        d, c = d[order], c[order]
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = d[1:] != d[:-1]
+        out[t] = (d[keep], c[keep])
+    return out
+
+
+def _topk_from_contributions(
+    terms: list[str],
+    contribs: dict[str, tuple[np.ndarray, np.ndarray]],
+    k: int,
+) -> list[tuple[int, float]]:
+    """Exhaustive top-k over precomputed per-term contributions —
+    bit-identical accumulation order to _exhaustive_from_handles
+    (terms ascending, docs ascending within term, bincount scatter-add,
+    stable descending argsort → ties break doc asc)."""
+    doc_parts = []
+    contrib_parts = []
+    for t in terms:  # callers pass sorted term lists
+        hit = contribs.get(t)
+        if hit is not None and len(hit[0]):
+            doc_parts.append(hit[0])
+            contrib_parts.append(hit[1])
+    if not doc_parts:
+        return []
+    d = np.concatenate(doc_parts)
+    c = np.concatenate(contrib_parts)
+    uniq, inv = np.unique(d, return_inverse=True)
+    scores = np.bincount(inv, weights=c, minlength=len(uniq))
+    order = np.argsort(-scores, kind="stable")[:k]  # ties → doc_id asc
+    return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
 def _exhaustive_from_handles(
     terms: dict[str, list[_BlockHandle]], idf_map: dict, avgdl: float, k: int
 ) -> list[tuple[int, float]]:
