@@ -65,9 +65,15 @@ def prep(n_turns: int, data_dir: str) -> None:
         "overwrite"
     ).parquet(tx_path)
     store = SegmentStore(f"{data_dir}/idx")
+    # buckets ≫ kernel tasks: the per-bucket kernels run as
+    # shuffle_partitions tasks, and hashing only ~4 buckets into each
+    # of 32 partitions leaves a ~1.6x straggler factor (measured) that
+    # caps scaling regardless of the engine. At cluster scale buckets
+    # outnumber tasks by orders of magnitude, so ~1024 buckets is the
+    # representative shape (32 per partition at local[32]).
     build_index(
         spark, spark.read.parquet(tx_path), store,
-        bucket_size=max(n_turns // 128, 512),
+        bucket_size=max(n_turns // int(os.environ.get("QS_BUCKETS", "1024")), 64),
     )
     spark.stop()
     print("PREPDONE", flush=True)
